@@ -1,0 +1,11 @@
+"""ppoc_tpu: a TPU-native PPO training framework.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of the C/CUDA
+reference cube1324/ppo.c (see SURVEY.md).  Compute path: pure-JAX vectorized
+environments + Pallas MLP kernels + one jitted fit step; scaling path:
+shard_map over a data-parallel mesh with psum collectives.
+"""
+from ppoc_tpu.config import PPOConfig, reference_preset, tpu_preset
+
+__version__ = "0.1.0"
+__all__ = ["PPOConfig", "reference_preset", "tpu_preset"]

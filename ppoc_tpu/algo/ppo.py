@@ -1,0 +1,401 @@
+"""PPO: rollout collection, GAE, and the clipped-surrogate update.
+
+TPU-native redesign of the reference algorithm layer (``src/ppo.cu``,
+``include/ppo.h:30-47``).  The reference splits each "fit" across the host
+(3000 single-env steps through an embedded CPython bridge,
+``collect_trajectories`` src/ppo.cu:54-79) and the GPU (value/policy
+minibatch epochs, ``_train_ppo_epoch_cuda`` src/ppo.cu:451-550) with bulk
+buffer and weight copies in between.  Here the entire fit — vectorized
+rollout, GAE, advantage normalization, 10 value epochs + 4 policy epochs of
+minibatch Adam steps — is ONE jitted program: rollouts are a ``lax.scan``
+over time stepping ``n_envs`` pure-JAX environments in lockstep, the update
+phases are nested ``lax.scan``s over (epoch, minibatch), and nothing ever
+leaves the device.
+
+Semantics preserved from the reference (see SURVEY.md §7):
+  * envs are reset at the start of every collection window (src/ppo.cu:55);
+  * the final step of a window is force-marked truncated if not terminated
+    (src/ppo.cu:70-74) so GAE never bootstraps across the window end;
+  * advantages are normalized once per fit over the whole buffer with
+    population std and eps=1e-8 (src/ppo.cu:355-368);
+  * value targets are V(s) + A computed before normalization (src/ppo.cu:352);
+  * each epoch reshuffles, minibatches are gathered by permutation index and
+    the tail (< minibatch_size) is dropped (src/trajectory_buffer.cu:126-220,
+    src/ppo.cu:475-477);
+  * three separate Adam states (policy net, value net, log_std) with shared
+    hyperparameters (src/ppo.cu:19-25).
+
+Data parallelism: every function takes an optional ``axis_name``; when run
+under ``shard_map`` over a mesh axis, cross-device reduction happens in
+exactly two places — the whole-buffer advantage normalization and the
+per-minibatch gradient ``pmean`` — both riding ICI.  Env state and rollout
+data stay local to the device that generated them.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ppoc_tpu.config import PPOConfig
+from ppoc_tpu.envs.core import Env, vector_autoreset_step, vector_reset
+from ppoc_tpu.models import mlp, policy as policy_mod
+from ppoc_tpu.ops import adam, gae as gae_ops, losses
+
+
+class Transition(NamedTuple):
+    obs: jax.Array        # [T, E, obs_dim]
+    action: jax.Array     # [T, E, act_dim] (int32 [T, E, 1] if discrete)
+    log_prob: jax.Array   # [T, E]
+    next_obs: jax.Array   # [T, E, obs_dim]  true successor (pre-reset)
+    reward: jax.Array     # [T, E]
+    terminated: jax.Array # [T, E] bool
+    truncated: jax.Array  # [T, E] bool
+
+
+class TrainState(NamedTuple):
+    policy_params: Dict[str, Any]
+    v_params: Any
+    opt_policy: adam.AdamState    # over policy_params["mlp"]
+    opt_v: adam.AdamState         # over v_params
+    opt_log_std: adam.AdamState   # over policy_params["log_std"] (empty tree if discrete)
+
+
+class FitMetrics(NamedTuple):
+    value_loss: jax.Array
+    policy_loss: jax.Array
+    entropy: jax.Array
+    mean_reward: jax.Array
+
+
+def _pmean(x, axis_name: Optional[str]):
+    return jax.lax.pmean(x, axis_name) if axis_name is not None else x
+
+
+def _device_key(key: jax.Array, axis_name: Optional[str]) -> jax.Array:
+    """Give each data-parallel shard its own RNG stream."""
+    if axis_name is None:
+        return key
+    return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+
+def _pvary(tree, axis_name: Optional[str]):
+    """Mark a pytree as device-varying along ``axis_name`` for shard_map's
+    varying-axes type system.  Needed when an env's reset ignores its RNG key
+    (e.g. the simple integrator), which would otherwise leave the rollout
+    scan's initial carry replicated while the stepped carry is varying."""
+    if axis_name is None:
+        return tree
+    if hasattr(jax.lax, "pvary"):
+        return jax.tree.map(lambda x: jax.lax.pvary(x, axis_name), tree)
+    return jax.tree.map(lambda x: jax.lax.pcast(x, (axis_name,), to="varying"), tree)
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def init_train_state(cfg: PPOConfig, env: Env, key: jax.Array) -> TrainState:
+    """Build params + optimizer states (mirrors create_ppo, src/ppo.cu:6-35)."""
+    k_pi, k_v = jax.random.split(key)
+    spec = env.spec
+    policy_params = policy_mod.init(
+        k_pi, spec.obs_dim, spec.action_dim, cfg.hidden, cfg.init_std, spec.discrete
+    )
+    # value net: same trunk, scalar head (src/ppo.cu:12-16)
+    v_params = mlp.init(k_v, (spec.obs_dim, *cfg.hidden, 1))
+    log_std_tree = policy_params.get("log_std", jnp.zeros((0,), jnp.float32))
+    return TrainState(
+        policy_params=policy_params,
+        v_params=v_params,
+        opt_policy=adam.init(policy_params["mlp"]),
+        opt_v=adam.init(v_params),
+        opt_log_std=adam.init(log_std_tree),
+    )
+
+
+# --------------------------------------------------------------------------
+# rollout
+# --------------------------------------------------------------------------
+
+def rollout(
+    cfg: PPOConfig,
+    env: Env,
+    policy_params: Dict[str, Any],
+    key: jax.Array,
+    n_envs: int,
+    length: int,
+    backend: str,
+    axis_name: Optional[str] = None,
+) -> Transition:
+    """Collect [length, n_envs] transitions with fresh resets at entry.
+
+    Equivalent of collect_trajectories (src/ppo.cu:54-79) with the actor on
+    device: the scan body fuses policy forward, sampling, env physics and
+    auto-reset into one compiled step.
+    """
+    k_reset, k_scan = jax.random.split(key)
+    env_state, obs = _pvary(vector_reset(env, k_reset, n_envs), axis_name)
+
+    def step_fn(carry, key_t):
+        env_state, obs = carry
+        k_act, k_env = jax.random.split(key_t)
+        action, log_prob = policy_mod.sample(
+            policy_params, obs, k_act, cfg.activation, backend, env.spec.discrete
+        )
+        env_state2, obs2, next_obs, reward, term, trunc = vector_autoreset_step(
+            env, env_state, action, k_env
+        )
+        tr = Transition(obs, action, log_prob, next_obs, reward, term, trunc)
+        return (env_state2, obs2), tr
+
+    keys = jax.random.split(k_scan, length)
+    _, traj = jax.lax.scan(step_fn, (env_state, obs), keys)
+
+    # Force-truncate the window end (src/ppo.cu:70-74).
+    last_trunc = jnp.logical_or(traj.truncated[-1], jnp.logical_not(traj.terminated[-1]))
+    traj = traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
+    return traj
+
+
+# --------------------------------------------------------------------------
+# advantages
+# --------------------------------------------------------------------------
+
+def compute_advantages(
+    cfg: PPOConfig,
+    env: Env,
+    v_params,
+    traj: Transition,
+    axis_name: Optional[str],
+    backend: str,
+) -> Tuple[jax.Array, jax.Array]:
+    """GAE + whole-buffer normalization (compute_gae_cuda, src/ppo.cu:261-323).
+
+    Returns (normalized advantages, value targets), both [T, E].
+    """
+    values = mlp.apply(v_params, traj.obs, cfg.activation, backend)[..., 0]
+    next_values = mlp.apply(v_params, traj.next_obs, cfg.activation, backend)[..., 0]
+    adv, target = gae_ops.gae(
+        traj.reward, values, next_values, traj.terminated, traj.truncated,
+        env.spec.gamma, cfg.lam,
+    )
+    if cfg.norm_adv_global:
+        # Welford-equivalent two-pass mean/var in f32; across data-parallel
+        # shards this is the one collective the data phase needs.
+        mean = _pmean(jnp.mean(adv), axis_name)
+        var = _pmean(jnp.mean(jnp.square(adv - mean)), axis_name)
+        adv = gae_ops.normalize(adv, mean, jnp.sqrt(var))
+    return adv, target
+
+
+# --------------------------------------------------------------------------
+# update phases
+# --------------------------------------------------------------------------
+
+def _epoch_scan(key, n_rows, n_mb, mb_size, mb_step, carry):
+    """One shuffled pass over the buffer: permute, split into minibatches,
+    scan ``mb_step`` over the gathered index blocks (shuffle_buffer +
+    get_batch, src/trajectory_buffer.cu:126-220)."""
+    perm = jax.random.permutation(key, n_rows)[: n_mb * mb_size]
+    idx = perm.reshape(n_mb, mb_size)
+    return jax.lax.scan(mb_step, carry, idx)
+
+
+def value_phase(cfg: PPOConfig, ts: TrainState, obs_flat, target_flat, key,
+                axis_name: Optional[str], backend: str, n_mb: int, mb_size: int):
+    """n_epochs_value shuffled passes fitting V (src/ppo.cu:491-510)."""
+    n_rows = obs_flat.shape[0]
+
+    def loss_fn(v_params, o, t):
+        v = mlp.apply(v_params, o, cfg.activation, backend)[..., 0]
+        return losses.value_loss(v, t)
+
+    def mb_step(carry, idx):
+        v_params, opt_v = carry
+        o = jnp.take(obs_flat, idx, axis=0)
+        t = jnp.take(target_flat, idx, axis=0)
+        loss, grads = jax.value_and_grad(loss_fn)(v_params, o, t)
+        grads = _pmean(grads, axis_name)
+        v_params, opt_v = adam.update(
+            v_params, grads, opt_v, cfg.lr_v, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps
+        )
+        return (v_params, opt_v), loss
+
+    def epoch(carry, key_e):
+        return _epoch_scan(key_e, n_rows, n_mb, mb_size, mb_step, carry)
+
+    keys = jax.random.split(key, cfg.n_epochs_value)
+    (v_params, opt_v), losses_ = jax.lax.scan(epoch, (ts.v_params, ts.opt_v), keys)
+    return ts._replace(v_params=v_params, opt_v=opt_v), jnp.mean(losses_)
+
+
+def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, obs_flat, act_flat,
+                 logp_old_flat, adv_flat, key, axis_name: Optional[str],
+                 backend: str, n_mb: int, mb_size: int):
+    """n_epochs_policy shuffled passes on the clipped surrogate
+    (src/ppo.cu:512-533)."""
+    n_rows = obs_flat.shape[0]
+    discrete = env.spec.discrete
+
+    def loss_fn(policy_params, o, a, lp_old, adv):
+        logp = policy_mod.log_prob(policy_params, o, a, cfg.activation, backend, discrete)
+        surrogate = losses.clipped_surrogate_loss(logp, lp_old, adv, cfg.clip_eps)
+        ent = policy_mod.entropy(policy_params, o, cfg.activation, backend, discrete)
+        return surrogate - cfg.ent_coeff * ent, ent
+
+    def mb_step(carry, idx):
+        policy_params, opt_policy, opt_log_std = carry
+        o = jnp.take(obs_flat, idx, axis=0)
+        a = jnp.take(act_flat, idx, axis=0)
+        lp = jnp.take(logp_old_flat, idx, axis=0)
+        ad = jnp.take(adv_flat, idx, axis=0)
+        (loss, ent), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            policy_params, o, a, lp, ad
+        )
+        grads = _pmean(grads, axis_name)
+        # Separate Adam states for the mean net and log_std (src/ppo.cu:19-25).
+        new_mlp, opt_policy = adam.update(
+            policy_params["mlp"], grads["mlp"], opt_policy,
+            cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
+        )
+        new_params = dict(policy_params)
+        new_params["mlp"] = new_mlp
+        if "log_std" in policy_params:
+            new_log_std, opt_log_std = adam.update(
+                policy_params["log_std"], grads["log_std"], opt_log_std,
+                cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
+            )
+            new_params["log_std"] = new_log_std
+        return (new_params, opt_policy, opt_log_std), (loss, ent)
+
+    def epoch(carry, key_e):
+        return _epoch_scan(key_e, n_rows, n_mb, mb_size, mb_step, carry)
+
+    keys = jax.random.split(key, cfg.n_epochs_policy)
+    (policy_params, opt_policy, opt_log_std), (losses_, ents) = jax.lax.scan(
+        epoch, (ts.policy_params, ts.opt_policy, ts.opt_log_std), keys
+    )
+    ts = ts._replace(
+        policy_params=policy_params, opt_policy=opt_policy, opt_log_std=opt_log_std
+    )
+    return ts, jnp.mean(losses_), jnp.mean(ents)
+
+
+# --------------------------------------------------------------------------
+# fit step / train epoch
+# --------------------------------------------------------------------------
+
+def fit_step(
+    cfg: PPOConfig,
+    env: Env,
+    ts: TrainState,
+    key: jax.Array,
+    axis_name: Optional[str] = None,
+    n_envs: Optional[int] = None,
+    mb_size: Optional[int] = None,
+    backend: str = "jnp",
+) -> Tuple[TrainState, FitMetrics]:
+    """One fit: collect steps_per_fit transitions, GAE, value+policy epochs.
+
+    ``n_envs`` / ``mb_size`` override the config with per-device (local)
+    sizes when running under shard_map.
+    """
+    n_envs = cfg.n_envs if n_envs is None else n_envs
+    mb_size = cfg.minibatch_size if mb_size is None else mb_size
+    n_mb = cfg.num_minibatches  # identical globally and per shard
+
+    key = _device_key(key, axis_name)
+    k_roll, k_val, k_pol = jax.random.split(key, 3)
+
+    traj = rollout(cfg, env, ts.policy_params, k_roll, n_envs, cfg.rollout_len, backend, axis_name)
+    adv, target = compute_advantages(cfg, env, ts.v_params, traj, axis_name, backend)
+
+    n_rows = cfg.rollout_len * n_envs
+    obs_flat = traj.obs.reshape(n_rows, -1)
+    act_flat = traj.action.reshape(n_rows, traj.action.shape[-1])
+    logp_flat = traj.log_prob.reshape(n_rows)
+    adv_flat = adv.reshape(n_rows)
+    target_flat = target.reshape(n_rows)
+
+    ts, v_loss = value_phase(
+        cfg, ts, obs_flat, target_flat, k_val, axis_name, backend, n_mb, mb_size
+    )
+    ts, p_loss, ent = policy_phase(
+        cfg, env, ts, obs_flat, act_flat, logp_flat, adv_flat, k_pol,
+        axis_name, backend, n_mb, mb_size,
+    )
+    mean_rew = _pmean(jnp.mean(traj.reward), axis_name)
+    # pmean the scalar diagnostics so they are replicated across shards
+    return ts, FitMetrics(
+        _pmean(v_loss, axis_name), _pmean(p_loss, axis_name),
+        _pmean(ent, axis_name), mean_rew,
+    )
+
+
+def train_epoch(
+    cfg: PPOConfig,
+    env: Env,
+    ts: TrainState,
+    key: jax.Array,
+    axis_name: Optional[str] = None,
+    n_envs: Optional[int] = None,
+    mb_size: Optional[int] = None,
+    backend: str = "jnp",
+) -> Tuple[TrainState, FitMetrics]:
+    """fits_per_epoch sequential fits as one scan (src/ppo.cu:479 loop)."""
+
+    def one_fit(ts, key_f):
+        return fit_step(cfg, env, ts, key_f, axis_name, n_envs, mb_size, backend)
+
+    keys = jax.random.split(key, cfg.fits_per_epoch)
+    ts, metrics = jax.lax.scan(one_fit, ts, keys)
+    return ts, jax.tree.map(jnp.mean, metrics)
+
+
+# --------------------------------------------------------------------------
+# evaluation
+# --------------------------------------------------------------------------
+
+class EvalMetrics(NamedTuple):
+    J: jax.Array           # mean discounted episode return
+    R: jax.Array           # mean undiscounted episode return
+    episodes: jax.Array    # episode count
+
+
+def evaluate(
+    cfg: PPOConfig,
+    env: Env,
+    policy_params: Dict[str, Any],
+    key: jax.Array,
+    backend: str = "jnp",
+    n_envs: Optional[int] = None,
+    axis_name: Optional[str] = None,
+) -> EvalMetrics:
+    """Stochastic-policy evaluation (eval_ppo, src/ppo.cu:560-583).
+
+    Reports mean discounted return J, mean undiscounted return R and episode
+    count.  The reference's backward host loop drops the earliest episode
+    from sum_J (an averaging quirk, SURVEY.md §3.4); here every completed
+    episode counts — with force-truncation at the window end all segments
+    complete.
+    """
+    n_envs = cfg.eval_envs if n_envs is None else n_envs
+    key = _device_key(key, axis_name)
+    traj = rollout(cfg, env, policy_params, key, n_envs, cfg.eval_len, backend, axis_name)
+    done = jnp.logical_or(traj.terminated, traj.truncated)
+    j_t = gae_ops.discounted_episode_returns(traj.reward, done, env.spec.gamma)
+    r_t = gae_ops.discounted_episode_returns(traj.reward, done, 1.0)
+    starts = jnp.concatenate([jnp.ones_like(done[:1]), done[:-1]], axis=0)
+    n_eps = jnp.sum(done.astype(jnp.float32))
+    starts_f = starts.astype(jnp.float32)
+    if axis_name is not None:
+        n_eps = jax.lax.psum(n_eps, axis_name)
+        sum_j = jax.lax.psum(jnp.sum(j_t * starts_f), axis_name)
+        sum_r = jax.lax.psum(jnp.sum(r_t * starts_f), axis_name)
+    else:
+        sum_j = jnp.sum(j_t * starts_f)
+        sum_r = jnp.sum(r_t * starts_f)
+    return EvalMetrics(J=sum_j / n_eps, R=sum_r / n_eps, episodes=n_eps)

@@ -1,0 +1,106 @@
+"""Training configuration.
+
+TPU-native analogue of the reference's hard-coded hyperparameters in
+``src/main.c:20-44`` and the ``create_ppo`` signature (``include/ppo.h:30``,
+``src/ppo.cu:6``).  Every reference hyperparameter is a first-class field with
+the reference default; the TPU-only knobs (number of vectorized envs, rollout
+length, mesh axes, kernel backend) have no reference counterpart because the
+reference steps exactly one host environment.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    # --- environment -----------------------------------------------------
+    env: str = "pendulum"  # registry key, see ppoc_tpu.envs
+    seed: int = 0
+
+    # --- network (reference: src/main.c:20-31) ---------------------------
+    hidden: Tuple[int, ...] = (128, 128)
+    activation: str = "relu"  # hidden-layer activation ("relu" | "tanh" | "none")
+    init_std: float = 1.0     # initial policy std (src/main.c:38)
+
+    # --- PPO hyperparameters (reference: src/main.c:33-43) ---------------
+    lr_policy: float = 3e-4
+    lr_v: float = 3e-4
+    adam_beta1: float = 0.9    # src/ppo.cu:19-25
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8     # src/adam.cu:67
+    lam: float = 0.95          # GAE lambda
+    clip_eps: float = 0.2
+    ent_coeff: float = 0.0
+    n_epochs_policy: int = 4
+    n_epochs_value: int = 10
+    minibatch_size: int = 64
+
+    # --- schedule ---------------------------------------------------------
+    # steps_per_fit in the reference is the buffer capacity (3000); here it is
+    # n_envs * rollout_len.  The reference layout is one flat 3000-step stream
+    # (15 x 200-step Pendulum episodes interleaved); ours is [T=rollout_len,
+    # E=n_envs], which is the same data when rollout_len == horizon.
+    n_envs: int = 15
+    rollout_len: int = 200
+    fits_per_epoch: int = 10   # steps_per_epoch / steps_per_fit = 30000/3000
+    n_epochs: int = 10
+
+    # --- evaluation (reference: eval_ppo uses steps_per_fit steps) -------
+    eval_envs: int = 15
+    eval_len: int = 200
+
+    # --- TPU execution ----------------------------------------------------
+    kernel_backend: str = "auto"  # "pallas" | "jnp" | "auto" (pallas on TPU)
+    mesh_axis: str = "dp"         # data-parallel mesh axis name
+    norm_adv_global: bool = True  # normalize advantages over the whole buffer
+                                  # (reference: src/ppo.cu:355-368)
+    reset_per_fit: bool = True    # reference resets env at every collection
+                                  # entry (src/ppo.cu:55)
+
+    # ----------------------------------------------------------------------
+    @property
+    def steps_per_fit(self) -> int:
+        return self.n_envs * self.rollout_len
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return self.steps_per_fit * self.fits_per_epoch
+
+    @property
+    def num_minibatches(self) -> int:
+        # floor division: the reference drops the tail (floor(3000/64)=46
+        # minibatches; src/ppo.cu:475-477 via int truncation of ceilf(int/int))
+        return self.steps_per_fit // self.minibatch_size
+
+    def replace(self, **kw) -> "PPOConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Presets ------------------------------------------------------------------
+
+def reference_preset(env: str = "pendulum", seed: int = 0) -> PPOConfig:
+    """Semantics-parity preset: identical step counts, minibatch schedule and
+    hyperparameters to the reference driver (src/main.c:33-43)."""
+    return PPOConfig(env=env, seed=seed)
+
+
+def tpu_preset(env: str = "pendulum", seed: int = 0) -> PPOConfig:
+    """Throughput preset: many vectorized envs, large minibatches.
+
+    Same algorithm, but sized so the MXU sees real work and the number of
+    sequential optimizer steps per second of data collected is far smaller.
+    """
+    return PPOConfig(
+        env=env,
+        seed=seed,
+        n_envs=1024,
+        rollout_len=200,
+        minibatch_size=8192,
+        fits_per_epoch=1,
+        n_epochs_value=10,
+        n_epochs_policy=4,
+        eval_envs=256,
+        eval_len=200,
+    )

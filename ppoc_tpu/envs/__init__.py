@@ -1,0 +1,24 @@
+"""Environment engine: pure-JAX vectorized environments.
+
+Replaces reference components 13-15 (``src/env.c``, ``src/gym_env.c``,
+``scripts/gym_env.py``): instead of one host environment stepped through an
+embedded CPython bridge, environments are pure functions vectorized on
+device.  Host-side environments (Gymnasium, native C++) remain available
+through :mod:`ppoc_tpu.envs.gym_bridge` and :mod:`ppoc_tpu.envs.native`.
+"""
+from .core import Env, EnvSpec, make, register, registry, vector_autoreset_step, vector_reset, vector_step
+from . import pendulum as _pendulum  # noqa: F401  (registers "pendulum")
+from . import simple as _simple      # noqa: F401  (registers "simple")
+from . import cartpole as _cartpole  # noqa: F401  (registers "cartpole")
+from . import mountain_car as _mountain_car  # noqa: F401 (registers "mountain_car")
+
+__all__ = [
+    "Env",
+    "EnvSpec",
+    "make",
+    "register",
+    "registry",
+    "vector_reset",
+    "vector_step",
+    "vector_autoreset_step",
+]

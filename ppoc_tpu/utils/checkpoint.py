@@ -1,0 +1,157 @@
+"""Binary checkpointing of the full training state.
+
+Equivalent of save_ppo/load_ppo (src/ppo.cu:585-648): a single binary file
+holding the five scalar hyperparameters, buffer dims, the policy (log_std +
+mean-net layers), the value net, and all three Adam states INCLUDING the
+timestep — so a load resumes optimization bit-for-bit.  The layout mirrors
+the reference's field order (hyperparams -> dims -> policy -> V -> 3 Adams;
+Adam state flattened in (W0, b0, W1, b1, ...) order as in
+create_adam_from_nn, src/adam.cu:25-42) but is versioned, unlike the
+reference's raw struct dump.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAGIC = b"PPOC"
+VERSION = 2
+
+
+def _w(f, fmt, *vals):
+    f.write(struct.pack("<" + fmt, *vals))
+
+
+def _r(f, fmt):
+    size = struct.calcsize("<" + fmt)
+    out = struct.unpack("<" + fmt, f.read(size))
+    return out if len(out) > 1 else out[0]
+
+
+def _write_arr(f, a: np.ndarray):
+    a = np.ascontiguousarray(a, dtype=np.float32)
+    _w(f, "i", a.size)
+    f.write(a.tobytes())
+
+
+def _read_arr(f, shape=None) -> np.ndarray:
+    n = _r(f, "i")
+    a = np.frombuffer(f.read(4 * n), dtype=np.float32).copy()
+    return a.reshape(shape) if shape is not None else a
+
+
+def _write_mlp(f, layers: List[Tuple[Any, Any]]):
+    _w(f, "i", len(layers))
+    for w, b in layers:
+        w = np.asarray(w)
+        _w(f, "ii", w.shape[0], w.shape[1])
+        _write_arr(f, w)
+        _write_arr(f, np.asarray(b))
+
+
+def _read_mlp(f) -> List[Tuple[np.ndarray, np.ndarray]]:
+    n = _r(f, "i")
+    layers = []
+    for _ in range(n):
+        fan_in, fan_out = _r(f, "ii")
+        w = _read_arr(f, (fan_in, fan_out))
+        b = _read_arr(f, (fan_out,))
+        layers.append((w, b))
+    return layers
+
+
+def _flat_adam(state, params) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Flatten an AdamState over a params pytree into (m, v, t) in the
+    reference's (W0, b0, W1, b1, ...) order (jax tree flatten order)."""
+    m = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(state.m)] or [np.zeros(0, np.float32)])
+    v = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(state.v)] or [np.zeros(0, np.float32)])
+    return m.astype(np.float32), v.astype(np.float32), int(state.t)
+
+
+def _unflat_adam(m: np.ndarray, v: np.ndarray, t: int, params):
+    from ppoc_tpu.ops.adam import AdamState
+
+    leaves, treedef = jax.tree.flatten(params)
+    ms, vs, off = [], [], 0
+    for leaf in leaves:
+        n = int(np.prod(np.shape(leaf))) if np.ndim(leaf) else 1
+        shape = np.shape(leaf)
+        ms.append(jnp.asarray(m[off : off + n].reshape(shape)))
+        vs.append(jnp.asarray(v[off : off + n].reshape(shape)))
+        off += n
+    return AdamState(
+        m=treedef.unflatten(ms), v=treedef.unflatten(vs), t=jnp.asarray(t, jnp.int32)
+    )
+
+
+def save(path: str, cfg, spec, state) -> None:
+    """Serialize cfg hyperparams + env dims + TrainState to ``path``."""
+    state = jax.device_get(state)
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        _w(f, "i", VERSION)
+        # hyperparams, reference field order (src/ppo.cu:588-592)
+        _w(f, "fffff", cfg.lam, cfg.clip_eps, cfg.ent_coeff, cfg.lr_policy, cfg.lr_v)
+        # dims (src/ppo.cu:594-596); "capacity" = steps per fit
+        _w(f, "iii", spec.obs_dim, spec.action_dim, cfg.steps_per_fit)
+        _w(f, "i", 1 if spec.discrete else 0)
+        # policy: log_std then mean net (save_policy, src/policy.cu:201-205)
+        log_std = np.asarray(state.policy_params.get("log_std", np.zeros(0, np.float32)))
+        _write_arr(f, log_std)
+        _write_mlp(f, state.policy_params["mlp"])
+        # value net
+        _write_mlp(f, state.v_params)
+        # three Adam states (save order: policy, V, log_std; src/ppo.cu:602-604)
+        for st, ps in (
+            (state.opt_policy, state.policy_params["mlp"]),
+            (state.opt_v, state.v_params),
+            (state.opt_log_std, state.policy_params.get("log_std", np.zeros(0))),
+        ):
+            m, v, t = _flat_adam(st, ps)
+            _w(f, "ii", m.size, t)
+            _write_arr(f, m)
+            _write_arr(f, v)
+
+
+def load(path: str, template=None):
+    """Load a checkpoint.  Returns (hyperparams dict, dims dict, TrainState)."""
+    from ppoc_tpu.algo.ppo import TrainState
+
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != MAGIC:
+            raise ValueError(f"not a ppoc_tpu checkpoint: bad magic {magic!r}")
+        version = _r(f, "i")
+        if version != VERSION:
+            raise ValueError(f"unsupported checkpoint version {version}")
+        lam, clip_eps, ent_coeff, lr_policy, lr_v = _r(f, "fffff")
+        obs_dim, action_dim, capacity = _r(f, "iii")
+        discrete = bool(_r(f, "i"))
+        log_std = _read_arr(f)
+        mu_layers = [(jnp.asarray(w), jnp.asarray(b)) for w, b in _read_mlp(f)]
+        v_layers = [(jnp.asarray(w), jnp.asarray(b)) for w, b in _read_mlp(f)]
+        policy_params: Dict[str, Any] = {"mlp": mu_layers}
+        if not discrete:
+            policy_params["log_std"] = jnp.asarray(log_std)
+        adams = []
+        for ps in (mu_layers, v_layers, policy_params.get("log_std", jnp.zeros(0))):
+            _, t = _r(f, "ii")
+            m = _read_arr(f)
+            v = _read_arr(f)
+            adams.append(_unflat_adam(m, v, t, ps))
+        state = TrainState(
+            policy_params=policy_params,
+            v_params=v_layers,
+            opt_policy=adams[0],
+            opt_v=adams[1],
+            opt_log_std=adams[2],
+        )
+        hp = dict(lam=lam, clip_eps=clip_eps, ent_coeff=ent_coeff,
+                  lr_policy=lr_policy, lr_v=lr_v)
+        dims = dict(obs_dim=obs_dim, action_dim=action_dim, capacity=capacity,
+                    discrete=discrete)
+        return hp, dims, state
