@@ -88,9 +88,18 @@ def _pvary(tree, axis_name: Optional[str]):
     scan's initial carry replicated while the stepped carry is varying."""
     if axis_name is None:
         return tree
-    if hasattr(jax.lax, "pvary"):
-        return jax.tree.map(lambda x: jax.lax.pvary(x, axis_name), tree)
-    return jax.tree.map(lambda x: jax.lax.pcast(x, (axis_name,), to="varying"), tree)
+
+    def vary(x):
+        try:
+            if axis_name in jax.typeof(x).vma:
+                return x  # already varying
+        except AttributeError:
+            pass
+        if hasattr(jax.lax, "pcast"):
+            return jax.lax.pcast(x, (axis_name,), to="varying")
+        return jax.lax.pvary(x, axis_name)
+
+    return jax.tree.map(vary, tree)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,156 @@
+"""Pure-JAX env physics cross-checked step-for-step against Gymnasium.
+
+The reference trusts Gymnasium through its CPython bridge; our envs
+re-implement the physics, so these tests are the parity proof
+(SURVEY.md §7 "hard parts": physics must match or learning curves drift).
+"""
+import gymnasium
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppoc_tpu import envs
+
+
+def _rollout_match(gym_name, ours, set_state, get_action, n_steps=300, atol=1e-3):
+    """Drive gymnasium and our env with identical states+actions, compare.
+
+    Our physics are f32 while Gymnasium computes in f64, so state is re-synced
+    every 25 steps to keep the comparison about the equations, not about
+    compounding rounding drift.
+    """
+    genv = gymnasium.make(gym_name).unwrapped
+    genv.reset(seed=0)
+    key = jax.random.PRNGKey(0)
+    # start both from the same internal state
+    state, _ = ours.reset(key)
+    state = set_state(genv, state)
+    step = jax.jit(ours.step)
+    for i in range(n_steps):
+        a = get_action(i)
+        gobs, grew, gterm, gtrunc, _ = genv.step(a)
+        state, obs, rew, term, trunc = step(state, jnp.asarray(a, jnp.float32), key)
+        np.testing.assert_allclose(np.asarray(obs), gobs, atol=atol, err_msg=f"obs step {i}")
+        np.testing.assert_allclose(float(rew), grew, atol=atol, err_msg=f"reward step {i}")
+        assert bool(term) == bool(gterm), f"terminated mismatch at step {i}"
+        if gterm or (i + 1) % 25 == 0:
+            genv.reset(seed=i)
+            state, _ = ours.reset(jax.random.fold_in(key, i))
+            state = set_state(genv, state)
+
+
+def test_pendulum_matches_gymnasium():
+    env = envs.make("pendulum")
+    from ppoc_tpu.envs.pendulum import PendulumState
+
+    def set_state(genv, s):
+        genv.state = np.array([0.7, -0.3])
+        return PendulumState(jnp.float32(0.7), jnp.float32(-0.3), jnp.int32(0))
+
+    rng = np.random.RandomState(0)
+    actions = rng.uniform(-2, 2, size=(300, 1)).astype(np.float32)
+    _rollout_match("Pendulum-v1", env, set_state, lambda i: actions[i])
+
+
+def test_cartpole_matches_gymnasium():
+    env = envs.make("cartpole")
+    from ppoc_tpu.envs.cartpole import CartPoleState
+
+    def set_state(genv, s):
+        genv.state = np.array([0.01, -0.02, 0.03, 0.01], dtype=np.float64)
+        return CartPoleState(
+            jnp.float32(0.01), jnp.float32(-0.02), jnp.float32(0.03),
+            jnp.float32(0.01), jnp.int32(0),
+        )
+
+    genv = gymnasium.make("CartPole-v1").unwrapped
+    genv.reset(seed=0)
+    state = set_state(genv, None)
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(1)
+    for i in range(200):
+        a = int(rng.randint(2))
+        gobs, grew, gterm, gtrunc, _ = genv.step(a)
+        state, obs, rew, term, trunc = step(state, jnp.asarray([a], jnp.int32), key)
+        np.testing.assert_allclose(np.asarray(obs), gobs, atol=1e-4)
+        assert float(rew) == grew
+        assert bool(term) == bool(gterm)
+        if gterm:
+            genv.reset(seed=i)
+            state = set_state(genv, None)
+
+
+def test_mountain_car_matches_gymnasium():
+    env = envs.make("mountain_car")
+    from ppoc_tpu.envs.mountain_car import MountainCarState
+
+    genv = gymnasium.make("MountainCarContinuous-v0").unwrapped
+    genv.reset(seed=0)
+
+    def set_state():
+        genv.state = np.array([-0.5, 0.0])
+        return MountainCarState(jnp.float32(-0.5), jnp.float32(0.0), jnp.int32(0))
+
+    state = set_state()
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(2)
+    for i in range(300):
+        a = rng.uniform(-1, 1, size=(1,)).astype(np.float32)
+        gobs, grew, gterm, gtrunc, _ = genv.step(a)
+        state, obs, rew, term, trunc = step(state, jnp.asarray(a), key)
+        np.testing.assert_allclose(np.asarray(obs), gobs, atol=1e-5)
+        np.testing.assert_allclose(float(rew), grew, atol=1e-5)
+        assert bool(term) == bool(gterm)
+        if gterm:
+            genv.reset(seed=i)
+            state = set_state()
+
+
+def test_simple_env_semantics():
+    """Mirror of src/env.c:15-33: +1 & terminate at s>=5, truncate at 15."""
+    env = envs.make("simple")
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+    assert float(obs[0]) == 0.0
+    # actions are clipped to [-1, 1]: 5 steps of +2 -> s=5 -> terminated
+    for i in range(5):
+        state, obs, rew, term, trunc = env.step(state, jnp.asarray([2.0]), key)
+    assert bool(term) and float(rew) == 1.0 and float(obs[0]) == 5.0
+    # do-nothing policy truncates at step 15 with no reward
+    state, obs = env.reset(key)
+    for i in range(15):
+        state, obs, rew, term, trunc = env.step(state, jnp.asarray([0.0]), key)
+    assert bool(trunc) and not bool(term) and float(rew) == 0.0
+
+
+def test_pendulum_truncates_at_horizon():
+    env = envs.make("pendulum")
+    key = jax.random.PRNGKey(0)
+    state, _ = env.reset(key)
+    step = jax.jit(env.step)
+    for i in range(200):
+        state, obs, rew, term, trunc = step(state, jnp.zeros((1,)), key)
+    assert bool(trunc) and not bool(term)
+
+
+def test_vector_autoreset():
+    """Auto-reset swaps in a fresh obs where done; next_obs keeps the true
+    successor (the GAE bootstrap source), as in src/ppo.cu:64-69."""
+    env = envs.make("simple")
+    key = jax.random.PRNGKey(0)
+    state, obs = envs.vector_reset(env, key, 4)
+    # drive two envs to termination (action +1 five times), two stay put
+    act = jnp.array([[1.0], [1.0], [0.0], [0.0]])
+    for i in range(5):
+        state, obs, next_obs, rew, term, trunc = envs.vector_autoreset_step(
+            env, state, act, jax.random.fold_in(key, i)
+        )
+    assert bool(term[0]) and bool(term[1]) and not bool(term[2])
+    # done envs were reset: obs back to 0; next_obs shows the terminal state 5
+    assert float(obs[0, 0]) == 0.0 and float(next_obs[0, 0]) == 5.0
+    assert float(obs[2, 0]) == 0.0  # undone env just sits at 0 too (0 actions)
+    # step counters reset for done envs
+    assert int(state.t[0]) == 0 and int(state.t[2]) == 5
