@@ -1,0 +1,105 @@
+"""Command-line driver.
+
+Equivalent of the reference driver ``src/main.c:13-64``: build env + trainer,
+evaluate, train n_epochs with per-epoch metrics lines, save the model.  Where
+the reference hard-codes hyperparameters (src/main.c:20-44) and exposes one
+positional CLI arg (hidden width, src/main.c:21-23), every PPOConfig field is
+a flag here, plus preset selection and a benchmark mode.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from ppoc_tpu.config import PPOConfig, reference_preset, tpu_preset
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ppoc_tpu",
+        description="TPU-native PPO trainer (capabilities of cube1324/ppo.c)",
+    )
+    p.add_argument("--preset", choices=["reference", "tpu"], default="reference",
+                   help="base config: 'reference' = parity with src/main.c "
+                        "hyperparameters; 'tpu' = throughput-sized")
+    p.add_argument("--save", metavar="PATH", default=None,
+                   help="checkpoint path written after training "
+                        "(reference: ppo_model.bin, src/main.c:58)")
+    p.add_argument("--load", metavar="PATH", default=None,
+                   help="checkpoint to resume from before training")
+    p.add_argument("--eval-only", action="store_true",
+                   help="evaluate (optionally after --load) and exit")
+    p.add_argument("--stop-at-R", type=float, default=None,
+                   help="stop once mean undiscounted eval return reaches this")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="data-parallel mesh over N devices (0 = single device)")
+    p.add_argument("--jsonl", action="store_true",
+                   help="emit per-epoch metrics as JSON lines instead of text")
+    p.add_argument("--hidden", type=int, nargs="+", default=None, metavar="W",
+                   help="hidden layer widths (reference CLI arg, src/main.c:21-23)")
+
+    # every config field becomes a flag
+    for f in dataclasses.fields(PPOConfig):
+        if f.name == "hidden":
+            continue
+        arg = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=None, metavar="BOOL")
+        elif isinstance(f.default, int):
+            p.add_argument(arg, type=int, default=None)
+        elif isinstance(f.default, float):
+            p.add_argument(arg, type=float, default=None)
+        else:
+            p.add_argument(arg, type=str, default=None)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> PPOConfig:
+    cfg = reference_preset() if args.preset == "reference" else tpu_preset()
+    overrides = {}
+    for f in dataclasses.fields(PPOConfig):
+        if f.name == "hidden":
+            continue
+        v = getattr(args, f.name, None)
+        if v is not None:
+            overrides[f.name] = v
+    if args.hidden is not None:
+        overrides["hidden"] = tuple(args.hidden)
+    return cfg.replace(**overrides)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    from ppoc_tpu.algo.trainer import Trainer  # deferred: imports jax
+
+    mesh = None
+    if args.mesh:
+        from ppoc_tpu.parallel import make_mesh
+        mesh = make_mesh(args.mesh)
+
+    trainer = Trainer(cfg, mesh=mesh)
+    if args.load:
+        trainer.load(args.load)
+
+    if args.eval_only:
+        m = trainer.evaluate()
+        print(f"J: {m.J:f} R: {m.R:f} Episodes: {int(m.episodes)}")
+        return 0
+
+    history = trainer.train(log=not args.jsonl, stop_at_R=args.stop_at_R)
+    if args.jsonl:
+        for row in history:
+            print(json.dumps(row), flush=True)
+    if args.save:
+        trainer.save(args.save)
+        print(f"saved checkpoint to {args.save}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
