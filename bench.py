@@ -1,0 +1,143 @@
+"""Headline benchmark: wall-clock to solve Pendulum-v1 on one TPU chip.
+
+The reference solves Pendulum-v1 in ~5 s on an RTX 2080 (+CPU rollouts)
+(/root/reference/README.md:4, BASELINE.md).  This benchmark trains the same
+algorithm with the same hyperparameters (lr/Adam/gamma/lambda/clip, value and
+policy epoch counts, advantage normalization scope — src/main.c:33-43) on the
+TPU-native stack — vectorized on-device envs, one jitted fit program — and
+reports the wall-clock seconds from the start of (post-compile) training
+until stochastic-policy eval reaches mean undiscounted return R >= -200.
+
+Prints ONE JSON line:
+  {"metric": "pendulum_solve_seconds", "value": <s>, "unit": "s",
+   "vs_baseline": <baseline 5 s / value>}
+plus detail fields; progress goes to stderr.
+
+Usage: python bench.py [--seed N] [--max-epochs N] [--throughput]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+
+from ppoc_tpu.algo.trainer import Trainer
+from ppoc_tpu.config import PPOConfig
+
+BASELINE_SECONDS = 5.0       # reference wall-clock on RTX 2080 (README.md:4)
+SOLVE_R = -200.0             # BASELINE.json north star
+BENCH_SEED = 0
+
+
+def bench_config(seed: int) -> PPOConfig:
+    """Reference hyperparameters; data collection vectorized for the TPU.
+
+    64 lockstep envs x 200 steps per fit (12,800 transitions vs the
+    reference's 3,000) with minibatch 256 — identical optimizer, clipping,
+    normalization and epoch schedule, sized so each minibatch actually feeds
+    the MXU.
+    """
+    return PPOConfig(
+        env="pendulum",
+        seed=seed,
+        n_envs=64,
+        rollout_len=200,
+        minibatch_size=256,
+        fits_per_epoch=4,
+        eval_envs=64,
+        eval_len=200,
+        kernel_backend="jnp",
+    )
+
+
+def solve_benchmark(seed: int, max_epochs: int, log=lambda *a: None):
+    tr = Trainer(bench_config(seed))
+    key = jax.random.PRNGKey(seed + 1000)
+
+    # Warm the jit caches (compile excluded from the measurement, like the
+    # reference's ahead-of-time nvcc build).
+    t0 = time.perf_counter()
+    state_c, _ = tr._train_epoch(tr.state, key)
+    ev_c = tr._evaluate(state_c.policy_params, key)
+    jax.block_until_ready((state_c, ev_c))
+    compile_s = time.perf_counter() - t0
+    log(f"compile {compile_s:.1f}s")
+
+    epochs = 0
+    t0 = time.perf_counter()
+    R = None
+    while epochs < max_epochs:
+        for _ in range(2):  # 2 epochs per eval round-trip
+            k, tr.key = jax.random.split(tr.key)
+            tr.state, _ = tr._train_epoch(tr.state, k)
+            epochs += 1
+        ev = tr._evaluate(tr.state.policy_params, jax.random.fold_in(key, epochs))
+        R = float(jax.device_get(ev.R))
+        log(f"epoch {epochs}: R={R:.1f} ({time.perf_counter()-t0:.2f}s)")
+        if R >= SOLVE_R:
+            break
+    wall = time.perf_counter() - t0
+    solved = R is not None and R >= SOLVE_R
+    steps = epochs * tr.cfg.steps_per_epoch
+    return {
+        "solved": solved,
+        "wall_s": wall,
+        "epochs": epochs,
+        "final_R": R,
+        "compile_s": compile_s,
+        "env_steps": steps,
+        "env_steps_per_s": steps / wall if wall > 0 else 0.0,
+    }
+
+
+def throughput_benchmark(seed: int):
+    """Secondary metric: steady-state env-steps/s of the full train loop
+    (rollout + GAE + 10 value epochs + 4 policy epochs) at production sizes."""
+    from ppoc_tpu.config import tpu_preset
+
+    tr = Trainer(tpu_preset("pendulum", seed=seed))
+    key = jax.random.PRNGKey(seed)
+    s, m = tr._train_epoch(tr.state, key)
+    jax.block_until_ready(s)
+    n = 5
+    t0 = time.perf_counter()
+    for i in range(n):
+        s, m = tr._train_epoch(s, jax.random.fold_in(key, i))
+    jax.block_until_ready(s)
+    wall = time.perf_counter() - t0
+    return n * tr.cfg.steps_per_epoch / wall
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=BENCH_SEED)
+    ap.add_argument("--max-epochs", type=int, default=60)
+    ap.add_argument("--throughput", action="store_true",
+                    help="also measure steady-state env-steps/s (tpu preset)")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    log = (lambda *a: print(*a, file=sys.stderr, flush=True)) if args.verbose \
+        else (lambda *a: None)
+
+    detail = solve_benchmark(args.seed, args.max_epochs, log)
+    if args.throughput:
+        detail["train_env_steps_per_s"] = throughput_benchmark(args.seed)
+
+    value = detail["wall_s"]
+    out = {
+        "metric": "pendulum_solve_seconds",
+        "value": round(value, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / value, 2) if detail["solved"] and value > 0 else 0.0,
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in detail.items()},
+    }
+    print(json.dumps(out), flush=True)
+    return 0 if detail["solved"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -40,9 +40,10 @@ import jax
 import jax.numpy as jnp
 
 from ppoc_tpu.config import PPOConfig
+from ppoc_tpu.data import buffer
 from ppoc_tpu.envs.core import Env, vector_autoreset_step, vector_reset
 from ppoc_tpu.models import mlp, policy as policy_mod
-from ppoc_tpu.ops import adam, gae as gae_ops, losses
+from ppoc_tpu.ops import adam, gae as gae_ops, losses, welford
 
 
 class Transition(NamedTuple):
@@ -192,10 +193,11 @@ def compute_advantages(
         env.spec.gamma, cfg.lam,
     )
     if cfg.norm_adv_global:
-        # Welford-equivalent two-pass mean/var in f32; across data-parallel
-        # shards this is the one collective the data phase needs.
-        mean = _pmean(jnp.mean(adv), axis_name)
-        var = _pmean(jnp.mean(jnp.square(adv - mean)), axis_name)
+        # Streaming pairwise Welford (ops/welford.py), merged across
+        # data-parallel shards by exchanging only (n, mean, M2) triples —
+        # the one collective the data phase needs (reference: welford_var.h
+        # reduction at src/ppo.cu:299-316).
+        mean, var = welford.mean_var(adv, axis_name)
         adv = gae_ops.normalize(adv, mean, jnp.sqrt(var))
     return adv, target
 
@@ -204,19 +206,10 @@ def compute_advantages(
 # update phases
 # --------------------------------------------------------------------------
 
-def _epoch_scan(key, n_rows, n_mb, mb_size, mb_step, carry):
-    """One shuffled pass over the buffer: permute, split into minibatches,
-    scan ``mb_step`` over the gathered index blocks (shuffle_buffer +
-    get_batch, src/trajectory_buffer.cu:126-220)."""
-    perm = jax.random.permutation(key, n_rows)[: n_mb * mb_size]
-    idx = perm.reshape(n_mb, mb_size)
-    return jax.lax.scan(mb_step, carry, idx)
-
-
-def value_phase(cfg: PPOConfig, ts: TrainState, obs_flat, target_flat, key,
+def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
                 axis_name: Optional[str], backend: str, n_mb: int, mb_size: int):
     """n_epochs_value shuffled passes fitting V (src/ppo.cu:491-510)."""
-    n_rows = obs_flat.shape[0]
+    n_rows = buf.obs.shape[0]
 
     def loss_fn(v_params, o, t):
         v = mlp.apply(v_params, o, cfg.activation, backend)[..., 0]
@@ -224,9 +217,8 @@ def value_phase(cfg: PPOConfig, ts: TrainState, obs_flat, target_flat, key,
 
     def mb_step(carry, idx):
         v_params, opt_v = carry
-        o = jnp.take(obs_flat, idx, axis=0)
-        t = jnp.take(target_flat, idx, axis=0)
-        loss, grads = jax.value_and_grad(loss_fn)(v_params, o, t)
+        mb = buffer.gather((buf.obs, buf.target), idx)
+        loss, grads = jax.value_and_grad(loss_fn)(v_params, *mb)
         grads = _pmean(grads, axis_name)
         v_params, opt_v = adam.update(
             v_params, grads, opt_v, cfg.lr_v, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps
@@ -234,19 +226,19 @@ def value_phase(cfg: PPOConfig, ts: TrainState, obs_flat, target_flat, key,
         return (v_params, opt_v), loss
 
     def epoch(carry, key_e):
-        return _epoch_scan(key_e, n_rows, n_mb, mb_size, mb_step, carry)
+        return buffer.epoch_scan(key_e, n_rows, n_mb, mb_size, mb_step, carry)
 
     keys = jax.random.split(key, cfg.n_epochs_value)
     (v_params, opt_v), losses_ = jax.lax.scan(epoch, (ts.v_params, ts.opt_v), keys)
     return ts._replace(v_params=v_params, opt_v=opt_v), jnp.mean(losses_)
 
 
-def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, obs_flat, act_flat,
-                 logp_old_flat, adv_flat, key, axis_name: Optional[str],
+def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer,
+                 key, axis_name: Optional[str],
                  backend: str, n_mb: int, mb_size: int):
     """n_epochs_policy shuffled passes on the clipped surrogate
     (src/ppo.cu:512-533)."""
-    n_rows = obs_flat.shape[0]
+    n_rows = buf.obs.shape[0]
     discrete = env.spec.discrete
 
     def loss_fn(policy_params, o, a, lp_old, adv):
@@ -257,10 +249,9 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, obs_flat, act_flat,
 
     def mb_step(carry, idx):
         policy_params, opt_policy, opt_log_std = carry
-        o = jnp.take(obs_flat, idx, axis=0)
-        a = jnp.take(act_flat, idx, axis=0)
-        lp = jnp.take(logp_old_flat, idx, axis=0)
-        ad = jnp.take(adv_flat, idx, axis=0)
+        o, a, lp, ad = buffer.gather(
+            (buf.obs, buf.action, buf.log_prob, buf.advantage), idx
+        )
         (loss, ent), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             policy_params, o, a, lp, ad
         )
@@ -281,7 +272,7 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, obs_flat, act_flat,
         return (new_params, opt_policy, opt_log_std), (loss, ent)
 
     def epoch(carry, key_e):
-        return _epoch_scan(key_e, n_rows, n_mb, mb_size, mb_step, carry)
+        return buffer.epoch_scan(key_e, n_rows, n_mb, mb_size, mb_step, carry)
 
     keys = jax.random.split(key, cfg.n_epochs_policy)
     (policy_params, opt_policy, opt_log_std), (losses_, ents) = jax.lax.scan(
@@ -296,6 +287,45 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, obs_flat, act_flat,
 # --------------------------------------------------------------------------
 # fit step / train epoch
 # --------------------------------------------------------------------------
+
+def update_step(
+    cfg: PPOConfig,
+    env: Env,
+    ts: TrainState,
+    traj: Transition,
+    key: jax.Array,
+    axis_name: Optional[str] = None,
+    mb_size: Optional[int] = None,
+    backend: str = "jnp",
+) -> Tuple[TrainState, FitMetrics]:
+    """Learner half of a fit: GAE + advantage normalization + value/policy
+    epochs on an already-collected trajectory (the work of
+    _train_ppo_epoch_cuda after buffer_to_device, src/ppo.cu:485-533).
+
+    Used by :func:`fit_step` with on-device rollouts and by the Gymnasium
+    host bridge (ppoc_tpu.envs.gym_bridge) with host-collected ones —
+    ``env`` only contributes its spec (gamma, discrete).
+    """
+    mb_size = cfg.minibatch_size if mb_size is None else mb_size
+    n_mb = cfg.num_minibatches  # identical globally and per shard
+    k_val, k_pol = jax.random.split(key)
+
+    adv, target = compute_advantages(cfg, env, ts.v_params, traj, axis_name, backend)
+    buf = buffer.from_rollout(traj, adv, target)
+
+    ts, v_loss = value_phase(
+        cfg, ts, buf, k_val, axis_name, backend, n_mb, mb_size
+    )
+    ts, p_loss, ent = policy_phase(
+        cfg, env, ts, buf, k_pol, axis_name, backend, n_mb, mb_size,
+    )
+    mean_rew = _pmean(jnp.mean(traj.reward), axis_name)
+    # pmean the scalar diagnostics so they are replicated across shards
+    return ts, FitMetrics(
+        _pmean(v_loss, axis_name), _pmean(p_loss, axis_name),
+        _pmean(ent, axis_name), mean_rew,
+    )
+
 
 def fit_step(
     cfg: PPOConfig,
@@ -313,35 +343,10 @@ def fit_step(
     sizes when running under shard_map.
     """
     n_envs = cfg.n_envs if n_envs is None else n_envs
-    mb_size = cfg.minibatch_size if mb_size is None else mb_size
-    n_mb = cfg.num_minibatches  # identical globally and per shard
-
     key = _device_key(key, axis_name)
-    k_roll, k_val, k_pol = jax.random.split(key, 3)
-
+    k_roll, k_upd = jax.random.split(key)
     traj = rollout(cfg, env, ts.policy_params, k_roll, n_envs, cfg.rollout_len, backend, axis_name)
-    adv, target = compute_advantages(cfg, env, ts.v_params, traj, axis_name, backend)
-
-    n_rows = cfg.rollout_len * n_envs
-    obs_flat = traj.obs.reshape(n_rows, -1)
-    act_flat = traj.action.reshape(n_rows, traj.action.shape[-1])
-    logp_flat = traj.log_prob.reshape(n_rows)
-    adv_flat = adv.reshape(n_rows)
-    target_flat = target.reshape(n_rows)
-
-    ts, v_loss = value_phase(
-        cfg, ts, obs_flat, target_flat, k_val, axis_name, backend, n_mb, mb_size
-    )
-    ts, p_loss, ent = policy_phase(
-        cfg, env, ts, obs_flat, act_flat, logp_flat, adv_flat, k_pol,
-        axis_name, backend, n_mb, mb_size,
-    )
-    mean_rew = _pmean(jnp.mean(traj.reward), axis_name)
-    # pmean the scalar diagnostics so they are replicated across shards
-    return ts, FitMetrics(
-        _pmean(v_loss, axis_name), _pmean(p_loss, axis_name),
-        _pmean(ent, axis_name), mean_rew,
-    )
+    return update_step(cfg, env, ts, traj, k_upd, axis_name, mb_size, backend)
 
 
 def train_epoch(

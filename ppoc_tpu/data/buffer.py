@@ -1,0 +1,70 @@
+"""Device-resident trajectory buffer: SoA storage, shuffle, minibatch gather.
+
+TPU-native equivalent of the reference ``TrajectoryBuffer``
+(``src/trajectory_buffer.cu``, ``include/trajectory_buffer.h:15-79``).  The
+reference keeps nine parallel host+device arrays with live pointers swung
+between them (create, src/trajectory_buffer.cu:41-94; migration :227-273);
+here the buffer is an immutable pytree of ``[rows, ...]`` arrays that never
+leaves HBM — rollout, GAE and the update phases all consume it inside one
+jitted program, so buffer_to_device/host have no equivalent by design.
+
+Shuffling reproduces the reference's permutation-index scheme
+(shuffle_buffer, src/trajectory_buffer.cu:126-166): a fresh permutation per
+epoch, sliced into ``n_mb`` index blocks whose tail (< minibatch_size) is
+dropped (src/ppo.cu:475-477), gathered with ``jnp.take`` — the XLA twin of
+get_batch_kernel (src/trajectory_buffer.cu:168-185).
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RowBuffer(NamedTuple):
+    """Flattened per-transition training rows (the post-GAE buffer)."""
+    obs: jax.Array        # [N, obs_dim]
+    action: jax.Array     # [N, act_dim]
+    log_prob: jax.Array   # [N]
+    advantage: jax.Array  # [N]
+    target: jax.Array     # [N]  value targets V(s) + A
+
+
+def from_rollout(traj, advantage: jax.Array, target: jax.Array) -> RowBuffer:
+    """Flatten a [T, E, ...] rollout + GAE outputs into [T*E, ...] rows.
+
+    Equivalent of the reference's single flat ``capacity``-step stream (its
+    one env interleaves episodes into 3000 contiguous slots; with E lockstep
+    envs the same transitions live in a [T, E] grid).
+    """
+    n = traj.obs.shape[0] * traj.obs.shape[1]
+    return RowBuffer(
+        obs=traj.obs.reshape(n, -1),
+        action=traj.action.reshape(n, traj.action.shape[-1]),
+        log_prob=traj.log_prob.reshape(n),
+        advantage=advantage.reshape(n),
+        target=target.reshape(n),
+    )
+
+
+def permutation_minibatches(key: jax.Array, n_rows: int, n_mb: int, mb_size: int) -> jax.Array:
+    """A fresh shuffle sliced into [n_mb, mb_size] index blocks, tail dropped
+    (shuffle_buffer + minibatch loop, src/trajectory_buffer.cu:126-144,
+    src/ppo.cu:475-477)."""
+    perm = jax.random.permutation(key, n_rows)[: n_mb * mb_size]
+    return perm.reshape(n_mb, mb_size)
+
+
+def gather(buf: Any, idx: jax.Array) -> Any:
+    """Gather rows by index from any pytree of row-major arrays
+    (get_batch_kernel, src/trajectory_buffer.cu:168-185)."""
+    return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), buf)
+
+
+def epoch_scan(key: jax.Array, n_rows: int, n_mb: int, mb_size: int, mb_step, carry):
+    """One shuffled pass over the buffer: scan ``mb_step`` over the gathered
+    index blocks (the reference's per-epoch minibatch loop,
+    src/ppo.cu:491-533)."""
+    idx = permutation_minibatches(key, n_rows, n_mb, mb_size)
+    return jax.lax.scan(mb_step, carry, idx)

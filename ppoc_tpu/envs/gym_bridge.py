@@ -1,0 +1,232 @@
+"""Host-environment bridge: train on arbitrary Gymnasium envs.
+
+Capability-parity replacement for the reference's embedded-CPython bridge
+(``src/gym_env.c`` + ``scripts/gym_env.py``, components 14-15 in SURVEY.md):
+the reference embeds a Python interpreter inside its C binary to step ONE
+Gymnasium env per rollout step; here the framework *is* Python, so the bridge
+is the other way around — a vectorized Gymnasium actor on the host feeding
+the jitted TPU learner (``ppo.update_step``).
+
+This is the actor/learner split the reference has (CPU rollouts, GPU
+updates, src/ppo.cu:479-539) and the pure-JAX envs deliberately collapse;
+it exists so users can bring ANY Gymnasium env, not just the in-repo
+physics.  Per policy step there is exactly ONE device round trip (batched
+action sampling for all n_envs), vs the reference's per-step C->Python
+crossing for a single env (src/gym_env.c:61-93).
+
+Env ids follow the reference's registry (scripts/gym_env.py:11-17):
+id 0 = Pendulum-v1, id 1 = BipedalWalker-v3; any Gymnasium id string works.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppoc_tpu.algo import ppo
+from ppoc_tpu.config import PPOConfig
+from ppoc_tpu.envs.core import Env, EnvSpec
+from ppoc_tpu.models import policy as policy_mod
+
+# reference env-id table (scripts/gym_env.py:11-17)
+ENV_IDS = {0: "Pendulum-v1", 1: "BipedalWalker-v3"}
+
+
+def _gymnasium():
+    try:
+        import gymnasium
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "the Gymnasium bridge needs the 'gymnasium' package; the pure-JAX "
+            "envs (ppoc_tpu.envs.make) have no such dependency"
+        ) from e
+    return gymnasium
+
+
+class GymVecEnv:
+    """n_envs synchronous Gymnasium instances with per-env auto-reset.
+
+    Mirrors the reference rollout semantics (collect_trajectories,
+    src/ppo.cu:54-79): ``step`` returns the TRUE successor observation for
+    GAE bootstrapping plus the post-reset observation the policy acts on
+    next.
+    """
+
+    def __init__(self, env_id, n_envs: int, seed: int = 0):
+        gymnasium = _gymnasium()
+        if isinstance(env_id, int):
+            env_id = ENV_IDS[env_id]
+        self.name = env_id
+        self.n_envs = n_envs
+        self._seed = seed
+        self.envs = [gymnasium.make(env_id) for _ in range(n_envs)]
+        e0 = self.envs[0]
+        obs_space, act_space = e0.observation_space, e0.action_space
+        discrete = hasattr(act_space, "n")
+        horizon = e0.spec.max_episode_steps or 1000
+        self.spec = EnvSpec(
+            name=f"gym:{env_id}",
+            obs_dim=int(np.prod(obs_space.shape)),
+            action_dim=int(act_space.n) if discrete else int(np.prod(act_space.shape)),
+            horizon=int(horizon),
+            gamma=0.99,  # reference fixes gamma for gym envs (src/gym_env.c:102)
+            discrete=discrete,
+            action_low=float(getattr(act_space, "low", [-1.0])[0]) if not discrete else -1.0,
+            action_high=float(getattr(act_space, "high", [1.0])[0]) if not discrete else 1.0,
+        )
+        self._episode = 0
+
+    def reset(self) -> np.ndarray:
+        obs = np.stack([
+            e.reset(seed=self._seed + i + 1000 * self._episode)[0]
+            for i, e in enumerate(self.envs)
+        ]).astype(np.float32)
+        self._episode += 1
+        return obs.reshape(self.n_envs, -1)
+
+    def step(self, actions: np.ndarray):
+        n = self.n_envs
+        next_obs = np.zeros((n, self.spec.obs_dim), np.float32)
+        obs_after = np.zeros((n, self.spec.obs_dim), np.float32)
+        reward = np.zeros((n,), np.float32)
+        term = np.zeros((n,), bool)
+        trunc = np.zeros((n,), bool)
+        for i, e in enumerate(self.envs):
+            a = actions[i]
+            if self.spec.discrete:
+                a = int(a[0])
+            o, r, te, tr, _ = e.step(a)
+            o = np.asarray(o, np.float32).reshape(-1)
+            next_obs[i], reward[i], term[i], trunc[i] = o, r, te, tr
+            if te or tr:
+                self._episode += 1
+                o2, _ = e.reset(seed=self._seed + i + 1000 * self._episode)
+                obs_after[i] = np.asarray(o2, np.float32).reshape(-1)
+            else:
+                obs_after[i] = o
+        return obs_after, next_obs, reward, term, trunc
+
+    def close(self):
+        for e in self.envs:
+            e.close()
+
+
+def collect_host(
+    cfg: PPOConfig,
+    venv: GymVecEnv,
+    policy_params,
+    key: jax.Array,
+    length: int,
+    backend: str = "jnp",
+) -> ppo.Transition:
+    """Host rollout: device policy (one batched sample call per step), host
+    env stepping — the reference's collect_trajectories loop
+    (src/ppo.cu:54-79) with n_envs instances in lockstep.
+    """
+    sample = jax.jit(functools.partial(
+        policy_mod.sample,
+        activation=cfg.activation, backend=backend, discrete=venv.spec.discrete,
+    ))
+    obs = venv.reset()
+    rows = []
+    for t in range(length):
+        key, k = jax.random.split(key)
+        action, log_prob = jax.device_get(sample(policy_params, jnp.asarray(obs), k))
+        obs_after, next_obs, reward, term, trunc = venv.step(np.asarray(action))
+        rows.append((obs, action, np.asarray(log_prob), next_obs, reward, term, trunc))
+        obs = obs_after
+    stack = [np.stack(x) for x in zip(*rows)]
+    traj = ppo.Transition(*[jnp.asarray(x) for x in stack])
+    # force-truncate the window end (src/ppo.cu:70-74)
+    last_trunc = jnp.logical_or(traj.truncated[-1], jnp.logical_not(traj.terminated[-1]))
+    return traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
+
+
+class GymTrainer:
+    """Trainer over a host Gymnasium env: host actor + jitted device learner.
+
+    API-compatible subset of :class:`ppoc_tpu.algo.trainer.Trainer`
+    (train / evaluate / save / load).
+    """
+
+    def __init__(self, cfg: PPOConfig, env_id, backend: str = "jnp"):
+        self.cfg = cfg
+        self.venv = GymVecEnv(env_id, cfg.n_envs, seed=cfg.seed)
+        self.eval_venv = GymVecEnv(env_id, cfg.eval_envs, seed=cfg.seed + 7777)
+        # spec-only Env shell for the learner (reset/step never called)
+        self.env = Env(spec=self.venv.spec, reset=None, step=None)
+        self.backend = backend
+        self.key = jax.random.PRNGKey(cfg.seed)
+        k_init, self.key = jax.random.split(self.key)
+        self.state = ppo.init_train_state(cfg, self.env, k_init)
+        self._update = jax.jit(functools.partial(
+            ppo.update_step, cfg, self.env, backend=backend
+        ))
+
+    def train_fit(self):
+        k_roll, k_upd, self.key = jax.random.split(self.key, 3)
+        traj = collect_host(
+            self.cfg, self.venv, self.state.policy_params, k_roll,
+            self.cfg.rollout_len, self.backend,
+        )
+        self.state, metrics = self._update(self.state, traj, k_upd)
+        return metrics
+
+    def train_epoch(self):
+        for _ in range(self.cfg.fits_per_epoch):
+            metrics = self.train_fit()
+        return metrics
+
+    def evaluate(self) -> ppo.EvalMetrics:
+        from ppoc_tpu.ops import gae as gae_ops
+
+        k, self.key = jax.random.split(self.key)
+        traj = collect_host(
+            self.cfg, self.eval_venv, self.state.policy_params, k,
+            self.cfg.eval_len, self.backend,
+        )
+        done = jnp.logical_or(traj.terminated, traj.truncated)
+        j_t = gae_ops.discounted_episode_returns(traj.reward, done, self.env.spec.gamma)
+        r_t = gae_ops.discounted_episode_returns(traj.reward, done, 1.0)
+        starts = jnp.concatenate([jnp.ones_like(done[:1]), done[:-1]], axis=0)
+        starts_f = starts.astype(jnp.float32)
+        n_eps = jnp.sum(done.astype(jnp.float32))
+        m = ppo.EvalMetrics(
+            J=float(jnp.sum(j_t * starts_f) / n_eps),
+            R=float(jnp.sum(r_t * starts_f) / n_eps),
+            episodes=float(n_eps),
+        )
+        return m
+
+    def train(self, n_epochs: Optional[int] = None, log: bool = True,
+              stop_at_R: Optional[float] = None):
+        import time
+        n_epochs = self.cfg.n_epochs if n_epochs is None else n_epochs
+        history = []
+        for i in range(n_epochs):
+            tic = time.perf_counter()
+            fm = self.train_epoch()
+            fm = jax.tree.map(float, jax.device_get(fm))
+            ev = self.evaluate()
+            row = {"epoch": i, "entropy": fm.entropy,
+                   "time_s": time.perf_counter() - tic,
+                   "J": ev.J, "R": ev.R, "episodes": int(ev.episodes)}
+            history.append(row)
+            if log:
+                print(f"Epoch: {i} Entropy: {row['entropy']:f} "
+                      f"Time {row['time_s']:f}s J: {row['J']:f} R: {row['R']:f} "
+                      f"Episodes: {row['episodes']}", flush=True)
+            if stop_at_R is not None and ev.R >= stop_at_R:
+                break
+        return history
+
+    def save(self, path: str) -> None:
+        from ppoc_tpu.utils import checkpoint
+        checkpoint.save(path, self.cfg, self.env.spec, self.state)
+
+    def load(self, path: str) -> None:
+        from ppoc_tpu.utils import checkpoint
+        _, _, self.state = checkpoint.load(path, template=self.state)

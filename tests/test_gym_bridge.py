@@ -1,0 +1,82 @@
+"""Gymnasium host bridge: rollout semantics + learner integration.
+
+The bridge reproduces the reference's actor/learner split (CPU rollouts into
+the device update, src/ppo.cu:479-539).  Checks: window force-truncation,
+true-successor next_obs across auto-resets, log-prob consistency, and a
+short end-to-end GymTrainer run on Pendulum-v1 driving ppo.update_step.
+"""
+import numpy as np
+import pytest
+
+pytest.importorskip("gymnasium")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ppoc_tpu.algo import ppo  # noqa: E402
+from ppoc_tpu.config import PPOConfig  # noqa: E402
+from ppoc_tpu.envs.gym_bridge import GymTrainer, GymVecEnv, collect_host  # noqa: E402
+from ppoc_tpu.models import policy as policy_mod  # noqa: E402
+
+
+def _cfg(**kw):
+    base = dict(env="pendulum", n_envs=4, rollout_len=64, minibatch_size=32,
+                fits_per_epoch=1, n_epochs=1, eval_envs=4, eval_len=64,
+                hidden=(32, 32), kernel_backend="jnp", seed=0)
+    base.update(kw)
+    return PPOConfig(**base)
+
+
+def test_spec_from_gym():
+    venv = GymVecEnv("Pendulum-v1", 2)
+    assert venv.spec.obs_dim == 3
+    assert venv.spec.action_dim == 1
+    assert venv.spec.horizon == 200
+    assert not venv.spec.discrete
+    venv.close()
+
+
+def test_reference_env_id_table():
+    venv = GymVecEnv(0, 1)  # id 0 = Pendulum-v1 (scripts/gym_env.py:11-13)
+    assert venv.spec.name == "gym:Pendulum-v1"
+    venv.close()
+
+
+def test_collect_window_semantics():
+    cfg = _cfg()
+    venv = GymVecEnv("Pendulum-v1", cfg.n_envs, seed=0)
+    params = policy_mod.init(jax.random.PRNGKey(0), 3, 1, cfg.hidden, 1.0, False)
+    traj = collect_host(cfg, venv, params, jax.random.PRNGKey(1), cfg.rollout_len)
+    assert traj.obs.shape == (cfg.rollout_len, cfg.n_envs, 3)
+    # window end force-truncated (src/ppo.cu:70-74)
+    last_done = np.asarray(traj.terminated[-1] | traj.truncated[-1])
+    assert last_done.all()
+    # stored log-probs match recomputation under the same params
+    lp = policy_mod.log_prob(params, traj.obs, traj.action, "relu", "jnp", False)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(traj.log_prob),
+                               rtol=1e-4, atol=1e-4)
+    venv.close()
+
+
+def test_next_obs_is_true_successor():
+    """Where no reset happened, next_obs must equal the following obs."""
+    cfg = _cfg(rollout_len=32)
+    venv = GymVecEnv("Pendulum-v1", cfg.n_envs, seed=1)
+    params = policy_mod.init(jax.random.PRNGKey(0), 3, 1, cfg.hidden, 1.0, False)
+    traj = collect_host(cfg, venv, params, jax.random.PRNGKey(2), cfg.rollout_len)
+    done = np.asarray(traj.terminated | traj.truncated)
+    nxt = np.asarray(traj.next_obs)[:-1]
+    obs_next_step = np.asarray(traj.obs)[1:]
+    keep = ~done[:-1]
+    np.testing.assert_allclose(nxt[keep], obs_next_step[keep], rtol=1e-6)
+    venv.close()
+
+
+def test_gym_trainer_end_to_end():
+    cfg = _cfg()
+    tr = GymTrainer(cfg, "Pendulum-v1")
+    m0 = tr.evaluate()
+    hist = tr.train(n_epochs=1, log=False)
+    assert len(hist) == 1
+    assert np.isfinite(hist[0]["R"]) and np.isfinite(hist[0]["entropy"])
+    assert m0.episodes > 0
