@@ -1,0 +1,114 @@
+"""Data-parallel scaling-efficiency harness.
+
+BASELINE.json's north star includes ">= 80% env-steps/s scaling to N hosts".
+This harness measures env-steps/s of the full jitted train epoch at mesh
+sizes 1, 2, 4, ... and reports efficiency vs. linear scaling from 1 device.
+
+With one real TPU chip (this environment), run it on a virtual CPU mesh:
+
+    python bench_scaling.py --platform cpu --devices 8
+
+(the ambient axon TPU plugin overrides the JAX_PLATFORMS env var, so the
+platform must be forced through the config API before backend init —
+--platform does that)
+
+On a real pod slice, run it as-is (all local devices), or under
+``jax.distributed`` across hosts — the measured program is identical; the
+mesh just gets bigger (see ppoc_tpu/parallel/mesh.py).
+
+Prints one JSON line: {"metric": "dp_scaling_efficiency", ...}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+def measure(cfg, mesh, n_epochs: int = 5) -> float:
+    """Steady-state env-steps/s of the jitted train epoch on ``mesh``."""
+    import jax
+
+    from ppoc_tpu.algo.trainer import Trainer
+
+    tr = Trainer(cfg, mesh=mesh)
+    key = jax.random.PRNGKey(0)
+    s = tr.state
+    for i in range(2):  # warm: compile + transport sync
+        s, m = tr._train_epoch(s, jax.random.fold_in(key, i))
+        float(jax.device_get(m.value_loss))
+    t0 = time.perf_counter()
+    for i in range(n_epochs):
+        s, m = tr._train_epoch(s, jax.random.fold_in(key, 100 + i))
+    float(jax.device_get(m.value_loss))
+    return n_epochs * cfg.steps_per_epoch / (time.perf_counter() - t0)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=None,
+                    help="max mesh size (default: all available)")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force backend BEFORE init (cpu => virtual mesh)")
+    ap.add_argument("--env", default="pendulum")
+    ap.add_argument("--epochs", type=int, default=5)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.devices:
+            jax.config.update("jax_num_cpu_devices", args.devices)
+    if args.devices and len(jax.devices()) < args.devices:
+        raise SystemExit(
+            f"need {args.devices} devices, have {len(jax.devices())} "
+            f"on platform {jax.default_backend()} (try --platform cpu)"
+        )
+
+    from ppoc_tpu.config import PPOConfig
+    from ppoc_tpu.parallel import make_mesh
+
+    n_max = args.devices or len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_max]
+
+    # Weak scaling: per-device work fixed (the production regime — more
+    # devices run more envs), so ideal is constant time per epoch.
+    per_dev_envs, per_dev_mb = 256, 1024
+    results = {}
+    for n in sizes:
+        cfg = PPOConfig(
+            env=args.env, n_envs=per_dev_envs * n, rollout_len=200,
+            minibatch_size=per_dev_mb * n, fits_per_epoch=1,
+            eval_envs=8 * n, eval_len=200,
+        )
+        mesh = make_mesh(n) if n > 1 else None
+        sps = measure(cfg, mesh, args.epochs)
+        results[n] = sps
+        print(f"mesh={n}: {sps/1e3:.0f}k env-steps/s "
+              f"({sps / (results[1] * n) * 100:.0f}% of linear)",
+              file=sys.stderr, flush=True)
+
+    n_top = sizes[-1]
+    eff = results[n_top] / (results[1] * n_top)
+    out = {
+        "metric": "dp_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"fraction_of_linear_at_{n_top}dev",
+        "vs_baseline": round(eff / 0.80, 2),
+        "steps_per_s": {str(k): round(v) for k, v in results.items()},
+        "platform": jax.default_backend(),
+    }
+    if jax.default_backend() == "cpu":
+        out["note"] = (
+            "virtual CPU devices share physical cores: this validates the "
+            "sharded program, not interconnect scaling — efficiency is "
+            "expected to be far below the >=80% target that applies to "
+            "real multi-chip ICI meshes"
+        )
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -8,4 +8,14 @@ shard_map over a data-parallel mesh with psum collectives.
 from ppoc_tpu.config import PPOConfig, reference_preset, tpu_preset
 
 __version__ = "0.1.0"
-__all__ = ["PPOConfig", "reference_preset", "tpu_preset"]
+__all__ = ["PPOConfig", "reference_preset", "tpu_preset", "Trainer", "envs"]
+
+
+def __getattr__(name):  # lazy: keep `import ppoc_tpu` free of jax init
+    if name == "Trainer":
+        from ppoc_tpu.algo.trainer import Trainer
+        return Trainer
+    if name == "envs":
+        from ppoc_tpu import envs
+        return envs
+    raise AttributeError(f"module 'ppoc_tpu' has no attribute {name!r}")

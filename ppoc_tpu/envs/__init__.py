@@ -11,6 +11,8 @@ from . import pendulum as _pendulum  # noqa: F401  (registers "pendulum")
 from . import simple as _simple      # noqa: F401  (registers "simple")
 from . import cartpole as _cartpole  # noqa: F401  (registers "cartpole")
 from . import mountain_car as _mountain_car  # noqa: F401 (registers "mountain_car")
+from . import acrobot as _acrobot    # noqa: F401  (registers "acrobot")
+from . import reacher as _reacher    # noqa: F401  (registers "reacher")
 
 __all__ = [
     "Env",

@@ -154,3 +154,67 @@ def test_vector_autoreset():
     assert float(obs[2, 0]) == 0.0  # undone env just sits at 0 too (0 actions)
     # step counters reset for done envs
     assert int(state.t[0]) == 0 and int(state.t[2]) == 5
+
+
+def test_acrobot_matches_gymnasium():
+    """RK4 book dynamics vs gymnasium AcrobotEnv, identical states+actions."""
+    env = envs.make("acrobot")
+    from ppoc_tpu.envs.acrobot import AcrobotState
+
+    genv = gymnasium.make("Acrobot-v1").unwrapped
+    genv.reset(seed=0)
+
+    def set_state(i):
+        v = np.random.RandomState(i).uniform(-0.1, 0.1, 4)
+        genv.state = v.astype(np.float64)
+        return AcrobotState(jnp.asarray(v, jnp.float32), jnp.int32(0))
+
+    state = set_state(0)
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(3)
+    for i in range(200):
+        a = int(rng.randint(3))
+        gobs, grew, gterm, gtrunc, _ = genv.step(a)
+        state, obs, rew, term, trunc = step(state, jnp.asarray([a], jnp.int32), key)
+        np.testing.assert_allclose(np.asarray(obs), gobs, atol=2e-3,
+                                   err_msg=f"obs step {i}")
+        assert float(rew) == grew
+        assert bool(term) == bool(gterm), f"terminated mismatch at step {i}"
+        if gterm or (i + 1) % 25 == 0:
+            genv.reset(seed=i)
+            state = set_state(i + 1)
+
+
+def test_reacher_basic():
+    """Reacher sanity: shapes, reward improves when moving toward target,
+    horizon truncation."""
+    env = envs.make("reacher")
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+    assert obs.shape == (env.spec.obs_dim,)
+    step = jax.jit(env.step)
+    last = None
+    for i in range(env.spec.horizon):
+        state, obs, rew, term, trunc = step(state, jnp.zeros((2,)), key)
+        last = (rew, term, trunc)
+    rew, term, trunc = last
+    assert bool(trunc) and not bool(term)
+    # reward is -(distance + ctrl cost): bounded by the arm geometry
+    assert -2.1 <= float(rew) <= 0.0
+
+
+def test_reacher_learns_smoke():
+    """A short PPO run improves mean reward (dense shaped task)."""
+    from ppoc_tpu.algo.trainer import Trainer
+    from ppoc_tpu.config import PPOConfig
+
+    cfg = PPOConfig(env="reacher", n_envs=32, rollout_len=150,
+                    minibatch_size=256, fits_per_epoch=2, n_epochs=3,
+                    eval_envs=32, eval_len=150, hidden=(64, 64),
+                    kernel_backend="jnp", seed=0)
+    tr = Trainer(cfg)
+    before = tr.evaluate()
+    tr.train(log=False)
+    after = tr.evaluate()
+    assert after.R > before.R + 5.0  # clearly improving
