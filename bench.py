@@ -54,51 +54,41 @@ def bench_config(seed: int) -> PPOConfig:
 
 
 def solve_benchmark(seed: int, max_epochs: int, log=lambda *a: None):
+    """Train-until-solved as ONE device program (ppo.train_until): the whole
+    run — N epochs of rollout+GAE+updates with a stochastic eval after each —
+    costs a single host dispatch, so the measurement is compute, not
+    transport round trips."""
+    from ppoc_tpu.algo import ppo as ppo_mod
+
     tr = Trainer(bench_config(seed))
     key = jax.random.PRNGKey(seed + 1000)
+    init_state = tr.state
 
-    # Warm the jit caches AND the device path (compile excluded from the
+    # Warm the jit cache AND the device path (compile excluded from the
     # measurement, like the reference's ahead-of-time nvcc build).  The
-    # remote-TPU transport can stall for minutes on the first few dispatches
-    # of a fresh process; warm with discarded loop-body executions until two
-    # consecutive iterations are fast, then measure real training from the
-    # untouched initial state.
+    # remote-TPU transport can stall for minutes on the first dispatches of a
+    # fresh process, and block_until_ready is not a reliable barrier there —
+    # warm with discarded, device_get-synced solves until one is fast.
     t0 = time.perf_counter()
-    scratch = tr.state
-    fast = 0
-    for i in range(12):
+    for i in range(6):
         t1 = time.perf_counter()
-        scratch, _ = tr._train_epoch(scratch, jax.random.fold_in(key, i))
-        ev_c = tr._evaluate(scratch.policy_params, jax.random.fold_in(key, 100 + i))
-        # device_get, not block_until_ready: the latter can return before
-        # execution completes on the remote-TPU transport, which would leave
-        # queued work (and the transport's one-time first-sync cost) to be
-        # paid inside the measured region.
-        float(jax.device_get(ev_c.R))
+        tr.state = init_state
+        r = tr.solve(target_R=SOLVE_R, max_epochs=max_epochs)
         dt = time.perf_counter() - t1
-        log(f"warmup {i}: {dt:.2f}s")
-        fast = fast + 1 if dt < 2.0 else 0
-        if fast >= 2:
+        log(f"warmup solve {i}: {dt:.2f}s {r}")
+        if dt < 2.0:
             break
-    del scratch
     compile_s = time.perf_counter() - t0
     log(f"warmup+compile total {compile_s:.1f}s")
 
-    epochs = 0
+    # Measured run: fresh initial state, one dispatch, one fetch.
+    tr.state = init_state
     t0 = time.perf_counter()
-    R = None
-    while epochs < max_epochs:
-        for _ in range(2):  # 2 epochs per eval round-trip
-            k, tr.key = jax.random.split(tr.key)
-            tr.state, _ = tr._train_epoch(tr.state, k)
-            epochs += 1
-        ev = tr._evaluate(tr.state.policy_params, jax.random.fold_in(key, epochs))
-        R = float(jax.device_get(ev.R))
-        log(f"epoch {epochs}: R={R:.1f} ({time.perf_counter()-t0:.2f}s)")
-        if R >= SOLVE_R:
-            break
+    res = tr.solve(target_R=SOLVE_R, max_epochs=max_epochs)
     wall = time.perf_counter() - t0
-    solved = R is not None and R >= SOLVE_R
+    epochs, R = res["epochs"], res["R"]
+    log(f"measured solve: {epochs} epochs, R={R:.1f}, {wall:.3f}s")
+    solved = R >= SOLVE_R
     steps = epochs * tr.cfg.steps_per_epoch
     return {
         "solved": solved,
@@ -118,13 +108,15 @@ def throughput_benchmark(seed: int):
 
     tr = Trainer(tpu_preset("pendulum", seed=seed))
     key = jax.random.PRNGKey(seed)
-    s, m = tr._train_epoch(tr.state, key)
-    jax.block_until_ready(s)
+    s = tr.state
+    for i in range(3):  # compile + transport warmup, device_get-synced
+        s, m = tr._train_epoch(s, jax.random.fold_in(key, 100 + i))
+        float(jax.device_get(m.value_loss))
     n = 5
     t0 = time.perf_counter()
     for i in range(n):
         s, m = tr._train_epoch(s, jax.random.fold_in(key, i))
-    jax.block_until_ready(s)
+    float(jax.device_get(m.value_loss))  # real barrier (not block_until_ready)
     wall = time.perf_counter() - t0
     return n * tr.cfg.steps_per_epoch / wall
 

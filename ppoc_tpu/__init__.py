@@ -16,6 +16,6 @@ def __getattr__(name):  # lazy: keep `import ppoc_tpu` free of jax init
         from ppoc_tpu.algo.trainer import Trainer
         return Trainer
     if name == "envs":
-        from ppoc_tpu import envs
-        return envs
+        import importlib
+        return importlib.import_module("ppoc_tpu.envs")
     raise AttributeError(f"module 'ppoc_tpu' has no attribute {name!r}")

@@ -369,6 +369,45 @@ def train_epoch(
     return ts, jax.tree.map(jnp.mean, metrics)
 
 
+def train_until(
+    cfg: PPOConfig,
+    env: Env,
+    ts: TrainState,
+    key: jax.Array,
+    target_R: float,
+    max_epochs: int,
+    axis_name: Optional[str] = None,
+    n_envs: Optional[int] = None,
+    mb_size: Optional[int] = None,
+    backend: str = "jnp",
+    eval_envs: Optional[int] = None,
+) -> Tuple[TrainState, jax.Array, jax.Array]:
+    """Train until stochastic-eval mean return reaches ``target_R`` — as ONE
+    device program (`lax.while_loop` over train-epoch + eval), so the whole
+    run costs a single host dispatch.
+
+    The reference's equivalent loop lives on the host (src/main.c:50-56,
+    one train + eval round trip per epoch); on TPU those round trips
+    dominate sub-second solves, so the loop compiles onto the device.
+    Returns (state, epochs_run, final_R).
+    """
+    def cond(carry):
+        _, _, n, R = carry
+        return jnp.logical_and(R < target_R, n < max_epochs)
+
+    def body(carry):
+        ts, key, n, _ = carry
+        key, k_train, k_eval = jax.random.split(key, 3)
+        ts, _ = train_epoch(cfg, env, ts, k_train, axis_name, n_envs, mb_size, backend)
+        ev = evaluate(cfg, env, ts.policy_params, k_eval, backend, eval_envs, axis_name)
+        return ts, key, n + 1, ev.R
+
+    ts, _, n, R = jax.lax.while_loop(
+        cond, body, (ts, key, jnp.zeros((), jnp.int32), jnp.float32(-jnp.inf))
+    )
+    return ts, n, R
+
+
 # --------------------------------------------------------------------------
 # evaluation
 # --------------------------------------------------------------------------

@@ -80,6 +80,8 @@ class Trainer:
 
         k_init, self.key = jax.random.split(self.key)
         self.state = ppo.init_train_state(cfg, self.env, k_init)
+        self._solve_fn = None
+        self._solve_args = None
 
     # -- public API ---------------------------------------------------------
 
@@ -136,6 +138,39 @@ class Trainer:
             if stop_at_R is not None and ev.R >= stop_at_R:
                 break
         return history
+
+    def solve(self, target_R: float, max_epochs: int = 100) -> Dict[str, Any]:
+        """Train until eval R >= target_R as ONE device program (see
+        ppo.train_until); returns {"epochs": n, "R": R}.  Compiles on first
+        use; subsequent calls with the same config reuse the executable."""
+        if self._solve_fn is not None and self._solve_args != (target_R, max_epochs):
+            self._solve_fn = None
+        self._solve_args = (target_R, max_epochs)
+        if self._solve_fn is None:
+            if self.mesh is not None:
+                n_dev = self.mesh.size
+                local = functools.partial(
+                    ppo.train_until, self.cfg, self.env,
+                    target_R=target_R, max_epochs=max_epochs,
+                    axis_name=self.cfg.mesh_axis,
+                    n_envs=self.cfg.n_envs // n_dev,
+                    mb_size=self.cfg.minibatch_size // n_dev,
+                    backend=self.backend,
+                    eval_envs=self.cfg.eval_envs // n_dev,
+                )
+                self._solve_fn = jax.jit(_shard_map(
+                    local, self.mesh, in_specs=(P(), P()), out_specs=(P(), P(), P())
+                ))
+            else:
+                self._solve_fn = jax.jit(functools.partial(
+                    ppo.train_until, self.cfg, self.env,
+                    target_R=target_R, max_epochs=max_epochs,
+                    backend=self.backend,
+                ))
+        k, self.key = jax.random.split(self.key)
+        self.state, n, R = self._solve_fn(self.state, k)
+        n, R = jax.device_get((n, R))
+        return {"epochs": int(n), "R": float(R)}
 
     def save(self, path: str) -> None:
         from ppoc_tpu.utils import checkpoint

@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="evaluate (optionally after --load) and exit")
     p.add_argument("--stop-at-R", type=float, default=None,
                    help="stop once mean undiscounted eval return reaches this")
+    p.add_argument("--solve-R", type=float, default=None,
+                   help="train-until-R as ONE device program (ppo.train_until) "
+                        "instead of the host epoch loop; prints epochs used")
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="data-parallel mesh over N devices (0 = single device)")
     p.add_argument("--jsonl", action="store_true",
@@ -89,6 +92,14 @@ def main(argv=None) -> int:
     if args.eval_only:
         m = trainer.evaluate()
         print(f"J: {m.J:f} R: {m.R:f} Episodes: {int(m.episodes)}")
+        return 0
+
+    if args.solve_R is not None:
+        res = trainer.solve(target_R=args.solve_R, max_epochs=cfg.n_epochs)
+        print(f"solved={res['R'] >= args.solve_R} epochs={res['epochs']} "
+              f"R={res['R']:f}")
+        if args.save:
+            trainer.save(args.save)
         return 0
 
     history = trainer.train(log=not args.jsonl, stop_at_R=args.stop_at_R)

@@ -89,69 +89,105 @@ def _unflat_adam(m: np.ndarray, v: np.ndarray, t: int, params):
 
 
 def save(path: str, cfg, spec, state) -> None:
-    """Serialize cfg hyperparams + env dims + TrainState to ``path``."""
-    state = jax.device_get(state)
+    """Serialize cfg hyperparams + env dims + TrainState to ``path``.
+
+    When the C++ host runtime is available the payload is written through
+    its checksummed blob container (CRC32 verified on load; the reference's
+    raw fwrite dump, src/ppo.cu:585-607, had no integrity check); otherwise
+    a plain file with identical payload bytes.
+    """
+    import io
+
+    buf = io.BytesIO()
+    _save_stream(buf, cfg, spec, state)
+    data = buf.getvalue()
+    try:
+        from ppoc_tpu import native
+        if native.available():
+            native.write_blob(path, data)
+            return
+    except Exception:
+        pass
     with open(path, "wb") as f:
-        f.write(MAGIC)
-        _w(f, "i", VERSION)
-        # hyperparams, reference field order (src/ppo.cu:588-592)
-        _w(f, "fffff", cfg.lam, cfg.clip_eps, cfg.ent_coeff, cfg.lr_policy, cfg.lr_v)
-        # dims (src/ppo.cu:594-596); "capacity" = steps per fit
-        _w(f, "iii", spec.obs_dim, spec.action_dim, cfg.steps_per_fit)
-        _w(f, "i", 1 if spec.discrete else 0)
-        # policy: log_std then mean net (save_policy, src/policy.cu:201-205)
-        log_std = np.asarray(state.policy_params.get("log_std", np.zeros(0, np.float32)))
-        _write_arr(f, log_std)
-        _write_mlp(f, state.policy_params["mlp"])
-        # value net
-        _write_mlp(f, state.v_params)
-        # three Adam states (save order: policy, V, log_std; src/ppo.cu:602-604)
-        for st, ps in (
-            (state.opt_policy, state.policy_params["mlp"]),
-            (state.opt_v, state.v_params),
-            (state.opt_log_std, state.policy_params.get("log_std", np.zeros(0))),
-        ):
-            m, v, t = _flat_adam(st, ps)
-            _w(f, "ii", m.size, t)
-            _write_arr(f, m)
-            _write_arr(f, v)
+        f.write(data)
+
+
+def _save_stream(f, cfg, spec, state) -> None:
+    state = jax.device_get(state)
+    f.write(MAGIC)
+    _w(f, "i", VERSION)
+    # hyperparams, reference field order (src/ppo.cu:588-592)
+    _w(f, "fffff", cfg.lam, cfg.clip_eps, cfg.ent_coeff, cfg.lr_policy, cfg.lr_v)
+    # dims (src/ppo.cu:594-596); "capacity" = steps per fit
+    _w(f, "iii", spec.obs_dim, spec.action_dim, cfg.steps_per_fit)
+    _w(f, "i", 1 if spec.discrete else 0)
+    # policy: log_std then mean net (save_policy, src/policy.cu:201-205)
+    log_std = np.asarray(state.policy_params.get("log_std", np.zeros(0, np.float32)))
+    _write_arr(f, log_std)
+    _write_mlp(f, state.policy_params["mlp"])
+    # value net
+    _write_mlp(f, state.v_params)
+    # three Adam states (save order: policy, V, log_std; src/ppo.cu:602-604)
+    for st, ps in (
+        (state.opt_policy, state.policy_params["mlp"]),
+        (state.opt_v, state.v_params),
+        (state.opt_log_std, state.policy_params.get("log_std", np.zeros(0))),
+    ):
+        m, v, t = _flat_adam(st, ps)
+        _w(f, "ii", m.size, t)
+        _write_arr(f, m)
+        _write_arr(f, v)
 
 
 def load(path: str, template=None):
-    """Load a checkpoint.  Returns (hyperparams dict, dims dict, TrainState)."""
+    """Load a checkpoint.  Returns (hyperparams dict, dims dict, TrainState).
+
+    Accepts both containers: the CRC-checked native blob (detected by its
+    length header) and the plain file (starts directly with the magic)."""
+    import io
+
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+    if head == MAGIC:
+        with open(path, "rb") as fh:
+            return _load_stream(fh, template)
+    from ppoc_tpu import native
+    return _load_stream(io.BytesIO(native.read_blob(path)), template)
+
+
+def _load_stream(f, template=None):
     from ppoc_tpu.algo.ppo import TrainState
 
-    with open(path, "rb") as f:
-        magic = f.read(4)
-        if magic != MAGIC:
-            raise ValueError(f"not a ppoc_tpu checkpoint: bad magic {magic!r}")
-        version = _r(f, "i")
-        if version != VERSION:
-            raise ValueError(f"unsupported checkpoint version {version}")
-        lam, clip_eps, ent_coeff, lr_policy, lr_v = _r(f, "fffff")
-        obs_dim, action_dim, capacity = _r(f, "iii")
-        discrete = bool(_r(f, "i"))
-        log_std = _read_arr(f)
-        mu_layers = [(jnp.asarray(w), jnp.asarray(b)) for w, b in _read_mlp(f)]
-        v_layers = [(jnp.asarray(w), jnp.asarray(b)) for w, b in _read_mlp(f)]
-        policy_params: Dict[str, Any] = {"mlp": mu_layers}
-        if not discrete:
-            policy_params["log_std"] = jnp.asarray(log_std)
-        adams = []
-        for ps in (mu_layers, v_layers, policy_params.get("log_std", jnp.zeros(0))):
-            _, t = _r(f, "ii")
-            m = _read_arr(f)
-            v = _read_arr(f)
-            adams.append(_unflat_adam(m, v, t, ps))
-        state = TrainState(
-            policy_params=policy_params,
-            v_params=v_layers,
-            opt_policy=adams[0],
-            opt_v=adams[1],
-            opt_log_std=adams[2],
-        )
-        hp = dict(lam=lam, clip_eps=clip_eps, ent_coeff=ent_coeff,
-                  lr_policy=lr_policy, lr_v=lr_v)
-        dims = dict(obs_dim=obs_dim, action_dim=action_dim, capacity=capacity,
-                    discrete=discrete)
-        return hp, dims, state
+    magic = f.read(4)
+    if magic != MAGIC:
+        raise ValueError(f"not a ppoc_tpu checkpoint: bad magic {magic!r}")
+    version = _r(f, "i")
+    if version != VERSION:
+        raise ValueError(f"unsupported checkpoint version {version}")
+    lam, clip_eps, ent_coeff, lr_policy, lr_v = _r(f, "fffff")
+    obs_dim, action_dim, capacity = _r(f, "iii")
+    discrete = bool(_r(f, "i"))
+    log_std = _read_arr(f)
+    mu_layers = [(jnp.asarray(w), jnp.asarray(b)) for w, b in _read_mlp(f)]
+    v_layers = [(jnp.asarray(w), jnp.asarray(b)) for w, b in _read_mlp(f)]
+    policy_params: Dict[str, Any] = {"mlp": mu_layers}
+    if not discrete:
+        policy_params["log_std"] = jnp.asarray(log_std)
+    adams = []
+    for ps in (mu_layers, v_layers, policy_params.get("log_std", jnp.zeros(0))):
+        _, t = _r(f, "ii")
+        m = _read_arr(f)
+        v = _read_arr(f)
+        adams.append(_unflat_adam(m, v, t, ps))
+    state = TrainState(
+        policy_params=policy_params,
+        v_params=v_layers,
+        opt_policy=adams[0],
+        opt_v=adams[1],
+        opt_log_std=adams[2],
+    )
+    hp = dict(lam=lam, clip_eps=clip_eps, ent_coeff=ent_coeff,
+              lr_policy=lr_policy, lr_v=lr_v)
+    dims = dict(obs_dim=obs_dim, action_dim=action_dim, capacity=capacity,
+                discrete=discrete)
+    return hp, dims, state

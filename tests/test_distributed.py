@@ -1,0 +1,61 @@
+"""Multi-process data parallelism via jax.distributed (localhost, CPU).
+
+The reference has NO distributed communication backend (SURVEY.md §2a); this
+is the from-scratch equivalent of an MPI/NCCL launch: two OS processes, each
+owning 4 virtual CPU devices, bootstrap through jax.distributed into one
+8-device 'dp' mesh and run a sharded fit_step whose gradient pmean and
+Welford merge cross the process boundary.  Both processes must report the
+same (replicated) value loss.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_dist_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_dp_fit():
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX_")}
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, coord, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 and "UNIMPLEMENTED" in out:
+            pytest.skip("jax.distributed unsupported on this CPU build")
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-2000:]}"
+
+    losses = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        losses.append(float(line.split("value_loss=")[1]))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6), \
+        "replicated metrics diverged across processes"
