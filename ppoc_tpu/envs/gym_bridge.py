@@ -114,119 +114,24 @@ class GymVecEnv:
             e.close()
 
 
-def collect_host(
-    cfg: PPOConfig,
-    venv: GymVecEnv,
-    policy_params,
-    key: jax.Array,
-    length: int,
-    backend: str = "jnp",
-) -> ppo.Transition:
-    """Host rollout: device policy (one batched sample call per step), host
-    env stepping — the reference's collect_trajectories loop
-    (src/ppo.cu:54-79) with n_envs instances in lockstep.
-    """
-    sample = jax.jit(functools.partial(
-        policy_mod.sample,
-        activation=cfg.activation, backend=backend, discrete=venv.spec.discrete,
-    ))
-    obs = venv.reset()
-    rows = []
-    for t in range(length):
-        key, k = jax.random.split(key)
-        action, log_prob = jax.device_get(sample(policy_params, jnp.asarray(obs), k))
-        obs_after, next_obs, reward, term, trunc = venv.step(np.asarray(action))
-        rows.append((obs, action, np.asarray(log_prob), next_obs, reward, term, trunc))
-        obs = obs_after
-    stack = [np.stack(x) for x in zip(*rows)]
-    traj = ppo.Transition(*[jnp.asarray(x) for x in stack])
-    # force-truncate the window end (src/ppo.cu:70-74)
-    last_trunc = jnp.logical_or(traj.truncated[-1], jnp.logical_not(traj.terminated[-1]))
-    return traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
+def collect_host(cfg, venv, policy_params, key, length, backend="jnp"):
+    """Host rollout against a Gymnasium venv — delegates to the generic
+    host-protocol collector (ppoc_tpu.envs.host.collect_host)."""
+    from ppoc_tpu.envs.host import collect_host as _collect
+    return _collect(cfg, venv, policy_params, key, length, backend)
 
 
 class GymTrainer:
     """Trainer over a host Gymnasium env: host actor + jitted device learner.
 
-    API-compatible subset of :class:`ppoc_tpu.algo.trainer.Trainer`
-    (train / evaluate / save / load).
+    Thin construction wrapper around :class:`ppoc_tpu.envs.host.HostTrainer`
+    with GymVecEnv actors (train/eval), preserving the reference env-id
+    table (scripts/gym_env.py:11-17).
     """
 
-    def __init__(self, cfg: PPOConfig, env_id, backend: str = "jnp"):
-        self.cfg = cfg
-        self.venv = GymVecEnv(env_id, cfg.n_envs, seed=cfg.seed)
-        self.eval_venv = GymVecEnv(env_id, cfg.eval_envs, seed=cfg.seed + 7777)
-        # spec-only Env shell for the learner (reset/step never called)
-        self.env = Env(spec=self.venv.spec, reset=None, step=None)
-        self.backend = backend
-        self.key = jax.random.PRNGKey(cfg.seed)
-        k_init, self.key = jax.random.split(self.key)
-        self.state = ppo.init_train_state(cfg, self.env, k_init)
-        self._update = jax.jit(functools.partial(
-            ppo.update_step, cfg, self.env, backend=backend
-        ))
+    def __new__(cls, cfg: PPOConfig, env_id, backend: str = "jnp"):
+        from ppoc_tpu.envs.host import HostTrainer
 
-    def train_fit(self):
-        k_roll, k_upd, self.key = jax.random.split(self.key, 3)
-        traj = collect_host(
-            self.cfg, self.venv, self.state.policy_params, k_roll,
-            self.cfg.rollout_len, self.backend,
-        )
-        self.state, metrics = self._update(self.state, traj, k_upd)
-        return metrics
-
-    def train_epoch(self):
-        for _ in range(self.cfg.fits_per_epoch):
-            metrics = self.train_fit()
-        return metrics
-
-    def evaluate(self) -> ppo.EvalMetrics:
-        from ppoc_tpu.ops import gae as gae_ops
-
-        k, self.key = jax.random.split(self.key)
-        traj = collect_host(
-            self.cfg, self.eval_venv, self.state.policy_params, k,
-            self.cfg.eval_len, self.backend,
-        )
-        done = jnp.logical_or(traj.terminated, traj.truncated)
-        j_t = gae_ops.discounted_episode_returns(traj.reward, done, self.env.spec.gamma)
-        r_t = gae_ops.discounted_episode_returns(traj.reward, done, 1.0)
-        starts = jnp.concatenate([jnp.ones_like(done[:1]), done[:-1]], axis=0)
-        starts_f = starts.astype(jnp.float32)
-        n_eps = jnp.sum(done.astype(jnp.float32))
-        m = ppo.EvalMetrics(
-            J=float(jnp.sum(j_t * starts_f) / n_eps),
-            R=float(jnp.sum(r_t * starts_f) / n_eps),
-            episodes=float(n_eps),
-        )
-        return m
-
-    def train(self, n_epochs: Optional[int] = None, log: bool = True,
-              stop_at_R: Optional[float] = None):
-        import time
-        n_epochs = self.cfg.n_epochs if n_epochs is None else n_epochs
-        history = []
-        for i in range(n_epochs):
-            tic = time.perf_counter()
-            fm = self.train_epoch()
-            fm = jax.tree.map(float, jax.device_get(fm))
-            ev = self.evaluate()
-            row = {"epoch": i, "entropy": fm.entropy,
-                   "time_s": time.perf_counter() - tic,
-                   "J": ev.J, "R": ev.R, "episodes": int(ev.episodes)}
-            history.append(row)
-            if log:
-                print(f"Epoch: {i} Entropy: {row['entropy']:f} "
-                      f"Time {row['time_s']:f}s J: {row['J']:f} R: {row['R']:f} "
-                      f"Episodes: {row['episodes']}", flush=True)
-            if stop_at_R is not None and ev.R >= stop_at_R:
-                break
-        return history
-
-    def save(self, path: str) -> None:
-        from ppoc_tpu.utils import checkpoint
-        checkpoint.save(path, self.cfg, self.env.spec, self.state)
-
-    def load(self, path: str) -> None:
-        from ppoc_tpu.utils import checkpoint
-        _, _, self.state = checkpoint.load(path, template=self.state)
+        venv = GymVecEnv(env_id, cfg.n_envs, seed=cfg.seed)
+        eval_venv = GymVecEnv(env_id, cfg.eval_envs, seed=cfg.seed + 7777)
+        return HostTrainer(cfg, venv, eval_venv, backend=backend)

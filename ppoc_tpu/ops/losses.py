@@ -6,7 +6,8 @@ Equivalents of the reference's fused loss kernels:
     ``policy_loss_kernel`` src/ppo.cu:109-143 CUDA).  The reference computes
     the gradient by hand so that it flows only through the unclipped branch;
     autodiff of ``-mean(min(r*A, clip(r)*A))`` yields the identical gradient
-    (the clipped branch is constant in r), verified in tests/test_losses.py.
+    (the clipped branch is constant in r), verified in tests/test_ops.py
+    (test_clipped_surrogate_value_and_grad_match_reference).
   * value MSE — ``mean_squared_error(_derivative)`` (src/loss.cu:5-23).
   * entropy bonus — closed-form diagonal-Gaussian entropy added as
     ``-ent_coeff * H`` (src/ppo.cu:103-104); its gradient reaches only

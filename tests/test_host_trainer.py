@@ -1,0 +1,77 @@
+"""HostTrainer over the C++ native engine, and the BipedalWalker bridge.
+
+The native path is the reference's architecture exactly — native-code CPU
+envs (src/env.c) driving a device learner — here with the C++ engine's
+vectorized instances and the jitted update. BipedalWalker-v3 is the
+reference's env id 1 (scripts/gym_env.py:15-16).
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from ppoc_tpu import native
+from ppoc_tpu.config import PPOConfig
+from ppoc_tpu.envs.host import HostTrainer, NativeHostVecEnv, collect_host
+from ppoc_tpu.models import policy as policy_mod
+
+
+def _cfg(**kw):
+    base = dict(env="simple", n_envs=16, rollout_len=15, minibatch_size=32,
+                fits_per_epoch=2, n_epochs=3, eval_envs=32, eval_len=15,
+                hidden=(32, 32), kernel_backend="jnp", seed=0)
+    base.update(kw)
+    return PPOConfig(**base)
+
+
+@pytest.mark.skipif(not native.available(), reason="native library unavailable")
+def test_native_host_autoreset_semantics():
+    venv = NativeHostVecEnv("simple", 4, seed=0)
+    obs = venv.reset()
+    assert obs.shape == (4, 1)
+    # drive two instances to termination (+1 x5), two stay put
+    for _ in range(5):
+        a = np.array([[1.0], [1.0], [0.0], [0.0]], np.float32)
+        obs_after, next_obs, rew, term, trunc = venv.step(a)
+    assert term[0] and term[1] and not term[2]
+    assert next_obs[0, 0] == 5.0          # true successor kept for GAE
+    assert obs_after[0, 0] == 0.0         # auto-reset obs for the policy
+    assert venv._nat.steps[0] == 0 and venv._nat.steps[2] == 5
+
+
+@pytest.mark.skipif(not native.available(), reason="native library unavailable")
+def test_native_host_trainer_learns():
+    """The reference architecture (native CPU envs + device learner) solves
+    the toy integrator."""
+    cfg = _cfg()
+    tr = HostTrainer(cfg, NativeHostVecEnv("simple", cfg.n_envs, seed=0),
+                     NativeHostVecEnv("simple", cfg.eval_envs, seed=99))
+    hist = tr.train(log=False)
+    assert hist[-1]["R"] > 0.4, hist
+
+
+@pytest.mark.skipif(not native.available(), reason="native library unavailable")
+def test_native_host_collect_force_truncates():
+    cfg = _cfg()
+    venv = NativeHostVecEnv("pendulum", 4, seed=1)
+    params = policy_mod.init(jax.random.PRNGKey(0), 3, 1, (16, 16), 1.0, False)
+    traj = collect_host(cfg, venv, params, jax.random.PRNGKey(1), 32)
+    last_done = np.asarray(traj.terminated[-1] | traj.truncated[-1])
+    assert last_done.all()
+
+
+def test_bipedalwalker_bridge_smoke():
+    """Reference env id 1 (scripts/gym_env.py:15-16) runs end-to-end."""
+    gymnasium = pytest.importorskip("gymnasium")
+    try:
+        gymnasium.make("BipedalWalker-v3").close()
+    except Exception:
+        pytest.skip("BipedalWalker-v3 unavailable (box2d not installed)")
+    from ppoc_tpu.envs.gym_bridge import GymTrainer
+
+    cfg = _cfg(n_envs=2, rollout_len=32, minibatch_size=16,
+               fits_per_epoch=1, eval_envs=2, eval_len=32)
+    tr = GymTrainer(cfg, 1)  # id 1 = BipedalWalker-v3
+    assert tr.env.spec.obs_dim == 24 and tr.env.spec.action_dim == 4
+    m = tr.train_fit()
+    assert np.isfinite(float(jax.device_get(m.value_loss)))
