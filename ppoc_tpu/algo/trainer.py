@@ -44,6 +44,15 @@ class Trainer:
         self.backend = resolve_backend(cfg.kernel_backend)
         self.key = jax.random.PRNGKey(cfg.seed)
 
+        k_init, self.key = jax.random.split(self.key)
+        full_state = ppo.init_train_state(cfg, self.env, k_init)
+
+        if cfg.tp_size > 1:
+            self._init_tp(full_state, mesh)
+            self._solve_fn = None
+            self._solve_args = None
+            return
+
         n_dev = 1 if mesh is None else mesh.size
         if n_dev > 1:
             if cfg.n_envs % n_dev or cfg.minibatch_size % n_dev or cfg.eval_envs % n_dev:
@@ -78,10 +87,154 @@ class Trainer:
                 functools.partial(ppo.evaluate, cfg, self.env, backend=self.backend)
             )
 
-        k_init, self.key = jax.random.split(self.key)
-        self.state = ppo.init_train_state(cfg, self.env, k_init)
+        self.state = full_state
         self._solve_fn = None
         self._solve_args = None
+
+    # -- tensor-parallel mode (2-D dp x tp mesh) ----------------------------
+
+    def _init_tp(self, full_state: ppo.TrainState, mesh: Optional[Mesh]):
+        """Build the (dp, tp) mesh, pack the state into tp shards, and wrap
+        train/eval in shard_map with per-leaf PartitionSpecs.
+
+        Inside the mesh, rollouts and minibatches shard over 'dp' exactly as
+        in pure data parallelism; every MLP forward/backward runs tensor-
+        parallel over 'tp' (parallel/tp.py) — activations are replicated
+        within a tp group, weights are not.
+        """
+        import numpy as np
+
+        from ppoc_tpu.parallel import tp as tp_mod
+
+        cfg = self.cfg
+        tp_size = cfg.tp_size
+        if mesh is None:
+            devices = jax.devices()
+            if len(devices) % tp_size:
+                raise ValueError(f"{len(devices)} devices not divisible by tp_size {tp_size}")
+            dp_size = len(devices) // tp_size
+            mesh = Mesh(np.asarray(devices).reshape(dp_size, tp_size),
+                        (cfg.mesh_axis, "tp"))
+        else:
+            if mesh.axis_names != (cfg.mesh_axis, "tp"):
+                raise ValueError(f"tp mode needs a ({cfg.mesh_axis!r}, 'tp') mesh, got {mesh.axis_names}")
+            dp_size = mesh.shape[cfg.mesh_axis]
+        self.mesh = mesh
+        if cfg.n_envs % dp_size or cfg.minibatch_size % dp_size or cfg.eval_envs % dp_size:
+            raise ValueError("n_envs, minibatch_size, eval_envs must divide dp size")
+
+        tp_backend = "tp:tp"
+
+        def pack_list(lst):
+            return tp_mod.pack_mlp(lst, tp_size)[0]
+
+        def spec_list(lst):
+            return tp_mod.pack_mlp(lst, tp_size)[1]
+
+        def pack_state(ts: ppo.TrainState):
+            pol = dict(ts.policy_params)
+            pol["mlp"] = pack_list(ts.policy_params["mlp"])
+            return ppo.TrainState(
+                policy_params=pol,
+                v_params=pack_list(ts.v_params),
+                opt_policy=ts.opt_policy._replace(
+                    m=pack_list(ts.opt_policy.m), v=pack_list(ts.opt_policy.v)),
+                opt_v=ts.opt_v._replace(
+                    m=pack_list(ts.opt_v.m), v=pack_list(ts.opt_v.v)),
+                opt_log_std=ts.opt_log_std,
+            )
+
+        mlp_specs = spec_list(full_state.policy_params["mlp"])
+        v_specs = spec_list(full_state.v_params)
+        pol_spec = dict({k: P() for k in full_state.policy_params})
+        pol_spec["mlp"] = mlp_specs
+        self._state_spec = ppo.TrainState(
+            policy_params=pol_spec,
+            v_params=v_specs,
+            opt_policy=full_state.opt_policy._replace(
+                m=mlp_specs, v=mlp_specs, t=P()),
+            opt_v=full_state.opt_v._replace(m=v_specs, v=v_specs, t=P()),
+            opt_log_std=jax.tree.map(lambda _: P(), full_state.opt_log_std),
+        )
+
+        def unpack_local(ts: ppo.TrainState) -> ppo.TrainState:
+            pol = dict(ts.policy_params)
+            pol["mlp"] = tp_mod.unpack_mlp_local(ts.policy_params["mlp"])
+            return ppo.TrainState(
+                policy_params=pol,
+                v_params=tp_mod.unpack_mlp_local(ts.v_params),
+                opt_policy=ts.opt_policy._replace(
+                    m=tp_mod.unpack_mlp_local(ts.opt_policy.m),
+                    v=tp_mod.unpack_mlp_local(ts.opt_policy.v)),
+                opt_v=ts.opt_v._replace(
+                    m=tp_mod.unpack_mlp_local(ts.opt_v.m),
+                    v=tp_mod.unpack_mlp_local(ts.opt_v.v)),
+                opt_log_std=ts.opt_log_std,
+            )
+
+        def repack_local(ts: ppo.TrainState) -> ppo.TrainState:
+            pol = dict(ts.policy_params)
+            pol["mlp"] = tp_mod.repack_mlp_local(ts.policy_params["mlp"])
+            return ppo.TrainState(
+                policy_params=pol,
+                v_params=tp_mod.repack_mlp_local(ts.v_params),
+                opt_policy=ts.opt_policy._replace(
+                    m=tp_mod.repack_mlp_local(ts.opt_policy.m),
+                    v=tp_mod.repack_mlp_local(ts.opt_policy.v)),
+                opt_v=ts.opt_v._replace(
+                    m=tp_mod.repack_mlp_local(ts.opt_v.m),
+                    v=tp_mod.repack_mlp_local(ts.opt_v.v)),
+                opt_log_std=ts.opt_log_std,
+            )
+
+        self._tp_unshard = lambda packed: ppo.TrainState(
+            policy_params={
+                **packed.policy_params,
+                "mlp": tp_mod.unshard_packed(packed.policy_params["mlp"]),
+            },
+            v_params=tp_mod.unshard_packed(packed.v_params),
+            opt_policy=packed.opt_policy._replace(
+                m=tp_mod.unshard_packed(packed.opt_policy.m),
+                v=tp_mod.unshard_packed(packed.opt_policy.v)),
+            opt_v=packed.opt_v._replace(
+                m=tp_mod.unshard_packed(packed.opt_v.m),
+                v=tp_mod.unshard_packed(packed.opt_v.v)),
+            opt_log_std=packed.opt_log_std,
+        )
+        self._tp_pack = pack_state
+
+        def epoch_local(ts_packed, key):
+            ts2, metrics = ppo.train_epoch(
+                cfg, self.env, unpack_local(ts_packed), key,
+                axis_name=cfg.mesh_axis,
+                n_envs=cfg.n_envs // dp_size,
+                mb_size=cfg.minibatch_size // dp_size,
+                backend=tp_backend,
+            )
+            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "tp"), metrics)
+            return repack_local(ts2), metrics
+
+        def eval_local(pol_packed, key):
+            pol = dict(pol_packed)
+            pol["mlp"] = tp_mod.unpack_mlp_local(pol_packed["mlp"])
+            m = ppo.evaluate(
+                cfg, self.env, pol, key, backend=tp_backend,
+                n_envs=cfg.eval_envs // dp_size, axis_name=cfg.mesh_axis,
+            )
+            return jax.tree.map(lambda v: jax.lax.pmean(v, "tp"), m)
+
+        self._train_epoch = jax.jit(_shard_map(
+            epoch_local, mesh,
+            in_specs=(self._state_spec, P()),
+            out_specs=(self._state_spec, P()),
+        ))
+        self._evaluate = jax.jit(_shard_map(
+            eval_local, mesh,
+            in_specs=(self._state_spec.policy_params, P()),
+            out_specs=P(),
+        ))
+        self.backend = tp_backend
+        self.state = pack_state(full_state)
 
     # -- public API ---------------------------------------------------------
 
@@ -147,6 +300,11 @@ class Trainer:
             self._solve_fn = None
         self._solve_args = (target_R, max_epochs)
         if self._solve_fn is None:
+            if self.cfg.tp_size > 1:
+                raise NotImplementedError(
+                    "solve() under tensor parallelism is not wired yet; use "
+                    "train(stop_at_R=...) with tp_size > 1"
+                )
             if self.mesh is not None:
                 n_dev = self.mesh.size
                 local = functools.partial(
@@ -175,9 +333,13 @@ class Trainer:
     def save(self, path: str) -> None:
         from ppoc_tpu.utils import checkpoint
 
-        checkpoint.save(path, self.cfg, self.env.spec, self.state)
+        state = self.state
+        if self.cfg.tp_size > 1:
+            state = self._tp_unshard(jax.device_get(state))
+        checkpoint.save(path, self.cfg, self.env.spec, state)
 
     def load(self, path: str) -> None:
         from ppoc_tpu.utils import checkpoint
 
-        _, _, self.state = checkpoint.load(path, template=self.state)
+        _, _, state = checkpoint.load(path, template=self.state)
+        self.state = self._tp_pack(state) if self.cfg.tp_size > 1 else state

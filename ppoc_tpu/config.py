@@ -54,6 +54,9 @@ class PPOConfig:
     # --- TPU execution ----------------------------------------------------
     kernel_backend: str = "auto"  # "pallas" | "jnp" | "auto" (pallas on TPU)
     mesh_axis: str = "dp"         # data-parallel mesh axis name
+    tp_size: int = 1              # tensor-parallel degree: shard the MLPs'
+                                  # hidden dim over a second mesh axis "tp"
+                                  # (parallel/tp.py); 1 = pure data parallel
     norm_adv_global: bool = True  # normalize advantages over the whole buffer
                                   # (reference: src/ppo.cu:355-368)
     reset_per_fit: bool = True    # reference resets env at every collection

@@ -55,11 +55,20 @@ def init(key: jax.Array, sizes: Sequence[int]) -> Params:
 
 
 def apply(params: Params, x: jax.Array, activation: str = "relu", backend: str = "jnp") -> jax.Array:
-    """Forward pass on a batch ``x`` of shape [..., fan_in]."""
+    """Forward pass on a batch ``x`` of shape [..., fan_in].
+
+    Backends: "jnp" (XLA-fused), "pallas" (fused TPU kernels,
+    ops/pallas_mlp.py), or "tp:<axis>" (tensor-parallel forward on tp-local
+    param shards inside shard_map, parallel/tp.py).
+    """
     if backend == "pallas":
         from ppoc_tpu.ops import pallas_mlp
 
         return pallas_mlp.mlp_forward(params, x, activation)
+    if backend.startswith("tp:"):
+        from ppoc_tpu.parallel import tp
+
+        return tp.apply_tp(params, x, activation, backend[3:])
     act = _ACTIVATIONS[activation]
     h = x
     for i, (w, b) in enumerate(params):

@@ -89,6 +89,69 @@ def unshard_params(shards: List[Params]) -> Params:
     return out
 
 
+def pack_mlp(params: Params, tp_size: int, axis_name: str = "tp"):
+    """(packed pytree, PartitionSpec pytree) for placing an MLP on a tp axis.
+
+    Sharded leaves (all weights; the column layer's bias) are stacked along a
+    new leading tp dim with spec P(axis_name); row-layer biases stay
+    replicated with spec P().  ``unpack_mlp_local`` inverts this inside
+    shard_map.  Gradients/Adam moments follow the identical layout: row-bias
+    gradients are tp-invariant because the bias adds to an already-psum'd
+    activation (tests/test_tp.py).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    shards = shard_params_all(params, tp_size)
+    n = len(params)
+    packed, specs = [], []
+    for i in range(n):
+        w = jnp.stack([s[i][0] for s in shards])
+        if i == 0 and n > 1:
+            b = jnp.stack([s[i][1] for s in shards])
+            packed.append((w, b))
+            specs.append((P(axis_name), P(axis_name)))
+        elif n == 1:
+            packed.append((w, jnp.stack([s[i][1] for s in shards])))
+            specs.append((P(axis_name), P(axis_name)))
+        else:
+            packed.append((w, shards[0][i][1]))
+            specs.append((P(axis_name), P()))
+    return packed, specs
+
+
+def unpack_mlp_local(packed: Params) -> Params:
+    """Strip the leading tp dim inside shard_map (local shard view)."""
+    n = len(packed)
+    return [
+        (w[0], b[0] if (i == 0 or n == 1) else b)
+        for i, (w, b) in enumerate(packed)
+    ]
+
+
+def repack_mlp_local(params: Params) -> Params:
+    """Re-add the leading tp dim to local leaves (inverse of unpack)."""
+    n = len(params)
+    return [
+        (w[None], b[None] if (i == 0 or n == 1) else b)
+        for i, (w, b) in enumerate(params)
+    ]
+
+
+def unshard_packed(packed: Params) -> Params:
+    """Host-side: packed [tp, ...] leaves -> the full replicated pytree
+    (checkpointing)."""
+    n = len(packed)
+    tp_size = packed[0][0].shape[0]
+    shards = [
+        [
+            (w[r], b[r] if (i == 0 or n == 1) else b)
+            for i, (w, b) in enumerate(packed)
+        ]
+        for r in range(tp_size)
+    ]
+    return unshard_params(shards)
+
+
 def apply_tp(
     params: Params,
     x: jax.Array,

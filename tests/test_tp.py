@@ -121,3 +121,28 @@ def test_tp1_degrades_to_plain():
     out = tp.apply_tp(params, x, "relu", None)
     ref = mlp.apply(params, x, "relu", "jnp")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_tp_training_matches_dp_training():
+    """Full TP training (dp=4, tp=2) must track pure-DP training (dp=4) —
+    same RNG streams, same algorithm, weights only sharded differently."""
+    from ppoc_tpu import PPOConfig, Trainer
+    from ppoc_tpu.parallel import make_mesh
+
+    cfg = dict(env="simple", n_envs=16, rollout_len=15, minibatch_size=32,
+               fits_per_epoch=2, n_epochs=2, eval_envs=32, eval_len=15,
+               kernel_backend="jnp", hidden=(16, 16), seed=3)
+    tr_tp = Trainer(PPOConfig(**cfg, tp_size=2))
+    tr_dp = Trainer(PPOConfig(**cfg), mesh=make_mesh(4))
+
+    h_tp = tr_tp.train(log=False)
+    h_dp = tr_dp.train(log=False)
+    # same data, same updates: eval returns agree to f32 reduction noise
+    assert abs(h_tp[-1]["R"] - h_dp[-1]["R"]) < 0.15, (h_tp[-1], h_dp[-1])
+
+    from ppoc_tpu.parallel import tp as tp_mod
+    w_tp = tp_mod.unshard_packed(jax.device_get(tr_tp.state.v_params))
+    w_dp = jax.device_get(tr_dp.state.v_params)
+    for (a, ab), (b, bb) in zip(w_tp, w_dp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ab), np.asarray(bb), rtol=1e-3, atol=1e-4)
