@@ -253,11 +253,17 @@ class Trainer:
         n_epochs: Optional[int] = None,
         log: bool = True,
         stop_at_R: Optional[float] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 1,
     ) -> List[Dict[str, Any]]:
         """Full training run; returns per-epoch metric dicts.
 
         ``stop_at_R`` stops early once the mean undiscounted eval return
         reaches the threshold (used by the solve-time benchmark).
+        ``checkpoint_path`` enables a mid-training checkpoint every
+        ``checkpoint_every`` epochs (full state incl. Adam m/v/t, so a crash
+        resumes exactly — the reference only saves at the very end,
+        src/main.c:58).
         """
         n_epochs = self.cfg.n_epochs if n_epochs is None else n_epochs
         history: List[Dict[str, Any]] = []
@@ -288,6 +294,8 @@ class Trainer:
                     f"J: {row['J']:f} R: {row['R']:f} Episodes: {row['episodes']}",
                     flush=True,
                 )
+            if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
+                self.save(checkpoint_path)
             if stop_at_R is not None and ev.R >= stop_at_R:
                 break
         return history

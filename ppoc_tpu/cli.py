@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="evaluate (optionally after --load) and exit")
     p.add_argument("--stop-at-R", type=float, default=None,
                    help="stop once mean undiscounted eval return reaches this")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="with --save: also checkpoint every N epochs during "
+                        "training (crash-resumable; reference saves only at "
+                        "the end)")
     p.add_argument("--solve-R", type=float, default=None,
                    help="train-until-R as ONE device program (ppo.train_until) "
                         "instead of the host epoch loop; prints epochs used")
@@ -102,7 +106,11 @@ def main(argv=None) -> int:
             trainer.save(args.save)
         return 0
 
-    history = trainer.train(log=not args.jsonl, stop_at_R=args.stop_at_R)
+    ckpt_kw = {}
+    if args.save and args.checkpoint_every > 0:
+        ckpt_kw = dict(checkpoint_path=args.save,
+                       checkpoint_every=args.checkpoint_every)
+    history = trainer.train(log=not args.jsonl, stop_at_R=args.stop_at_R, **ckpt_kw)
     if args.jsonl:
         for row in history:
             print(json.dumps(row), flush=True)

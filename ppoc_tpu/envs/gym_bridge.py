@@ -19,17 +19,10 @@ id 0 = Pendulum-v1, id 1 = BipedalWalker-v3; any Gymnasium id string works.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from ppoc_tpu.algo import ppo
 from ppoc_tpu.config import PPOConfig
-from ppoc_tpu.envs.core import Env, EnvSpec
-from ppoc_tpu.models import policy as policy_mod
+from ppoc_tpu.envs.core import EnvSpec
 
 # reference env-id table (scripts/gym_env.py:11-17)
 ENV_IDS = {0: "Pendulum-v1", 1: "BipedalWalker-v3"}
