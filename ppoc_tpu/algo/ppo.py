@@ -139,15 +139,22 @@ def rollout(
     length: int,
     backend: str,
     axis_name: Optional[str] = None,
-) -> Transition:
-    """Collect [length, n_envs] transitions with fresh resets at entry.
+    env_carry=None,
+) -> Tuple[Transition, Any]:
+    """Collect [length, n_envs] transitions; returns (traj, final env carry).
 
     Equivalent of collect_trajectories (src/ppo.cu:54-79) with the actor on
     device: the scan body fuses policy forward, sampling, env physics and
-    auto-reset into one compiled step.
+    auto-reset into one compiled step.  With ``env_carry=None`` envs are
+    freshly reset at entry (the reference's behavior, src/ppo.cu:55);
+    passing the previous rollout's carry continues the same episodes
+    (cfg.reset_per_fit=False).
     """
     k_reset, k_scan = jax.random.split(key)
-    env_state, obs = _pvary(vector_reset(env, k_reset, n_envs), axis_name)
+    if env_carry is None:
+        env_state, obs = _pvary(vector_reset(env, k_reset, n_envs), axis_name)
+    else:
+        env_state, obs = env_carry
 
     def step_fn(carry, key_t):
         env_state, obs = carry
@@ -162,12 +169,14 @@ def rollout(
         return (env_state2, obs2), tr
 
     keys = jax.random.split(k_scan, length)
-    _, traj = jax.lax.scan(step_fn, (env_state, obs), keys)
+    final_carry, traj = jax.lax.scan(step_fn, (env_state, obs), keys)
 
-    # Force-truncate the window end (src/ppo.cu:70-74).
+    # Force-truncate the window end (src/ppo.cu:70-74) so GAE never
+    # bootstraps across it.  NOTE this marks only the stored transition;
+    # the carried env state continues the episode when reset_per_fit=False.
     last_trunc = jnp.logical_or(traj.truncated[-1], jnp.logical_not(traj.terminated[-1]))
     traj = traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
-    return traj
+    return traj, final_carry
 
 
 # --------------------------------------------------------------------------
@@ -336,17 +345,24 @@ def fit_step(
     n_envs: Optional[int] = None,
     mb_size: Optional[int] = None,
     backend: str = "jnp",
-) -> Tuple[TrainState, FitMetrics]:
+    env_carry=None,
+    return_env_carry: bool = False,
+):
     """One fit: collect steps_per_fit transitions, GAE, value+policy epochs.
 
     ``n_envs`` / ``mb_size`` override the config with per-device (local)
-    sizes when running under shard_map.
+    sizes when running under shard_map.  ``env_carry``/``return_env_carry``
+    thread persistent env state across fits (cfg.reset_per_fit=False).
     """
     n_envs = cfg.n_envs if n_envs is None else n_envs
     key = _device_key(key, axis_name)
     k_roll, k_upd = jax.random.split(key)
-    traj = rollout(cfg, env, ts.policy_params, k_roll, n_envs, cfg.rollout_len, backend, axis_name)
-    return update_step(cfg, env, ts, traj, k_upd, axis_name, mb_size, backend)
+    traj, env_carry = rollout(
+        cfg, env, ts.policy_params, k_roll, n_envs, cfg.rollout_len, backend,
+        axis_name, env_carry,
+    )
+    ts, metrics = update_step(cfg, env, ts, traj, k_upd, axis_name, mb_size, backend)
+    return (ts, env_carry, metrics) if return_env_carry else (ts, metrics)
 
 
 def train_epoch(
@@ -359,13 +375,37 @@ def train_epoch(
     mb_size: Optional[int] = None,
     backend: str = "jnp",
 ) -> Tuple[TrainState, FitMetrics]:
-    """fits_per_epoch sequential fits as one scan (src/ppo.cu:479 loop)."""
+    """fits_per_epoch sequential fits as one scan (src/ppo.cu:479 loop).
 
-    def one_fit(ts, key_f):
-        return fit_step(cfg, env, ts, key_f, axis_name, n_envs, mb_size, backend)
+    With cfg.reset_per_fit=False (no reference counterpart — the reference
+    always resets, src/ppo.cu:55), envs reset once at epoch entry and then
+    persist across fits: episodes continue where the previous rollout window
+    left them, so long-horizon envs are not forever stuck in their opening
+    phase.
+    """
+    if cfg.reset_per_fit:
+        def one_fit(ts, key_f):
+            return fit_step(cfg, env, ts, key_f, axis_name, n_envs, mb_size, backend)
+
+        keys = jax.random.split(key, cfg.fits_per_epoch)
+        ts, metrics = jax.lax.scan(one_fit, ts, keys)
+        return ts, jax.tree.map(jnp.mean, metrics)
+
+    k_reset, key = jax.random.split(key)
+    local_envs = cfg.n_envs if n_envs is None else n_envs
+    k_reset = _device_key(k_reset, axis_name)
+    env_carry = _pvary(vector_reset(env, k_reset, local_envs), axis_name)
+
+    def one_fit(carry, key_f):
+        ts, env_carry = carry
+        ts, env_carry, metrics = fit_step(
+            cfg, env, ts, key_f, axis_name, n_envs, mb_size, backend,
+            env_carry=env_carry, return_env_carry=True,
+        )
+        return (ts, env_carry), metrics
 
     keys = jax.random.split(key, cfg.fits_per_epoch)
-    ts, metrics = jax.lax.scan(one_fit, ts, keys)
+    (ts, _), metrics = jax.lax.scan(one_fit, (ts, env_carry), keys)
     return ts, jax.tree.map(jnp.mean, metrics)
 
 
@@ -437,7 +477,7 @@ def evaluate(
     """
     n_envs = cfg.eval_envs if n_envs is None else n_envs
     key = _device_key(key, axis_name)
-    traj = rollout(cfg, env, policy_params, key, n_envs, cfg.eval_len, backend, axis_name)
+    traj, _ = rollout(cfg, env, policy_params, key, n_envs, cfg.eval_len, backend, axis_name)
     done = jnp.logical_or(traj.terminated, traj.truncated)
     j_t = gae_ops.discounted_episode_returns(traj.reward, done, env.spec.gamma)
     r_t = gae_ops.discounted_episode_returns(traj.reward, done, 1.0)

@@ -30,7 +30,7 @@ def test_rollout_force_truncates_window_end():
     env = envs.make("simple")
     key = jax.random.PRNGKey(0)
     ts = ppo.init_train_state(cfg, env, key)
-    traj = ppo.rollout(cfg, env, ts.policy_params, key, 8, 7, "jnp")
+    traj, _ = ppo.rollout(cfg, env, ts.policy_params, key, 8, 7, "jnp")
     last_done = np.asarray(traj.terminated[-1] | traj.truncated[-1])
     assert last_done.all()
 
@@ -40,7 +40,7 @@ def test_rollout_shapes_and_logprob_consistency():
     env = envs.make("pendulum")
     key = jax.random.PRNGKey(0)
     ts = ppo.init_train_state(cfg, env, key)
-    traj = ppo.rollout(cfg, env, ts.policy_params, key, 4, 10, "jnp")
+    traj, _ = ppo.rollout(cfg, env, ts.policy_params, key, 4, 10, "jnp")
     assert traj.obs.shape == (10, 4, 3)
     assert traj.action.shape == (10, 4, 1)
     # stored log-probs match recomputation from stored (obs, action)
@@ -119,7 +119,40 @@ def test_advantage_normalization_whole_buffer():
     env = envs.make("pendulum")
     key = jax.random.PRNGKey(0)
     ts = ppo.init_train_state(cfg, env, key)
-    traj = ppo.rollout(cfg, env, ts.policy_params, key, 8, 50, "jnp")
+    traj, _ = ppo.rollout(cfg, env, ts.policy_params, key, 8, 50, "jnp")
     adv, target = ppo.compute_advantages(cfg, env, ts.v_params, traj, None, "jnp")
     assert abs(float(adv.mean())) < 1e-5
     np.testing.assert_allclose(float(adv.std()), 1.0, atol=1e-3)
+
+
+def test_reset_per_fit_false_persists_env_state():
+    """With reset_per_fit=False, episodes continue across fits within an
+    epoch: on a long-horizon env with short windows, later windows must
+    reach env step-counts beyond one window length (impossible with
+    per-fit resets)."""
+    from ppoc_tpu import envs as envs_mod
+    from ppoc_tpu.config import PPOConfig
+
+    cfg = PPOConfig(env="pendulum", n_envs=4, rollout_len=25, minibatch_size=20,
+                    fits_per_epoch=3, n_epochs_value=1, n_epochs_policy=1,
+                    hidden=(16, 16), reset_per_fit=False)
+    env = envs_mod.make(cfg.env)
+    ts = ppo.init_train_state(cfg, env, jax.random.PRNGKey(0))
+
+    # thread the carry manually through two fits and inspect the step counter
+    key = jax.random.PRNGKey(1)
+    carry = envs_mod.vector_reset(env, key, cfg.n_envs)
+    ts, carry, _ = ppo.fit_step(cfg, env, ts, jax.random.fold_in(key, 0),
+                                env_carry=carry, return_env_carry=True)
+    state_after_1, _ = carry
+    assert int(jnp.max(state_after_1.t)) == 25  # pendulum never terminates
+    ts, carry, _ = ppo.fit_step(cfg, env, ts, jax.random.fold_in(key, 1),
+                                env_carry=carry, return_env_carry=True)
+    state_after_2, _ = carry
+    assert int(jnp.max(state_after_2.t)) == 50  # continued, not reset
+
+    # and the full train_epoch path runs + learns finitely
+    ts2, metrics = jax.jit(
+        lambda ts, k: ppo.train_epoch(cfg, env, ts, k)
+    )(ts, jax.random.fold_in(key, 2))
+    assert bool(jnp.isfinite(metrics.value_loss))

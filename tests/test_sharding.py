@@ -66,7 +66,7 @@ def test_global_adv_normalization_uses_psum():
 
     def local(params, key):
         key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
-        traj = ppo.rollout(cfg, env, params["pi"], key, 4, 50, "jnp", axis_name="dp")
+        traj, _ = ppo.rollout(cfg, env, params["pi"], key, 4, 50, "jnp", axis_name="dp")
         adv, _ = ppo.compute_advantages(cfg, env, params["v"], traj, "dp", "jnp")
         return adv
 
