@@ -58,10 +58,8 @@ def solve_benchmark(seed: int, max_epochs: int, log=lambda *a: None):
     run — N epochs of rollout+GAE+updates with a stochastic eval after each —
     costs a single host dispatch, so the measurement is compute, not
     transport round trips."""
-    from ppoc_tpu.algo import ppo as ppo_mod
 
     tr = Trainer(bench_config(seed))
-    key = jax.random.PRNGKey(seed + 1000)
     init_state = tr.state
 
     # Warm the jit cache AND the device path (compile excluded from the

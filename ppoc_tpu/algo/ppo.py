@@ -140,6 +140,7 @@ def rollout(
     backend: str,
     axis_name: Optional[str] = None,
     env_carry=None,
+    force_truncate: bool = True,
 ) -> Tuple[Transition, Any]:
     """Collect [length, n_envs] transitions; returns (traj, final env carry).
 
@@ -174,8 +175,13 @@ def rollout(
     # Force-truncate the window end (src/ppo.cu:70-74) so GAE never
     # bootstraps across it.  NOTE this marks only the stored transition;
     # the carried env state continues the episode when reset_per_fit=False.
-    last_trunc = jnp.logical_or(traj.truncated[-1], jnp.logical_not(traj.terminated[-1]))
-    traj = traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
+    # Evaluation passes force_truncate=False to keep the genuine done flags
+    # (it needs to distinguish completed episodes from window-cut ones).
+    if force_truncate:
+        last_trunc = jnp.logical_or(
+            traj.truncated[-1], jnp.logical_not(traj.terminated[-1])
+        )
+        traj = traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
     return traj, final_carry
 
 
@@ -458,6 +464,40 @@ class EvalMetrics(NamedTuple):
     episodes: jax.Array    # episode count
 
 
+def eval_metrics_from_traj(
+    traj: Transition, gamma: float, axis_name: Optional[str] = None
+) -> EvalMetrics:
+    """Episode metrics from a trajectory with GENUINE done flags.
+
+    Counts only episodes that COMPLETE within the window: a segment cut off
+    by the window end would otherwise report a partial return, which for
+    envs with horizon > eval window (e.g. CartPole's 500 vs a 200-step eval)
+    systematically deflates R and makes solve thresholds unreachable.  The
+    reference instead drops the OLDEST episode from sum_J and counts cut
+    ones (src/ppo.cu:571-579, SURVEY.md §3.4) — a quirk, not replicated.
+    Shared by the on-device evaluate() and the host-bridge trainer.
+    """
+    done = jnp.logical_or(traj.terminated, traj.truncated)
+    j_t = gae_ops.discounted_episode_returns(traj.reward, done, gamma)
+    r_t = gae_ops.discounted_episode_returns(traj.reward, done, 1.0)
+    starts = jnp.concatenate([jnp.ones_like(done[:1]), done[:-1]], axis=0)
+    # a step's segment completes iff some done exists at s >= t (per env):
+    # reversed-time cumulative OR of the done flags
+    completed = jnp.flip(
+        jnp.cumsum(jnp.flip(done.astype(jnp.float32), 0), axis=0), 0
+    ) > 0
+    mask = (starts & completed).astype(jnp.float32)
+    n_eps = jnp.sum(done.astype(jnp.float32))
+    sum_j = jnp.sum(j_t * mask)
+    sum_r = jnp.sum(r_t * mask)
+    if axis_name is not None:
+        n_eps = jax.lax.psum(n_eps, axis_name)
+        sum_j = jax.lax.psum(sum_j, axis_name)
+        sum_r = jax.lax.psum(sum_r, axis_name)
+    denom = jnp.maximum(n_eps, 1.0)  # 0 completed episodes => J = R = 0
+    return EvalMetrics(J=sum_j / denom, R=sum_r / denom, episodes=n_eps)
+
+
 def evaluate(
     cfg: PPOConfig,
     env: Env,
@@ -469,26 +509,14 @@ def evaluate(
 ) -> EvalMetrics:
     """Stochastic-policy evaluation (eval_ppo, src/ppo.cu:560-583).
 
-    Reports mean discounted return J, mean undiscounted return R and episode
-    count.  The reference's backward host loop drops the earliest episode
-    from sum_J (an averaging quirk, SURVEY.md §3.4); here every completed
-    episode counts — with force-truncation at the window end all segments
-    complete.
+    Reports mean discounted return J, mean undiscounted return R and the
+    completed-episode count (see eval_metrics_from_traj).  For meaningful
+    numbers use cfg.eval_len >= the env's horizon so episodes can finish.
     """
     n_envs = cfg.eval_envs if n_envs is None else n_envs
     key = _device_key(key, axis_name)
-    traj, _ = rollout(cfg, env, policy_params, key, n_envs, cfg.eval_len, backend, axis_name)
-    done = jnp.logical_or(traj.terminated, traj.truncated)
-    j_t = gae_ops.discounted_episode_returns(traj.reward, done, env.spec.gamma)
-    r_t = gae_ops.discounted_episode_returns(traj.reward, done, 1.0)
-    starts = jnp.concatenate([jnp.ones_like(done[:1]), done[:-1]], axis=0)
-    n_eps = jnp.sum(done.astype(jnp.float32))
-    starts_f = starts.astype(jnp.float32)
-    if axis_name is not None:
-        n_eps = jax.lax.psum(n_eps, axis_name)
-        sum_j = jax.lax.psum(jnp.sum(j_t * starts_f), axis_name)
-        sum_r = jax.lax.psum(jnp.sum(r_t * starts_f), axis_name)
-    else:
-        sum_j = jnp.sum(j_t * starts_f)
-        sum_r = jnp.sum(r_t * starts_f)
-    return EvalMetrics(J=sum_j / n_eps, R=sum_r / n_eps, episodes=n_eps)
+    traj, _ = rollout(
+        cfg, env, policy_params, key, n_envs, cfg.eval_len, backend, axis_name,
+        force_truncate=False,
+    )
+    return eval_metrics_from_traj(traj, env.spec.gamma, axis_name)

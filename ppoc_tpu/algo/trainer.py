@@ -43,6 +43,16 @@ class Trainer:
         self.env = envs.make(cfg.env)
         self.backend = resolve_backend(cfg.kernel_backend)
         self.key = jax.random.PRNGKey(cfg.seed)
+        if cfg.eval_len < self.env.spec.horizon:
+            import warnings
+
+            warnings.warn(
+                f"eval_len ({cfg.eval_len}) < env horizon "
+                f"({self.env.spec.horizon}): evaluation counts only episodes "
+                f"that COMPLETE within the window, so long episodes are "
+                f"censored; set eval_len >= the horizon for unbiased R/J",
+                stacklevel=2,
+            )
 
         k_init, self.key = jax.random.split(self.key)
         full_state = ppo.init_train_state(cfg, self.env, k_init)
@@ -128,9 +138,6 @@ class Trainer:
         def pack_list(lst):
             return tp_mod.pack_mlp(lst, tp_size)[0]
 
-        def spec_list(lst):
-            return tp_mod.pack_mlp(lst, tp_size)[1]
-
         def pack_state(ts: ppo.TrainState):
             pol = dict(ts.policy_params)
             pol["mlp"] = pack_list(ts.policy_params["mlp"])
@@ -144,8 +151,8 @@ class Trainer:
                 opt_log_std=ts.opt_log_std,
             )
 
-        mlp_specs = spec_list(full_state.policy_params["mlp"])
-        v_specs = spec_list(full_state.v_params)
+        mlp_specs = tp_mod.pack_mlp(full_state.policy_params["mlp"], tp_size)[1]
+        v_specs = tp_mod.pack_mlp(full_state.v_params, tp_size)[1]
         pol_spec = dict({k: P() for k in full_state.policy_params})
         pol_spec["mlp"] = mlp_specs
         self._state_spec = ppo.TrainState(
@@ -349,5 +356,6 @@ class Trainer:
     def load(self, path: str) -> None:
         from ppoc_tpu.utils import checkpoint
 
-        _, _, state = checkpoint.load(path, template=self.state)
+        template = None if self.cfg.tp_size > 1 else self.state  # packed
+        _, _, state = checkpoint.load(path, template=template)
         self.state = self._tp_pack(state) if self.cfg.tp_size > 1 else state

@@ -72,6 +72,15 @@ class NativeHostVecEnv:
         pass
 
 
+@functools.lru_cache(maxsize=32)
+def _sampler(activation: str, backend: str, discrete: bool):
+    """One persistent jitted sampler per (activation, backend, discrete) —
+    a fresh jax.jit wrapper per rollout would retrace/recompile every fit."""
+    return jax.jit(functools.partial(
+        policy_mod.sample, activation=activation, backend=backend, discrete=discrete,
+    ))
+
+
 def collect_host(
     cfg: PPOConfig,
     venv,
@@ -79,15 +88,18 @@ def collect_host(
     key: jax.Array,
     length: int,
     backend: str = "jnp",
-) -> ppo.Transition:
+    obs0: Optional[np.ndarray] = None,
+    force_truncate: bool = True,
+) -> Tuple[ppo.Transition, np.ndarray]:
     """Host rollout loop against any host-protocol venv: device policy (one
     batched sample call per step), host env stepping — collect_trajectories
-    (src/ppo.cu:54-79) with n_envs instances in lockstep."""
-    sample = jax.jit(functools.partial(
-        policy_mod.sample,
-        activation=cfg.activation, backend=backend, discrete=venv.spec.discrete,
-    ))
-    obs = venv.reset()
+    (src/ppo.cu:54-79) with n_envs instances in lockstep.
+
+    ``obs0=None`` resets the venv at entry; passing the previous call's
+    returned observation continues the same episodes (reset_per_fit=False).
+    Returns (trajectory, last observation)."""
+    sample = _sampler(cfg.activation, backend, venv.spec.discrete)
+    obs = venv.reset() if obs0 is None else obs0
     rows = []
     for _ in range(length):
         key, k = jax.random.split(key)
@@ -97,9 +109,12 @@ def collect_host(
         obs = obs_after
     stack = [np.stack(x) for x in zip(*rows)]
     traj = ppo.Transition(*[jnp.asarray(x) for x in stack])
-    # force-truncate the window end (src/ppo.cu:70-74)
-    last_trunc = jnp.logical_or(traj.truncated[-1], jnp.logical_not(traj.terminated[-1]))
-    return traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
+    if force_truncate:  # (src/ppo.cu:70-74); eval keeps genuine flags
+        last_trunc = jnp.logical_or(
+            traj.truncated[-1], jnp.logical_not(traj.terminated[-1])
+        )
+        traj = traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
+    return traj, obs
 
 
 class HostTrainer:
@@ -122,40 +137,33 @@ class HostTrainer:
         self._update = jax.jit(functools.partial(
             ppo.update_step, cfg, self.env, backend=backend
         ))
+        self._obs = None  # persistent rollout obs when reset_per_fit=False
 
     def train_fit(self):
         k_roll, k_upd, self.key = jax.random.split(self.key, 3)
-        traj = collect_host(
+        obs0 = None if self.cfg.reset_per_fit else self._obs
+        traj, last_obs = collect_host(
             self.cfg, self.venv, self.state.policy_params, k_roll,
-            self.cfg.rollout_len, self.backend,
+            self.cfg.rollout_len, self.backend, obs0=obs0,
         )
+        if not self.cfg.reset_per_fit:
+            self._obs = last_obs
         self.state, metrics = self._update(self.state, traj, k_upd)
         return metrics
 
     def train_epoch(self):
-        for _ in range(self.cfg.fits_per_epoch):
-            metrics = self.train_fit()
-        return metrics
+        all_metrics = [self.train_fit() for _ in range(self.cfg.fits_per_epoch)]
+        # mean over fits, matching the device trainer's per-epoch metrics
+        return jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *all_metrics)
 
     def evaluate(self) -> ppo.EvalMetrics:
-        from ppoc_tpu.ops import gae as gae_ops
-
         k, self.key = jax.random.split(self.key)
-        traj = collect_host(
+        traj, _ = collect_host(
             self.cfg, self.eval_venv, self.state.policy_params, k,
-            self.cfg.eval_len, self.backend,
+            self.cfg.eval_len, self.backend, force_truncate=False,
         )
-        done = jnp.logical_or(traj.terminated, traj.truncated)
-        j_t = gae_ops.discounted_episode_returns(traj.reward, done, self.env.spec.gamma)
-        r_t = gae_ops.discounted_episode_returns(traj.reward, done, 1.0)
-        starts = jnp.concatenate([jnp.ones_like(done[:1]), done[:-1]], axis=0)
-        starts_f = starts.astype(jnp.float32)
-        n_eps = jnp.sum(done.astype(jnp.float32))
-        return ppo.EvalMetrics(
-            J=float(jnp.sum(j_t * starts_f) / n_eps),
-            R=float(jnp.sum(r_t * starts_f) / n_eps),
-            episodes=float(n_eps),
-        )
+        m = ppo.eval_metrics_from_traj(traj, self.env.spec.gamma)
+        return jax.tree.map(float, jax.device_get(m))
 
     def train(self, n_epochs: Optional[int] = None, log: bool = True,
               stop_at_R: Optional[float] = None) -> List[dict]:

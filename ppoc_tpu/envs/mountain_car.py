@@ -51,7 +51,9 @@ def _step(s: MountainCarState, action: jax.Array, key: jax.Array):
     t = s.t + 1
     terminated = jnp.logical_and(position >= GOAL_POSITION, velocity >= GOAL_VELOCITY)
     truncated = jnp.logical_and(t >= HORIZON, jnp.logical_not(terminated))
-    reward = jnp.where(terminated, 100.0, 0.0) - 0.1 * force ** 2
+    # Gymnasium penalizes the RAW action, not the clipped force
+    # (continuous_mountain_car.py: reward -= 0.1 * action[0]**2)
+    reward = jnp.where(terminated, 100.0, 0.0) - 0.1 * action[0] ** 2
     s2 = MountainCarState(position, velocity, t)
     return s2, _obs(s2), reward, terminated, truncated
 

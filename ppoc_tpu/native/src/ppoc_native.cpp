@@ -241,7 +241,8 @@ void ppoc_env_step(int env_id, int n,
         if (pos > max_pos) pos = max_pos;
         if (pos < min_pos) { pos = min_pos; if (vel < 0) vel = 0; }
         term = (pos >= goal_pos) & (vel >= goal_vel);
-        reward[i] = (term ? 100.0f : 0.0f) - 0.1f * u * u;
+        // Gymnasium penalizes the RAW action, not the clipped force
+        reward[i] = (term ? 100.0f : 0.0f) - 0.1f * a[0] * a[0];
         st[0] = pos;
         st[1] = vel;
         break;

@@ -117,7 +117,6 @@ def _forward_padded(params: Params, xp: jax.Array, activation: str):
     batch_spec = lambda d: pl.BlockSpec(  # noqa: E731
         (tile_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    full_spec = lambda: pl.BlockSpec(lambda i: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
 
     in_specs = [batch_spec(d0)]
     inputs = [xp]

@@ -139,11 +139,50 @@ def _save_stream(f, cfg, spec, state) -> None:
         _write_arr(f, v)
 
 
+def _read_blob_python(path: str) -> bytes:
+    """Pure-Python reader for the native CRC blob container (int64 length +
+    payload + crc32) — a checkpoint written on a machine with the C++
+    runtime must load on one without it."""
+    import zlib
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    if len(raw) < 12:
+        raise ValueError(f"{path}: too short for a blob container")
+    (n,) = struct.unpack("<q", raw[:8])
+    if n < 0 or len(raw) < 8 + n + 4:
+        raise ValueError(f"{path}: truncated blob container")
+    payload = raw[8 : 8 + n]
+    (crc,) = struct.unpack("<I", raw[8 + n : 12 + n])
+    if (zlib.crc32(payload) & 0xFFFFFFFF) != crc:
+        raise IOError(f"{path}: CRC mismatch")
+    return payload
+
+
+def _check_template(state, template) -> None:
+    """Shape/structure validation so a mismatched checkpoint fails loudly at
+    load time instead of as a cryptic XLA shape error inside the jit."""
+    ls, ts = jax.tree.leaves(state), jax.tree.leaves(template)
+    if len(ls) != len(ts):
+        raise ValueError(
+            f"checkpoint structure mismatch: {len(ls)} leaves vs "
+            f"{len(ts)} in the live training state"
+        )
+    for a, b in zip(ls, ts):
+        if np.shape(a) != np.shape(b):
+            raise ValueError(
+                f"checkpoint shape mismatch: {np.shape(a)} vs live "
+                f"{np.shape(b)} — was it saved with a different hidden/env "
+                f"configuration?"
+            )
+
+
 def load(path: str, template=None):
     """Load a checkpoint.  Returns (hyperparams dict, dims dict, TrainState).
 
     Accepts both containers: the CRC-checked native blob (detected by its
-    length header) and the plain file (starts directly with the magic)."""
+    length header) and the plain file (starts directly with the magic).
+    ``template`` (a live TrainState) enables shape validation."""
     import io
 
     with open(path, "rb") as fh:
@@ -151,8 +190,15 @@ def load(path: str, template=None):
     if head == MAGIC:
         with open(path, "rb") as fh:
             return _load_stream(fh, template)
-    from ppoc_tpu import native
-    return _load_stream(io.BytesIO(native.read_blob(path)), template)
+    try:
+        from ppoc_tpu import native
+        if native.available():
+            data = native.read_blob(path)
+        else:
+            data = _read_blob_python(path)
+    except ImportError:
+        data = _read_blob_python(path)
+    return _load_stream(io.BytesIO(data), template)
 
 
 def _load_stream(f, template=None):
@@ -190,4 +236,6 @@ def _load_stream(f, template=None):
               lr_policy=lr_policy, lr_v=lr_v)
     dims = dict(obs_dim=obs_dim, action_dim=action_dim, capacity=capacity,
                 discrete=discrete)
+    if template is not None:
+        _check_template(state, template)
     return hp, dims, state

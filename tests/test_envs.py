@@ -98,7 +98,9 @@ def test_mountain_car_matches_gymnasium():
     key = jax.random.PRNGKey(0)
     rng = np.random.RandomState(2)
     for i in range(300):
-        a = rng.uniform(-1, 1, size=(1,)).astype(np.float32)
+        # deliberately beyond [-1, 1]: the force clips but Gymnasium's
+        # action penalty uses the RAW action
+        a = rng.uniform(-2.5, 2.5, size=(1,)).astype(np.float32)
         gobs, grew, gterm, gtrunc, _ = genv.step(a)
         state, obs, rew, term, trunc = step(state, jnp.asarray(a), key)
         np.testing.assert_allclose(np.asarray(obs), gobs, atol=1e-5)

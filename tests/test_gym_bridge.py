@@ -46,7 +46,7 @@ def test_collect_window_semantics():
     cfg = _cfg()
     venv = GymVecEnv("Pendulum-v1", cfg.n_envs, seed=0)
     params = policy_mod.init(jax.random.PRNGKey(0), 3, 1, cfg.hidden, 1.0, False)
-    traj = collect_host(cfg, venv, params, jax.random.PRNGKey(1), cfg.rollout_len)
+    traj, _ = collect_host(cfg, venv, params, jax.random.PRNGKey(1), cfg.rollout_len)
     assert traj.obs.shape == (cfg.rollout_len, cfg.n_envs, 3)
     # window end force-truncated (src/ppo.cu:70-74)
     last_done = np.asarray(traj.terminated[-1] | traj.truncated[-1])
@@ -63,7 +63,7 @@ def test_next_obs_is_true_successor():
     cfg = _cfg(rollout_len=32)
     venv = GymVecEnv("Pendulum-v1", cfg.n_envs, seed=1)
     params = policy_mod.init(jax.random.PRNGKey(0), 3, 1, cfg.hidden, 1.0, False)
-    traj = collect_host(cfg, venv, params, jax.random.PRNGKey(2), cfg.rollout_len)
+    traj, _ = collect_host(cfg, venv, params, jax.random.PRNGKey(2), cfg.rollout_len)
     done = np.asarray(traj.terminated | traj.truncated)
     nxt = np.asarray(traj.next_obs)[:-1]
     obs_next_step = np.asarray(traj.obs)[1:]
@@ -73,7 +73,9 @@ def test_next_obs_is_true_successor():
 
 
 def test_gym_trainer_end_to_end():
-    cfg = _cfg()
+    # eval_len >= the env horizon (200) so episodes can complete — eval
+    # counts only completed episodes (ppo.eval_metrics_from_traj)
+    cfg = _cfg(eval_len=200, eval_envs=2)
     tr = GymTrainer(cfg, "Pendulum-v1")
     m0 = tr.evaluate()
     hist = tr.train(n_epochs=1, log=False)

@@ -55,7 +55,7 @@ def test_native_host_collect_force_truncates():
     cfg = _cfg()
     venv = NativeHostVecEnv("pendulum", 4, seed=1)
     params = policy_mod.init(jax.random.PRNGKey(0), 3, 1, (16, 16), 1.0, False)
-    traj = collect_host(cfg, venv, params, jax.random.PRNGKey(1), 32)
+    traj, _ = collect_host(cfg, venv, params, jax.random.PRNGKey(1), 32)
     last_done = np.asarray(traj.terminated[-1] | traj.truncated[-1])
     assert last_done.all()
 

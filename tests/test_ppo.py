@@ -156,3 +156,35 @@ def test_reset_per_fit_false_persists_env_state():
         lambda ts, k: ppo.train_epoch(cfg, env, ts, k)
     )(ts, jax.random.fold_in(key, 2))
     assert bool(jnp.isfinite(metrics.value_loss))
+
+
+def test_eval_metrics_exclude_windowcut_episodes():
+    """Episodes cut by the eval window end must not count (they'd deflate R
+    for envs whose horizon exceeds eval_len, e.g. CartPole 500 vs 200)."""
+    T, E = 6, 1
+    z = jnp.zeros((T, E))
+    reward = jnp.asarray([[1.0], [1.0], [1.0], [5.0], [5.0], [5.0]])
+    # one complete 3-step episode, then a trailing uncompleted segment
+    terminated = jnp.asarray([[False], [False], [True], [False], [False], [False]])
+    traj = ppo.Transition(
+        obs=jnp.zeros((T, E, 2)), action=jnp.zeros((T, E, 1)), log_prob=z,
+        next_obs=jnp.zeros((T, E, 2)), reward=reward,
+        terminated=terminated, truncated=jnp.zeros((T, E), bool),
+    )
+    m = ppo.eval_metrics_from_traj(traj, gamma=1.0)
+    assert float(m.episodes) == 1.0
+    assert float(m.R) == 3.0  # only the completed episode; not 3+15
+
+
+def test_eval_metrics_zero_completed_episodes():
+    """No completed episode => episodes=0 and finite metrics (no div by 0)."""
+    T, E = 4, 2
+    traj = ppo.Transition(
+        obs=jnp.zeros((T, E, 2)), action=jnp.zeros((T, E, 1)),
+        log_prob=jnp.zeros((T, E)),
+        next_obs=jnp.zeros((T, E, 2)), reward=jnp.ones((T, E)),
+        terminated=jnp.zeros((T, E), bool), truncated=jnp.zeros((T, E), bool),
+    )
+    m = ppo.eval_metrics_from_traj(traj, gamma=0.99)
+    assert float(m.episodes) == 0.0
+    assert np.isfinite(float(m.R)) and np.isfinite(float(m.J))

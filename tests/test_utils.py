@@ -61,3 +61,40 @@ def test_nan_guard_restores_config():
     with debug.nan_guard(True):
         assert bool(jax.config.jax_debug_nans) is True
     assert bool(jax.config.jax_debug_nans) == before
+
+
+def test_checkpoint_template_mismatch_raises(tmp_path):
+    """A checkpoint saved under a different net shape fails loudly at load."""
+    import jax
+
+    from ppoc_tpu import PPOConfig, Trainer
+
+    p = str(tmp_path / "m.bin")
+    small = PPOConfig(env="simple", n_envs=8, rollout_len=15, minibatch_size=16,
+                      fits_per_epoch=1, hidden=(16, 16), kernel_backend="jnp")
+    Trainer(small).save(p)
+    big = Trainer(small.replace(hidden=(32, 32)))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        big.load(p)
+
+
+def test_blob_checkpoint_loads_without_native(tmp_path, monkeypatch):
+    """The CRC container must be readable by the pure-Python fallback."""
+    import jax
+
+    from ppoc_tpu import PPOConfig, Trainer, native
+
+    if not native.available():
+        pytest.skip("needs native lib to WRITE the blob container")
+    cfg = PPOConfig(env="simple", n_envs=8, rollout_len=15, minibatch_size=16,
+                    fits_per_epoch=1, hidden=(16, 16), kernel_backend="jnp")
+    tr = Trainer(cfg)
+    p = str(tmp_path / "m.bin")
+    tr.save(p)
+    monkeypatch.setattr(native, "available", lambda: False)
+    tr2 = Trainer(cfg)
+    tr2.load(p)  # must use _read_blob_python
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(tr.state), jax.device_get(tr2.state),
+    )
