@@ -209,6 +209,7 @@ class Trainer:
             opt_log_std=packed.opt_log_std,
         )
         self._tp_pack = pack_state
+        self._tp_ctx = (dp_size, unpack_local, repack_local)
 
         def epoch_local(ts_packed, key):
             ts2, metrics = ppo.train_epoch(
@@ -316,11 +317,29 @@ class Trainer:
         self._solve_args = (target_R, max_epochs)
         if self._solve_fn is None:
             if self.cfg.tp_size > 1:
-                raise NotImplementedError(
-                    "solve() under tensor parallelism is not wired yet; use "
-                    "train(stop_at_R=...) with tp_size > 1"
-                )
-            if self.mesh is not None:
+                dp_size, unpack_local, repack_local = self._tp_ctx
+                cfg = self.cfg
+
+                def solve_local(ts_packed, key):
+                    ts, n, R = ppo.train_until(
+                        cfg, self.env, unpack_local(ts_packed), key,
+                        target_R=target_R, max_epochs=max_epochs,
+                        axis_name=cfg.mesh_axis,
+                        n_envs=cfg.n_envs // dp_size,
+                        mb_size=cfg.minibatch_size // dp_size,
+                        backend=self.backend,
+                        eval_envs=cfg.eval_envs // dp_size,
+                    )
+                    n = jax.lax.pmax(n, "tp")
+                    R = jax.lax.pmean(R, "tp")
+                    return repack_local(ts), n, R
+
+                self._solve_fn = jax.jit(_shard_map(
+                    solve_local, self.mesh,
+                    in_specs=(self._state_spec, P()),
+                    out_specs=(self._state_spec, P(), P()),
+                ))
+            elif self.mesh is not None:
                 n_dev = self.mesh.size
                 local = functools.partial(
                     ppo.train_until, self.cfg, self.env,

@@ -146,3 +146,14 @@ def test_tp_training_matches_dp_training():
     for (a, ab), (b, bb) in zip(w_tp, w_dp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(np.asarray(ab), np.asarray(bb), rtol=1e-3, atol=1e-4)
+
+
+def test_tp_solve():
+    """Single-dispatch train_until works under tensor parallelism too."""
+    from ppoc_tpu import PPOConfig, Trainer
+
+    cfg = PPOConfig(env="simple", n_envs=16, rollout_len=15, minibatch_size=32,
+                    fits_per_epoch=3, eval_envs=32, eval_len=15,
+                    kernel_backend="jnp", hidden=(16, 16), seed=0, tp_size=2)
+    r = Trainer(cfg).solve(target_R=0.4, max_epochs=8)
+    assert r["R"] >= 0.4, r
