@@ -1,0 +1,41 @@
+"""CLI argument handling (ppoc_tpu/cli.py) — parsing only, no training."""
+from ppoc_tpu.cli import build_parser, config_from_args
+
+
+def test_defaults_are_reference_preset():
+    args = build_parser().parse_args([])
+    cfg = config_from_args(args)
+    assert cfg.n_envs == 15 and cfg.rollout_len == 200
+    assert cfg.minibatch_size == 64 and cfg.lr_policy == 3e-4
+
+
+def test_tpu_preset_and_overrides():
+    args = build_parser().parse_args(
+        ["--preset", "tpu", "--n-envs", "512", "--lr-policy", "1e-3",
+         "--hidden", "256", "256", "--env", "cartpole", "--tp-size", "2"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.n_envs == 512                  # override wins
+    assert cfg.minibatch_size == 8192         # preset value kept
+    assert cfg.lr_policy == 1e-3
+    assert cfg.hidden == (256, 256)
+    assert cfg.env == "cartpole"
+    assert cfg.tp_size == 2
+
+
+def test_bool_flag_parsing():
+    args = build_parser().parse_args(["--reset-per-fit", "false"])
+    assert config_from_args(args).reset_per_fit is False
+    args = build_parser().parse_args(["--norm-adv-global", "true"])
+    assert config_from_args(args).norm_adv_global is True
+
+
+def test_every_config_field_has_a_flag():
+    import dataclasses
+
+    from ppoc_tpu.config import PPOConfig
+
+    parser = build_parser()
+    opts = {a.dest for a in parser._actions}
+    for f in dataclasses.fields(PPOConfig):
+        assert f.name in opts, f"config field {f.name} missing from CLI"
