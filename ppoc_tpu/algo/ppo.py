@@ -90,15 +90,15 @@ def _pvary(tree, axis_name: Optional[str]):
     if axis_name is None:
         return tree
 
+    from ppoc_tpu.parallel.mesh import type_varying
+
     def vary(x):
         try:
             if axis_name in jax.typeof(x).vma:
                 return x  # already varying
         except AttributeError:
             pass
-        if hasattr(jax.lax, "pcast"):
-            return jax.lax.pcast(x, (axis_name,), to="varying")
-        return jax.lax.pvary(x, axis_name)
+        return type_varying(x, axis_name)
 
     return jax.tree.map(vary, tree)
 

@@ -43,6 +43,12 @@ class Trainer:
         self.env = envs.make(cfg.env)
         self.backend = resolve_backend(cfg.kernel_backend)
         self.key = jax.random.PRNGKey(cfg.seed)
+        if cfg.num_minibatches < 1:
+            raise ValueError(
+                f"minibatch_size ({cfg.minibatch_size}) exceeds steps_per_fit "
+                f"({cfg.steps_per_fit} = n_envs * rollout_len): zero "
+                f"minibatches per epoch, nothing would train"
+            )
         if cfg.eval_len < self.env.spec.horizon:
             import warnings
 
@@ -65,6 +71,12 @@ class Trainer:
 
         n_dev = 1 if mesh is None else mesh.size
         if n_dev > 1:
+            if mesh.axis_names != (cfg.mesh_axis,):
+                raise ValueError(
+                    f"data-parallel mode needs a 1-D ({cfg.mesh_axis!r},) "
+                    f"mesh, got axes {mesh.axis_names}; for a (dp, tp) mesh "
+                    f"set cfg.tp_size"
+                )
             if cfg.n_envs % n_dev or cfg.minibatch_size % n_dev or cfg.eval_envs % n_dev:
                 raise ValueError(
                     f"n_envs ({cfg.n_envs}), minibatch_size ({cfg.minibatch_size}) and "
@@ -128,6 +140,11 @@ class Trainer:
         else:
             if mesh.axis_names != (cfg.mesh_axis, "tp"):
                 raise ValueError(f"tp mode needs a ({cfg.mesh_axis!r}, 'tp') mesh, got {mesh.axis_names}")
+            if mesh.shape["tp"] != tp_size:
+                raise ValueError(
+                    f"mesh 'tp' axis has {mesh.shape['tp']} devices but "
+                    f"cfg.tp_size is {tp_size}"
+                )
             dp_size = mesh.shape[cfg.mesh_axis]
         self.mesh = mesh
         if cfg.n_envs % dp_size or cfg.minibatch_size % dp_size or cfg.eval_envs % dp_size:
@@ -269,9 +286,11 @@ class Trainer:
         ``stop_at_R`` stops early once the mean undiscounted eval return
         reaches the threshold (used by the solve-time benchmark).
         ``checkpoint_path`` enables a mid-training checkpoint every
-        ``checkpoint_every`` epochs (full state incl. Adam m/v/t, so a crash
-        resumes exactly — the reference only saves at the very end,
-        src/main.c:58).
+        ``checkpoint_every`` epochs (full optimization state incl. Adam
+        m/v/t; the reference only saves at the very end, src/main.c:58).
+        NOTE: the trainer's PRNG position and any persistent env state are
+        not part of the checkpoint, so a resumed run optimizes from the
+        saved state but does not replay the interrupted run bit-for-bit.
         """
         n_epochs = self.cfg.n_epochs if n_epochs is None else n_epochs
         history: List[Dict[str, Any]] = []
@@ -375,6 +394,10 @@ class Trainer:
     def load(self, path: str) -> None:
         from ppoc_tpu.utils import checkpoint
 
-        template = None if self.cfg.tp_size > 1 else self.state  # packed
+        if self.cfg.tp_size > 1:
+            # validate against the UNSHARDED view of the live packed state
+            template = self._tp_unshard(jax.device_get(self.state))
+        else:
+            template = self.state
         _, _, state = checkpoint.load(path, template=template)
         self.state = self._tp_pack(state) if self.cfg.tp_size > 1 else state

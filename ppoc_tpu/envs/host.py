@@ -59,7 +59,10 @@ class NativeHostVecEnv:
         done = term | trunc
         obs_after = next_obs.copy()
         if done.any():
-            # reset only the finished instances from a freshly seeded batch
+            # Reset only the finished instances, sourced from a freshly
+            # seeded full batch (the C++ reset is vectorized and ~ns/env, so
+            # the O(n) refresh is cheaper than plumbing partial resets
+            # through the C ABI).
             idx = np.nonzero(done)[0]
             self._episode += 1
             fresh = self._resetter.reset(seed=self._seed + 7919 * self._episode)
@@ -125,6 +128,22 @@ class HostTrainer:
     """
 
     def __init__(self, cfg: PPOConfig, venv, eval_venv, backend: str = "jnp"):
+        if venv.n_envs != cfg.n_envs:
+            raise ValueError(
+                f"venv has {venv.n_envs} envs but cfg.n_envs is {cfg.n_envs} "
+                f"— the minibatch schedule (cfg.num_minibatches) is derived "
+                f"from cfg.n_envs * rollout_len"
+            )
+        if eval_venv.n_envs != cfg.eval_envs:
+            raise ValueError(
+                f"eval_venv has {eval_venv.n_envs} envs but cfg.eval_envs "
+                f"is {cfg.eval_envs}"
+            )
+        if cfg.num_minibatches < 1:
+            raise ValueError(
+                f"minibatch_size ({cfg.minibatch_size}) exceeds steps_per_fit "
+                f"({cfg.steps_per_fit}): zero minibatches, nothing would train"
+            )
         self.cfg = cfg
         self.venv = venv
         self.eval_venv = eval_venv
@@ -173,9 +192,10 @@ class HostTrainer:
             tic = time.perf_counter()
             fm = self.train_epoch()
             fm = jax.tree.map(float, jax.device_get(fm))
+            toc = time.perf_counter()  # train time only, like Trainer.train
             ev = self.evaluate()
             row = {"epoch": i, "entropy": fm.entropy,
-                   "time_s": time.perf_counter() - tic,
+                   "time_s": toc - tic,
                    "J": ev.J, "R": ev.R, "episodes": int(ev.episodes)}
             history.append(row)
             if log:

@@ -30,6 +30,16 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def type_varying(x, axis_name: str):
+    """Mark an array as device-varying over ``axis_name`` for shard_map's
+    varying-axes type system (jax version shim: pcast on new jax, pvary on
+    older). Shared by the rollout carry (algo/ppo.py) and the pipeline
+    schedule (parallel/pp.py)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis_name,), to="varying")
+    return jax.lax.pvary(x, axis_name)
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

@@ -26,13 +26,10 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
-Params = List[Tuple[jax.Array, jax.Array]]
+from ppoc_tpu.models.mlp import _ACTIVATIONS as _ACT
+from ppoc_tpu.parallel.mesh import type_varying
 
-_ACT = {
-    "relu": lambda x: jnp.maximum(x, 0.0),
-    "tanh": jnp.tanh,
-    "none": lambda x: x,
-}
+Params = List[Tuple[jax.Array, jax.Array]]
 
 
 def stage_layout(params: Params, pp_size: int) -> Tuple[int, List[int]]:
@@ -140,13 +137,9 @@ def apply_pipeline(
         )
         return (h_next, out_buf), None
 
-    def _vary(v):  # initial carry must be typed device-varying over pp
-        if hasattr(jax.lax, "pcast"):
-            return jax.lax.pcast(v, (axis_name,), to="varying")
-        return jax.lax.pvary(v, axis_name)
-
-    h_init = _vary(jnp.zeros((mb, wmax), x.dtype))
-    out_init = _vary(jnp.zeros((M, mb, wmax), x.dtype))
+    # initial carry must be typed device-varying over pp
+    h_init = type_varying(jnp.zeros((mb, wmax), x.dtype), axis_name)
+    out_init = type_varying(jnp.zeros((M, mb, wmax), x.dtype), axis_name)
     (_, out_buf), _ = jax.lax.scan(
         tick, (h_init, out_init), jnp.arange(M + S - 1)
     )

@@ -33,13 +33,9 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-Params = List[Tuple[jax.Array, jax.Array]]
+from ppoc_tpu.models.mlp import _ACTIVATIONS
 
-_ACTIVATIONS = {
-    "relu": lambda x: jnp.maximum(x, 0.0),
-    "tanh": jnp.tanh,
-    "none": lambda x: x,
-}
+Params = List[Tuple[jax.Array, jax.Array]]
 
 
 def shard_params(params: Params, tp_rank: int, tp_size: int) -> Params:

@@ -83,6 +83,11 @@ def _unflat_adam(m: np.ndarray, v: np.ndarray, t: int, params):
         ms.append(jnp.asarray(m[off : off + n].reshape(shape)))
         vs.append(jnp.asarray(v[off : off + n].reshape(shape)))
         off += n
+    if off != m.size:
+        raise ValueError(
+            f"Adam state size mismatch: checkpoint has {m.size} elements, "
+            f"the parameter tree needs {off}"
+        )
     return AdamState(
         m=treedef.unflatten(ms), v=treedef.unflatten(vs), t=jnp.asarray(t, jnp.int32)
     )

@@ -47,3 +47,53 @@ def test_unknown_activation():
     params = mlp.init(jax.random.PRNGKey(0), (3, 8, 1))
     with pytest.raises(KeyError):
         mlp.apply(params, jnp.zeros((2, 3)), "swish", "jnp")
+
+
+def test_trainer_rejects_zero_minibatches():
+    from ppoc_tpu.algo.trainer import Trainer
+
+    cfg = PPOConfig(env="simple", n_envs=4, rollout_len=15, minibatch_size=256,
+                    hidden=(16, 16))  # 60 steps/fit < 256 mb
+    with pytest.raises(ValueError, match="exceeds steps_per_fit"):
+        Trainer(cfg)
+
+
+def test_trainer_rejects_multi_axis_mesh_without_tp():
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ppoc_tpu.algo.trainer import Trainer
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    cfg = PPOConfig(env="simple", n_envs=32, minibatch_size=32, eval_envs=32,
+                    rollout_len=15, hidden=(16, 16))
+    with pytest.raises(ValueError, match="1-D"):
+        Trainer(cfg, mesh=mesh)
+
+
+def test_tp_rejects_wrong_mesh_tp_size():
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ppoc_tpu.algo.trainer import Trainer
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    cfg = PPOConfig(env="simple", n_envs=32, minibatch_size=32, eval_envs=32,
+                    rollout_len=15, hidden=(16, 16), tp_size=4)
+    with pytest.raises(ValueError, match="tp_size"):
+        Trainer(cfg, mesh=mesh)
+
+
+def test_host_trainer_rejects_env_count_mismatch():
+    pytest.importorskip("gymnasium")
+    from ppoc_tpu.envs.gym_bridge import GymVecEnv
+    from ppoc_tpu.envs.host import HostTrainer
+
+    cfg = PPOConfig(env="pendulum", n_envs=8, rollout_len=32, minibatch_size=16,
+                    eval_envs=4, eval_len=32, hidden=(16, 16))
+    venv = GymVecEnv("Pendulum-v1", 4)  # != cfg.n_envs
+    eval_venv = GymVecEnv("Pendulum-v1", 4)
+    with pytest.raises(ValueError, match="cfg.n_envs"):
+        HostTrainer(cfg, venv, eval_venv)
