@@ -98,3 +98,13 @@ def test_blob_checkpoint_loads_without_native(tmp_path, monkeypatch):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         jax.device_get(tr.state), jax.device_get(tr2.state),
     )
+
+
+def test_profiler_trace_writes_capture(tmp_path):
+    d = str(tmp_path / "trace")
+    with profiling.trace(d):
+        x = jnp.arange(128.0)
+        profiling.sync(jnp.sum(x * x))
+    import os
+    files = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
+    assert files, "profiler trace produced no capture files"
