@@ -494,8 +494,18 @@ def eval_metrics_from_traj(
         n_eps = jax.lax.psum(n_eps, axis_name)
         sum_j = jax.lax.psum(sum_j, axis_name)
         sum_r = jax.lax.psum(sum_r, axis_name)
-    denom = jnp.maximum(n_eps, 1.0)  # 0 completed episodes => J = R = 0
-    return EvalMetrics(J=sum_j / denom, R=sum_r / denom, episodes=n_eps)
+    denom = jnp.maximum(n_eps, 1.0)
+    # 0 completed episodes => J = R = -inf, NOT 0: for negative-return envs
+    # (pendulum/acrobot targets < 0) a 0 would read as instantly "solved"
+    # whenever eval_len < the env horizon; -inf keeps train_until/stop_at_R
+    # training instead.
+    none = n_eps == 0.0
+    neg_inf = jnp.float32(-jnp.inf)
+    return EvalMetrics(
+        J=jnp.where(none, neg_inf, sum_j / denom),
+        R=jnp.where(none, neg_inf, sum_r / denom),
+        episodes=n_eps,
+    )
 
 
 def evaluate(

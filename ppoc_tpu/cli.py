@@ -79,7 +79,15 @@ def config_from_args(args: argparse.Namespace) -> PPOConfig:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.checkpoint_every > 0 and not args.save:
+        parser.error("--checkpoint-every requires --save PATH (the "
+                     "checkpoint destination)")
+    if args.checkpoint_every > 0 and args.solve_R is not None:
+        print("warning: --checkpoint-every has no effect with --solve-R "
+              "(the solve loop is one device program; a checkpoint is "
+              "written at the end when --save is given)", file=sys.stderr)
     cfg = config_from_args(args)
 
     from ppoc_tpu.algo.trainer import Trainer  # deferred: imports jax

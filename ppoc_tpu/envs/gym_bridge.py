@@ -60,6 +60,18 @@ class GymVecEnv:
         obs_space, act_space = e0.observation_space, e0.action_space
         discrete = hasattr(act_space, "n")
         horizon = e0.spec.max_episode_steps or 1000
+        if not discrete:
+            # EnvSpec carries SCALAR action bounds; silently taking dim 0
+            # would mis-scale asymmetric Boxes (ADVICE r1 #4) — validate.
+            low = np.asarray(act_space.low, np.float32).reshape(-1)
+            high = np.asarray(act_space.high, np.float32).reshape(-1)
+            if not (np.all(low == low[0]) and np.all(high == high[0])):
+                raise ValueError(
+                    f"{env_id}: per-dimension action bounds differ "
+                    f"(low={low.tolist()}, high={high.tolist()}); EnvSpec "
+                    f"supports a single scalar bound pair — wrap the env with "
+                    f"a RescaleAction transform first"
+                )
         self.spec = EnvSpec(
             name=f"gym:{env_id}",
             obs_dim=int(np.prod(obs_space.shape)),

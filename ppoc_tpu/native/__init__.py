@@ -24,7 +24,8 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
-ENV_IDS = {"simple": 0, "pendulum": 1, "cartpole": 2, "mountain_car": 3}
+ENV_IDS = {"simple": 0, "pendulum": 1, "cartpole": 2, "mountain_car": 3,
+           "acrobot": 4, "reacher": 5}
 
 
 def _build() -> bool:

@@ -53,10 +53,12 @@ static inline float uniform(uint64_t* s, float lo, float hi) {
 // ---------------------------------------------------------------------------
 
 enum EnvId {
-  ENV_SIMPLE = 0,      // 1-D integrator (src/env.c:15-33)
-  ENV_PENDULUM = 1,    // Pendulum-v1 classic-control physics
-  ENV_CARTPOLE = 2,    // CartPole-v1
-  ENV_MOUNTAIN_CAR = 3 // MountainCarContinuous-v0
+  ENV_SIMPLE = 0,       // 1-D integrator (src/env.c:15-33)
+  ENV_PENDULUM = 1,     // Pendulum-v1 classic-control physics
+  ENV_CARTPOLE = 2,     // CartPole-v1
+  ENV_MOUNTAIN_CAR = 3, // MountainCarContinuous-v0
+  ENV_ACROBOT = 4,      // Acrobot-v1 (book dynamics, RK4)
+  ENV_REACHER = 5       // in-repo two-link reacher (envs/reacher.py)
 };
 
 static inline float angle_normalize(float x) {
@@ -74,6 +76,8 @@ int ppoc_env_state_dim(int env_id) {
     case ENV_PENDULUM: return 2;      // theta, theta_dot
     case ENV_CARTPOLE: return 4;
     case ENV_MOUNTAIN_CAR: return 2;  // position, velocity
+    case ENV_ACROBOT: return 4;       // th1, th2, dth1, dth2
+    case ENV_REACHER: return 6;       // q1, q2, qd1, qd2, target x, target y
     default: return -1;
   }
 }
@@ -84,6 +88,8 @@ int ppoc_env_obs_dim(int env_id) {
     case ENV_PENDULUM: return 3;      // cos, sin, theta_dot
     case ENV_CARTPOLE: return 4;
     case ENV_MOUNTAIN_CAR: return 2;
+    case ENV_ACROBOT: return 6;       // cos/sin th1, cos/sin th2, dth1, dth2
+    case ENV_REACHER: return 10;
     default: return -1;
   }
 }
@@ -94,6 +100,8 @@ int ppoc_env_action_dim(int env_id) {
     case ENV_PENDULUM: return 1;
     case ENV_CARTPOLE: return 1;      // discrete {0,1}, passed as float
     case ENV_MOUNTAIN_CAR: return 1;
+    case ENV_ACROBOT: return 1;       // discrete {0,1,2}, passed as float
+    case ENV_REACHER: return 2;
     default: return -1;
   }
 }
@@ -104,8 +112,41 @@ int ppoc_env_horizon(int env_id) {
     case ENV_PENDULUM: return 200;
     case ENV_CARTPOLE: return 500;
     case ENV_MOUNTAIN_CAR: return 999;
+    case ENV_ACROBOT: return 500;
+    case ENV_REACHER: return 150;
     default: return -1;
   }
+}
+
+// Acrobot book dynamics (mirrors envs/acrobot.py:_dsdt exactly, float32
+// op-for-op so the JAX lockstep oracle test holds to tight tolerance).
+static void acrobot_dsdt(const float s[5], float out[5]) {
+  const float m1 = 1.0f, m2 = 1.0f, l1 = 1.0f, lc1 = 0.5f, lc2 = 0.5f;
+  const float i1 = 1.0f, i2 = 1.0f, g = 9.8f;
+  float theta1 = s[0], theta2 = s[1], dtheta1 = s[2], dtheta2 = s[3], a = s[4];
+  float c2 = cosf(theta2), s2 = sinf(theta2);
+  float d1 = m1 * lc1 * lc1 + m2 * (l1 * l1 + lc2 * lc2 + 2.0f * l1 * lc2 * c2)
+           + i1 + i2;
+  float d2 = m2 * (lc2 * lc2 + l1 * lc2 * c2) + i2;
+  float phi2 = m2 * lc2 * g * cosf(theta1 + theta2 - (float)M_PI / 2.0f);
+  float phi1 = -m2 * l1 * lc2 * dtheta2 * dtheta2 * s2
+             - 2.0f * m2 * l1 * lc2 * dtheta2 * dtheta1 * s2
+             + (m1 * lc1 + m2 * l1) * g * cosf(theta1 - (float)M_PI / 2.0f)
+             + phi2;
+  float ddtheta2 = (a + d2 / d1 * phi1 - m2 * l1 * lc2 * dtheta1 * dtheta1 * s2
+                  - phi2)
+                 / (m2 * lc2 * lc2 + i2 - d2 * d2 / d1);
+  float ddtheta1 = -(d2 * ddtheta2 + phi1) / d1;
+  out[0] = dtheta1; out[1] = dtheta2; out[2] = ddtheta1; out[3] = ddtheta2;
+  out[4] = 0.0f;
+}
+
+// Python-modulo wrap into [lo, hi) (envs/acrobot.py:_wrap).
+static inline float wrap_pm(float x, float lo, float hi) {
+  float diff = hi - lo;
+  float y = fmodf(x - lo, diff);
+  if (y < 0) y += diff;
+  return y + lo;
 }
 
 // Observation from state ----------------------------------------------------
@@ -126,6 +167,31 @@ static void obs_from_state(int env_id, const float* st, float* obs) {
     case ENV_MOUNTAIN_CAR:
       memcpy(obs, st, 2 * sizeof(float));
       break;
+    case ENV_ACROBOT:
+      obs[0] = cosf(st[0]);
+      obs[1] = sinf(st[0]);
+      obs[2] = cosf(st[1]);
+      obs[3] = sinf(st[1]);
+      obs[4] = st[2];
+      obs[5] = st[3];
+      break;
+    case ENV_REACHER: {
+      // [cos q1, cos q2, sin q1, sin q2, qd/MAX_SPEED, target, tip - target]
+      const float L1 = 0.5f, L2 = 0.5f, MAX_SPEED = 4.0f;
+      float tipx = L1 * cosf(st[0]) + L2 * cosf(st[0] + st[1]);
+      float tipy = L1 * sinf(st[0]) + L2 * sinf(st[0] + st[1]);
+      obs[0] = cosf(st[0]);
+      obs[1] = cosf(st[1]);
+      obs[2] = sinf(st[0]);
+      obs[3] = sinf(st[1]);
+      obs[4] = st[2] / MAX_SPEED;
+      obs[5] = st[3] / MAX_SPEED;
+      obs[6] = st[4];
+      obs[7] = st[5];
+      obs[8] = tipx - st[4];
+      obs[9] = tipy - st[5];
+      break;
+    }
   }
 }
 
@@ -154,6 +220,23 @@ void ppoc_env_reset(int env_id, int n, uint64_t seed,
         st[0] = uniform(&rng, -0.6f, -0.4f);
         st[1] = 0.0f;
         break;
+      case ENV_ACROBOT:
+        for (int k = 0; k < 4; ++k) st[k] = uniform(&rng, -0.1f, 0.1f);
+        break;
+      case ENV_REACHER: {
+        // q ~ U(-pi, pi); qd = 0; target in the reachable annulus
+        // (envs/reacher.py:_reset)
+        const float L1 = 0.5f, L2 = 0.5f;
+        st[0] = uniform(&rng, -(float)M_PI, (float)M_PI);
+        st[1] = uniform(&rng, -(float)M_PI, (float)M_PI);
+        st[2] = 0.0f;
+        st[3] = 0.0f;
+        float radius = uniform(&rng, 0.1f, 0.9f * (L1 + L2));
+        float angle = uniform(&rng, -(float)M_PI, (float)M_PI);
+        st[4] = radius * cosf(angle);
+        st[5] = radius * sinf(angle);
+        break;
+      }
     }
     steps[i] = 0;
     obs_from_state(env_id, st, obs + (size_t)i * od);
@@ -245,6 +328,58 @@ void ppoc_env_step(int env_id, int n,
         reward[i] = (term ? 100.0f : 0.0f) - 0.1f * a[0] * a[0];
         st[0] = pos;
         st[1] = vel;
+        break;
+      }
+      case ENV_ACROBOT: {
+        // envs/acrobot.py:_step — torque in {-1,0,+1} by action index, one
+        // RK4 step of the augmented 5-state, wrap angles, clip velocities.
+        const float DT = 0.2f;
+        const float MAX_VEL_1 = 4.0f * (float)M_PI, MAX_VEL_2 = 9.0f * (float)M_PI;
+        float torque = (float)((int)(a[0] + 0.5f) - 1);
+        float s_aug[5] = {st[0], st[1], st[2], st[3], torque};
+        float k1[5], k2[5], k3[5], k4[5], tmp[5];
+        acrobot_dsdt(s_aug, k1);
+        for (int k = 0; k < 5; ++k) tmp[k] = s_aug[k] + DT / 2.0f * k1[k];
+        acrobot_dsdt(tmp, k2);
+        for (int k = 0; k < 5; ++k) tmp[k] = s_aug[k] + DT / 2.0f * k2[k];
+        acrobot_dsdt(tmp, k3);
+        for (int k = 0; k < 5; ++k) tmp[k] = s_aug[k] + DT * k3[k];
+        acrobot_dsdt(tmp, k4);
+        for (int k = 0; k < 4; ++k)
+          st[k] = s_aug[k] + DT / 6.0f * (k1[k] + 2.0f * k2[k] + 2.0f * k3[k] + k4[k]);
+        st[0] = wrap_pm(st[0], -(float)M_PI, (float)M_PI);
+        st[1] = wrap_pm(st[1], -(float)M_PI, (float)M_PI);
+        if (st[2] > MAX_VEL_1) st[2] = MAX_VEL_1;
+        if (st[2] < -MAX_VEL_1) st[2] = -MAX_VEL_1;
+        if (st[3] > MAX_VEL_2) st[3] = MAX_VEL_2;
+        if (st[3] < -MAX_VEL_2) st[3] = -MAX_VEL_2;
+        term = (-cosf(st[0]) - cosf(st[1] + st[0])) > 1.0f;
+        reward[i] = term ? 0.0f : -1.0f;
+        break;
+      }
+      case ENV_REACHER: {
+        // envs/reacher.py:_step — damped double integrator per joint,
+        // reward = -dist(tip, target) - 0.01 * |u|^2, truncation-only.
+        const float L1 = 0.5f, L2 = 0.5f, DT = 0.05f, DAMPING = 0.5f;
+        const float ACCEL_GAIN = 8.0f, MAX_TORQUE = 1.0f, MAX_SPEED = 4.0f;
+        float u0 = a[0] < -MAX_TORQUE ? -MAX_TORQUE
+                                      : (a[0] > MAX_TORQUE ? MAX_TORQUE : a[0]);
+        float u1 = a[1] < -MAX_TORQUE ? -MAX_TORQUE
+                                      : (a[1] > MAX_TORQUE ? MAX_TORQUE : a[1]);
+        float qd0 = st[2] + (ACCEL_GAIN * u0 - DAMPING * st[2]) * DT;
+        float qd1 = st[3] + (ACCEL_GAIN * u1 - DAMPING * st[3]) * DT;
+        if (qd0 > MAX_SPEED) qd0 = MAX_SPEED;
+        if (qd0 < -MAX_SPEED) qd0 = -MAX_SPEED;
+        if (qd1 > MAX_SPEED) qd1 = MAX_SPEED;
+        if (qd1 < -MAX_SPEED) qd1 = -MAX_SPEED;
+        st[0] += qd0 * DT;
+        st[1] += qd1 * DT;
+        st[2] = qd0;
+        st[3] = qd1;
+        float tipx = L1 * cosf(st[0]) + L2 * cosf(st[0] + st[1]);
+        float tipy = L1 * sinf(st[0]) + L2 * sinf(st[0] + st[1]);
+        float dx = tipx - st[4], dy = tipy - st[5];
+        reward[i] = -sqrtf(dx * dx + dy * dy) - 0.01f * (u0 * u0 + u1 * u1);
         break;
       }
     }

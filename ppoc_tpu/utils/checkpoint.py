@@ -111,8 +111,17 @@ def save(path: str, cfg, spec, state) -> None:
         if native.available():
             native.write_blob(path, data)
             return
-    except Exception:
-        pass
+    except (ImportError, OSError) as e:
+        # plain-format fallback is legitimate when the C++ lib is absent or
+        # its write fails, but must be VISIBLE so container regressions
+        # don't hide (ADVICE r1 #3)
+        import warnings
+
+        warnings.warn(
+            f"native CRC checkpoint container unavailable ({e!r}); "
+            f"writing plain format",
+            stacklevel=2,
+        )
     with open(path, "wb") as f:
         f.write(data)
 

@@ -14,7 +14,9 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from ppoc_tpu import envs, native  # noqa: E402
-from ppoc_tpu.envs import cartpole, mountain_car, pendulum, simple  # noqa: E402
+from ppoc_tpu.envs import (  # noqa: E402
+    acrobot, cartpole, mountain_car, pendulum, reacher, simple,
+)
 
 pytestmark = pytest.mark.skipif(
     not native.available(), reason="native library unavailable (no g++)"
@@ -44,10 +46,22 @@ def _jax_states(name, n, key):
     if name == "simple":
         s = np.zeros(n, np.float32)
         return simple.SimpleState(jnp.asarray(s), zi), s[:, None]
+    if name == "acrobot":
+        s = rng.uniform(-0.1, 0.1, (n, 4)).astype(np.float32)
+        return acrobot.AcrobotState(jnp.asarray(s), zi), s
+    if name == "reacher":
+        q = rng.uniform(-np.pi, np.pi, (n, 2)).astype(np.float32)
+        qd = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+        tgt = rng.uniform(-0.8, 0.8, (n, 2)).astype(np.float32)
+        return reacher.ReacherState(
+            jnp.asarray(q), jnp.asarray(qd), jnp.asarray(tgt), zi
+        ), np.concatenate([q, qd, tgt], 1)
     raise KeyError(name)
 
 
-@pytest.mark.parametrize("name", ["pendulum", "cartpole", "mountain_car", "simple"])
+@pytest.mark.parametrize(
+    "name", ["pendulum", "cartpole", "mountain_car", "simple", "acrobot", "reacher"]
+)
 def test_native_matches_jax_physics(name):
     env = envs.make(name)
     jstate, nstate = _jax_states(name, N, jax.random.PRNGKey(0))

@@ -177,7 +177,8 @@ def test_eval_metrics_exclude_windowcut_episodes():
 
 
 def test_eval_metrics_zero_completed_episodes():
-    """No completed episode => episodes=0 and finite metrics (no div by 0)."""
+    """No completed episode => episodes=0 and R = J = -inf (NOT 0, which for
+    negative-return envs would read as instantly solved; ADVICE r1 #1)."""
     T, E = 4, 2
     traj = ppo.Transition(
         obs=jnp.zeros((T, E, 2)), action=jnp.zeros((T, E, 1)),
@@ -187,4 +188,5 @@ def test_eval_metrics_zero_completed_episodes():
     )
     m = ppo.eval_metrics_from_traj(traj, gamma=0.99)
     assert float(m.episodes) == 0.0
-    assert np.isfinite(float(m.R)) and np.isfinite(float(m.J))
+    assert float(m.R) == -np.inf and float(m.J) == -np.inf
+    assert not np.isnan(float(m.R)) and not np.isnan(float(m.J))
