@@ -280,6 +280,7 @@ class Trainer:
         stop_at_R: Optional[float] = None,
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 1,
+        initial_eval: bool = True,
     ) -> List[Dict[str, Any]]:
         """Full training run; returns per-epoch metric dicts.
 
@@ -287,16 +288,21 @@ class Trainer:
         reaches the threshold (used by the solve-time benchmark).
         ``checkpoint_path`` enables a mid-training checkpoint every
         ``checkpoint_every`` epochs (full optimization state incl. Adam
-        m/v/t; the reference only saves at the very end, src/main.c:58).
-        NOTE: the trainer's PRNG position and any persistent env state are
-        not part of the checkpoint, so a resumed run optimizes from the
-        saved state but does not replay the interrupted run bit-for-bit.
+        m/v/t AND the trainer PRNG key; the reference only saves at the
+        very end, src/main.c:58).  Checkpoints are written right after the
+        per-epoch evaluation, so resuming with
+        ``Trainer.from_checkpoint(path).train(..., initial_eval=False)``
+        replays the remaining epochs bit-for-bit (tests/test_resume.py) —
+        ``initial_eval=False`` skips the pre-training evaluation (and its
+        PRNG split) that the interrupted run already consumed.
         """
         n_epochs = self.cfg.n_epochs if n_epochs is None else n_epochs
         history: List[Dict[str, Any]] = []
-        m0 = self.evaluate()
-        if log:
-            print(f"J: {m0.J:f} R: {m0.R:f} Episodes: {int(m0.episodes)}", flush=True)
+        if initial_eval:
+            m0 = self.evaluate()
+            if log:
+                print(f"J: {m0.J:f} R: {m0.R:f} Episodes: {int(m0.episodes)}",
+                      flush=True)
         for i in range(n_epochs):
             tic = time.perf_counter()
             fit_metrics = self.train_epoch()
@@ -389,7 +395,7 @@ class Trainer:
         state = self.state
         if self.cfg.tp_size > 1:
             state = self._tp_unshard(jax.device_get(state))
-        checkpoint.save(path, self.cfg, self.env.spec, state)
+        checkpoint.save(path, self.cfg, self.env.spec, state, key=self.key)
 
     def load(self, path: str) -> None:
         from ppoc_tpu.utils import checkpoint
@@ -399,5 +405,39 @@ class Trainer:
             template = self._tp_unshard(jax.device_get(self.state))
         else:
             template = self.state
-        _, _, state = checkpoint.load(path, template=template)
-        self.state = self._tp_pack(state) if self.cfg.tp_size > 1 else state
+        ck = checkpoint.load(path, template=template)
+        self.state = self._tp_pack(ck.state) if self.cfg.tp_size > 1 else ck.state
+        if ck.key is not None:
+            self.key = ck.key
+
+    @classmethod
+    def from_checkpoint(cls, path: str, mesh: Optional[Mesh] = None,
+                        **overrides) -> "Trainer":
+        """Rebuild a complete Trainer — config, env, nets, all three Adam
+        states, trainer PRNG position — from the checkpoint file alone.
+
+        Parity with the reference's load_ppo, which reconstructs the whole
+        PPO struct and rewires the optimizers from the file
+        (src/ppo.cu:610-648).  ``overrides`` replace config fields for the
+        new run (e.g. a different mesh/backend on the restore host) — fields
+        that change parameter shapes (hidden, env) will fail validation.
+        Requires a version-3 checkpoint (written by this version's save).
+        """
+        from ppoc_tpu.utils import checkpoint
+
+        ck = checkpoint.load(path)
+        if ck.cfg is None:
+            raise ValueError(
+                f"{path}: version-2 checkpoint has no embedded config; "
+                f"construct Trainer(cfg) with the original config and call "
+                f".load(path) instead"
+            )
+        cfg = ck.cfg.replace(**overrides) if overrides else ck.cfg
+        tr = cls(cfg, mesh=mesh)
+        template = (tr._tp_unshard(jax.device_get(tr.state))
+                    if cfg.tp_size > 1 else tr.state)
+        checkpoint._check_template(ck.state, template)
+        tr.state = tr._tp_pack(ck.state) if cfg.tp_size > 1 else ck.state
+        if ck.key is not None:
+            tr.key = ck.key
+        return tr

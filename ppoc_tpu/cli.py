@@ -28,7 +28,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint path written after training "
                         "(reference: ppo_model.bin, src/main.c:58)")
     p.add_argument("--load", metavar="PATH", default=None,
-                   help="checkpoint to resume from before training")
+                   help="checkpoint to load weights/optimizers from before "
+                        "training (config comes from the flags)")
+    p.add_argument("--resume", metavar="PATH", default=None,
+                   help="rebuild the trainer ENTIRELY from a checkpoint "
+                        "(config + state + RNG position, "
+                        "Trainer.from_checkpoint) and continue training "
+                        "bit-exactly; other config flags are ignored")
     p.add_argument("--eval-only", action="store_true",
                    help="evaluate (optionally after --load) and exit")
     p.add_argument("--stop-at-R", type=float, default=None,
@@ -97,9 +103,13 @@ def main(argv=None) -> int:
         from ppoc_tpu.parallel import make_mesh
         mesh = make_mesh(args.mesh)
 
-    trainer = Trainer(cfg, mesh=mesh)
-    if args.load:
-        trainer.load(args.load)
+    if args.resume:
+        trainer = Trainer.from_checkpoint(args.resume, mesh=mesh)
+        cfg = trainer.cfg
+    else:
+        trainer = Trainer(cfg, mesh=mesh)
+        if args.load:
+            trainer.load(args.load)
 
     if args.eval_only:
         m = trainer.evaluate()
@@ -118,7 +128,12 @@ def main(argv=None) -> int:
     if args.save and args.checkpoint_every > 0:
         ckpt_kw = dict(checkpoint_path=args.save,
                        checkpoint_every=args.checkpoint_every)
-    history = trainer.train(log=not args.jsonl, stop_at_R=args.stop_at_R, **ckpt_kw)
+    if args.resume and args.n_epochs is not None:
+        # config flags are otherwise ignored on --resume, but an explicit
+        # --n-epochs means "train this many MORE epochs"
+        ckpt_kw["n_epochs"] = args.n_epochs
+    history = trainer.train(log=not args.jsonl, stop_at_R=args.stop_at_R,
+                            initial_eval=not args.resume, **ckpt_kw)
     if args.jsonl:
         for row in history:
             print(json.dumps(row), flush=True)

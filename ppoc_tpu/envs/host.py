@@ -208,8 +208,15 @@ class HostTrainer:
 
     def save(self, path: str) -> None:
         from ppoc_tpu.utils import checkpoint
-        checkpoint.save(path, self.cfg, self.env.spec, self.state)
+        checkpoint.save(path, self.cfg, self.env.spec, self.state, key=self.key)
 
     def load(self, path: str) -> None:
+        """Restore optimizer state + PRNG key.  NOTE: unlike the device
+        Trainer, host envs (live Gymnasium objects) are not serializable, so
+        a resumed host run continues from fresh env resets — optimization
+        state is exact, the env stream is not."""
         from ppoc_tpu.utils import checkpoint
-        _, _, self.state = checkpoint.load(path, template=self.state)
+        ck = checkpoint.load(path, template=self.state)
+        self.state = ck.state
+        if ck.key is not None:
+            self.key = ck.key

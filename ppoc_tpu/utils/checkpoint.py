@@ -8,18 +8,35 @@ the reference's field order (hyperparams -> dims -> policy -> V -> 3 Adams;
 Adam state flattened in (W0, b0, W1, b1, ...) order as in
 create_adam_from_nn, src/adam.cu:25-42) but is versioned, unlike the
 reference's raw struct dump.
+
+Version 3 additionally embeds the FULL PPOConfig (JSON) and the trainer's
+PRNG key, making the file self-describing: ``Trainer.from_checkpoint(path)``
+rebuilds env, nets, optimizers and RNG position from the file alone — parity
+with load_ppo reconstructing the whole PPO struct (src/ppo.cu:610-648) —
+and an interrupted run resumes bit-for-bit (see tests/test_resume.py).
+Version 2 files (no config/key) still load via the template path.
 """
 from __future__ import annotations
 
 import struct
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 MAGIC = b"PPOC"
-VERSION = 2
+VERSION = 3
+
+
+class Checkpoint(NamedTuple):
+    """Everything a checkpoint file holds.  ``cfg``/``key`` are None for
+    version-2 files (saved before they were recorded)."""
+    hyperparams: Dict[str, float]
+    dims: Dict[str, Any]
+    state: Any               # algo.ppo.TrainState
+    cfg: Optional[Any]       # ppoc_tpu.config.PPOConfig
+    key: Optional[jax.Array] # trainer PRNG key at save time
 
 
 def _w(f, fmt, *vals):
@@ -93,8 +110,9 @@ def _unflat_adam(m: np.ndarray, v: np.ndarray, t: int, params):
     )
 
 
-def save(path: str, cfg, spec, state) -> None:
-    """Serialize cfg hyperparams + env dims + TrainState to ``path``.
+def save(path: str, cfg, spec, state, key=None) -> None:
+    """Serialize cfg (full config JSON) + env dims + TrainState + trainer
+    PRNG ``key`` to ``path``.
 
     When the C++ host runtime is available the payload is written through
     its checksummed blob container (CRC32 verified on load; the reference's
@@ -104,7 +122,7 @@ def save(path: str, cfg, spec, state) -> None:
     import io
 
     buf = io.BytesIO()
-    _save_stream(buf, cfg, spec, state)
+    _save_stream(buf, cfg, spec, state, key)
     data = buf.getvalue()
     try:
         from ppoc_tpu import native
@@ -126,10 +144,34 @@ def save(path: str, cfg, spec, state) -> None:
         f.write(data)
 
 
-def _save_stream(f, cfg, spec, state) -> None:
+def _key_data(key) -> np.ndarray:
+    """Raw uint32 words of a PRNG key (handles both old-style uint32 arrays
+    and new-style typed keys)."""
+    try:
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            key = jax.random.key_data(key)
+    except (AttributeError, TypeError):
+        pass
+    return np.asarray(jax.device_get(key), np.uint32).reshape(-1)
+
+
+def _save_stream(f, cfg, spec, state, key=None, version: int = VERSION) -> None:
+    import dataclasses
+    import json
+
     state = jax.device_get(state)
     f.write(MAGIC)
-    _w(f, "i", VERSION)
+    _w(f, "i", version)
+    if version >= 3:
+        # self-description: the FULL config as JSON + the trainer PRNG key,
+        # so Trainer.from_checkpoint needs nothing but the file (parity with
+        # load_ppo rebuilding the whole PPO, src/ppo.cu:610-648)
+        blob = json.dumps(dataclasses.asdict(cfg)).encode("utf-8")
+        _w(f, "i", len(blob))
+        f.write(blob)
+        kd = _key_data(key) if key is not None else np.zeros(0, np.uint32)
+        _w(f, "i", kd.size)
+        f.write(kd.tobytes())
     # hyperparams, reference field order (src/ppo.cu:588-592)
     _w(f, "fffff", cfg.lam, cfg.clip_eps, cfg.ent_coeff, cfg.lr_policy, cfg.lr_v)
     # dims (src/ppo.cu:594-596); "capacity" = steps per fit
@@ -191,8 +233,9 @@ def _check_template(state, template) -> None:
             )
 
 
-def load(path: str, template=None):
-    """Load a checkpoint.  Returns (hyperparams dict, dims dict, TrainState).
+def load(path: str, template=None) -> Checkpoint:
+    """Load a checkpoint.  Returns a :class:`Checkpoint` (hyperparams, dims,
+    state, cfg, key) — cfg/key are None for version-2 files.
 
     Accepts both containers: the CRC-checked native blob (detected by its
     length header) and the plain file (starts directly with the magic).
@@ -215,15 +258,30 @@ def load(path: str, template=None):
     return _load_stream(io.BytesIO(data), template)
 
 
-def _load_stream(f, template=None):
+def _load_stream(f, template=None) -> Checkpoint:
+    import json
+
     from ppoc_tpu.algo.ppo import TrainState
 
     magic = f.read(4)
     if magic != MAGIC:
         raise ValueError(f"not a ppoc_tpu checkpoint: bad magic {magic!r}")
     version = _r(f, "i")
-    if version != VERSION:
+    if version not in (2, VERSION):
         raise ValueError(f"unsupported checkpoint version {version}")
+    cfg = key = None
+    if version >= 3:
+        from ppoc_tpu.config import PPOConfig
+
+        blob = f.read(_r(f, "i"))
+        d = json.loads(blob.decode("utf-8"))
+        d["hidden"] = tuple(d["hidden"])
+        cfg = PPOConfig(**d)
+        nk = _r(f, "i")
+        if nk:
+            key = jnp.asarray(
+                np.frombuffer(f.read(4 * nk), dtype=np.uint32).copy()
+            )
     lam, clip_eps, ent_coeff, lr_policy, lr_v = _r(f, "fffff")
     obs_dim, action_dim, capacity = _r(f, "iii")
     discrete = bool(_r(f, "i"))
@@ -252,4 +310,4 @@ def _load_stream(f, template=None):
                 discrete=discrete)
     if template is not None:
         _check_template(state, template)
-    return hp, dims, state
+    return Checkpoint(hp, dims, state, cfg, key)
