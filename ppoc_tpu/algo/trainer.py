@@ -63,8 +63,23 @@ class Trainer:
         k_init, self.key = jax.random.split(self.key)
         full_state = ppo.init_train_state(cfg, self.env, k_init)
 
+        # state <-> checkpoint converters; tp/pp modes override these with
+        # their shard packers so save/load always sees the logical layout
+        self._pack_state = lambda s: s
+        self._unshard_state = lambda s: s
+
+        if cfg.tp_size > 1 and cfg.pp_size > 1:
+            raise ValueError(
+                "tp_size and pp_size cannot both exceed 1: pick tensor OR "
+                "pipeline sharding for the model axis"
+            )
         if cfg.tp_size > 1:
             self._init_tp(full_state, mesh)
+            self._solve_fn = None
+            self._solve_args = None
+            return
+        if cfg.pp_size > 1:
+            self._init_pp(full_state, mesh)
             self._solve_fn = None
             self._solve_args = None
             return
@@ -227,6 +242,8 @@ class Trainer:
         )
         self._tp_pack = pack_state
         self._tp_ctx = (dp_size, unpack_local, repack_local)
+        self._pack_state = pack_state
+        self._unshard_state = lambda s: self._tp_unshard(s)
 
         def epoch_local(ts_packed, key):
             ts2, metrics = ppo.train_epoch(
@@ -259,6 +276,187 @@ class Trainer:
             out_specs=P(),
         ))
         self.backend = tp_backend
+        self.state = pack_state(full_state)
+
+    # -- pipeline-parallel mode (2-D dp x pp mesh) --------------------------
+
+    def _init_pp(self, full_state: ppo.TrainState, mesh: Optional[Mesh]):
+        """Build the (dp, pp) mesh, pack both MLPs into per-stage padded
+        layer stacks (parallel/pp.py StageParams, placed P("pp")), and wrap
+        train/eval in shard_map.
+
+        Inside the mesh, rollouts and minibatches shard over 'dp' exactly as
+        in pure data parallelism; every MLP forward/backward runs the GPipe
+        microbatch pipeline over 'pp' — activations ride ppermute between
+        stages, gradients arrive per-stage, and the three Adam states update
+        stage-locally (padded-lane gradients are identically zero).
+        Integration standard mirrors _init_tp (VERDICT r1 next #1).
+        """
+        import numpy as np
+
+        from ppoc_tpu.parallel import pp as pp_mod
+
+        cfg = self.cfg
+        S = cfg.pp_size
+        n_layers = len(cfg.hidden) + 1
+        if n_layers % S:
+            raise ValueError(
+                f"{n_layers} MLP layers (hidden={cfg.hidden}) do not "
+                f"partition into pp_size={S} contiguous stages"
+            )
+        if mesh is None:
+            devices = jax.devices()
+            if len(devices) % S:
+                raise ValueError(
+                    f"{len(devices)} devices not divisible by pp_size {S}"
+                )
+            dp_size = len(devices) // S
+            mesh = Mesh(np.asarray(devices).reshape(dp_size, S),
+                        (cfg.mesh_axis, "pp"))
+        else:
+            if mesh.axis_names != (cfg.mesh_axis, "pp"):
+                raise ValueError(
+                    f"pp mode needs a ({cfg.mesh_axis!r}, 'pp') mesh, got "
+                    f"{mesh.axis_names}"
+                )
+            if mesh.shape["pp"] != S:
+                raise ValueError(
+                    f"mesh 'pp' axis has {mesh.shape['pp']} devices but "
+                    f"cfg.pp_size is {S}"
+                )
+            dp_size = mesh.shape[cfg.mesh_axis]
+        self.mesh = mesh
+        M = cfg.pp_microbatches or S
+        for nm, val in (("n_envs", cfg.n_envs),
+                        ("minibatch_size", cfg.minibatch_size),
+                        ("eval_envs", cfg.eval_envs)):
+            if val % dp_size or (val // dp_size) % M:
+                raise ValueError(
+                    f"{nm} ({val}) must divide the dp size ({dp_size}) and "
+                    f"its per-device share must divide {M} microbatches"
+                )
+        pp_backend = f"pp:pp:{M}"
+
+        def pack_list(lst):
+            return pp_mod.pack_pp(lst, S)[0]
+
+        def pack_moment(lst):
+            # Adam m/v follow the StageParams layout, but their 'act' child
+            # must be ZERO (pack_pp fills it with the structural activation
+            # flags): act gradients are identically zero, so zero moments
+            # keep the activation mask frozen under the per-leaf update.
+            sp = pp_mod.pack_pp(lst, S)[0]
+            return pp_mod.StageParams(
+                sp.w, sp.b, jnp.zeros_like(sp.act), sp.widths
+            )
+
+        def pack_state(ts: ppo.TrainState) -> ppo.TrainState:
+            pol = dict(ts.policy_params)
+            pol["mlp"] = pack_list(ts.policy_params["mlp"])
+            return ppo.TrainState(
+                policy_params=pol,
+                v_params=pack_list(ts.v_params),
+                opt_policy=ts.opt_policy._replace(
+                    m=pack_moment(ts.opt_policy.m), v=pack_moment(ts.opt_policy.v)),
+                opt_v=ts.opt_v._replace(
+                    m=pack_moment(ts.opt_v.m), v=pack_moment(ts.opt_v.v)),
+                opt_log_std=ts.opt_log_std,
+            )
+
+        mlp_spec = pp_mod.pack_pp(full_state.policy_params["mlp"], S)[1]
+        v_spec = pp_mod.pack_pp(full_state.v_params, S)[1]
+        pol_spec = {k: P() for k in full_state.policy_params}
+        pol_spec["mlp"] = mlp_spec
+        self._state_spec = ppo.TrainState(
+            policy_params=pol_spec,
+            v_params=v_spec,
+            opt_policy=full_state.opt_policy._replace(
+                m=mlp_spec, v=mlp_spec, t=P()),
+            opt_v=full_state.opt_v._replace(m=v_spec, v=v_spec, t=P()),
+            opt_log_std=jax.tree.map(lambda _: P(), full_state.opt_log_std),
+        )
+
+        def unpack_local(ts: ppo.TrainState) -> ppo.TrainState:
+            pol = dict(ts.policy_params)
+            pol["mlp"] = pp_mod.unpack_pp_local(ts.policy_params["mlp"])
+            return ppo.TrainState(
+                policy_params=pol,
+                v_params=pp_mod.unpack_pp_local(ts.v_params),
+                opt_policy=ts.opt_policy._replace(
+                    m=pp_mod.unpack_pp_local(ts.opt_policy.m),
+                    v=pp_mod.unpack_pp_local(ts.opt_policy.v)),
+                opt_v=ts.opt_v._replace(
+                    m=pp_mod.unpack_pp_local(ts.opt_v.m),
+                    v=pp_mod.unpack_pp_local(ts.opt_v.v)),
+                opt_log_std=ts.opt_log_std,
+            )
+
+        def repack_local(ts: ppo.TrainState) -> ppo.TrainState:
+            pol = dict(ts.policy_params)
+            pol["mlp"] = pp_mod.repack_pp_local(ts.policy_params["mlp"])
+            return ppo.TrainState(
+                policy_params=pol,
+                v_params=pp_mod.repack_pp_local(ts.v_params),
+                opt_policy=ts.opt_policy._replace(
+                    m=pp_mod.repack_pp_local(ts.opt_policy.m),
+                    v=pp_mod.repack_pp_local(ts.opt_policy.v)),
+                opt_v=ts.opt_v._replace(
+                    m=pp_mod.repack_pp_local(ts.opt_v.m),
+                    v=pp_mod.repack_pp_local(ts.opt_v.v)),
+                opt_log_std=ts.opt_log_std,
+            )
+
+        def unshard(packed: ppo.TrainState) -> ppo.TrainState:
+            return ppo.TrainState(
+                policy_params={
+                    **packed.policy_params,
+                    "mlp": pp_mod.unshard_pp(packed.policy_params["mlp"]),
+                },
+                v_params=pp_mod.unshard_pp(packed.v_params),
+                opt_policy=packed.opt_policy._replace(
+                    m=pp_mod.unshard_pp(packed.opt_policy.m),
+                    v=pp_mod.unshard_pp(packed.opt_policy.v)),
+                opt_v=packed.opt_v._replace(
+                    m=pp_mod.unshard_pp(packed.opt_v.m),
+                    v=pp_mod.unshard_pp(packed.opt_v.v)),
+                opt_log_std=packed.opt_log_std,
+            )
+
+        self._pack_state = pack_state
+        self._unshard_state = unshard
+        self._pp_ctx = (dp_size, unpack_local, repack_local)
+
+        def epoch_local(ts_packed, key):
+            ts2, metrics = ppo.train_epoch(
+                cfg, self.env, unpack_local(ts_packed), key,
+                axis_name=cfg.mesh_axis,
+                n_envs=cfg.n_envs // dp_size,
+                mb_size=cfg.minibatch_size // dp_size,
+                backend=pp_backend,
+            )
+            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "pp"), metrics)
+            return repack_local(ts2), metrics
+
+        def eval_local(pol_packed, key):
+            pol = dict(pol_packed)
+            pol["mlp"] = pp_mod.unpack_pp_local(pol_packed["mlp"])
+            m = ppo.evaluate(
+                cfg, self.env, pol, key, backend=pp_backend,
+                n_envs=cfg.eval_envs // dp_size, axis_name=cfg.mesh_axis,
+            )
+            return jax.tree.map(lambda v: jax.lax.pmean(v, "pp"), m)
+
+        self._train_epoch = jax.jit(_shard_map(
+            epoch_local, mesh,
+            in_specs=(self._state_spec, P()),
+            out_specs=(self._state_spec, P()),
+        ))
+        self._evaluate = jax.jit(_shard_map(
+            eval_local, mesh,
+            in_specs=(self._state_spec.policy_params, P()),
+            out_specs=P(),
+        ))
+        self.backend = pp_backend
         self.state = pack_state(full_state)
 
     # -- public API ---------------------------------------------------------
@@ -364,6 +562,29 @@ class Trainer:
                     in_specs=(self._state_spec, P()),
                     out_specs=(self._state_spec, P(), P()),
                 ))
+            elif self.cfg.pp_size > 1:
+                dp_size, unpack_local, repack_local = self._pp_ctx
+                cfg = self.cfg
+
+                def solve_local(ts_packed, key):
+                    ts, n, R = ppo.train_until(
+                        cfg, self.env, unpack_local(ts_packed), key,
+                        target_R=target_R, max_epochs=max_epochs,
+                        axis_name=cfg.mesh_axis,
+                        n_envs=cfg.n_envs // dp_size,
+                        mb_size=cfg.minibatch_size // dp_size,
+                        backend=self.backend,
+                        eval_envs=cfg.eval_envs // dp_size,
+                    )
+                    n = jax.lax.pmax(n, "pp")
+                    R = jax.lax.pmean(R, "pp")
+                    return repack_local(ts), n, R
+
+                self._solve_fn = jax.jit(_shard_map(
+                    solve_local, self.mesh,
+                    in_specs=(self._state_spec, P()),
+                    out_specs=(self._state_spec, P(), P()),
+                ))
             elif self.mesh is not None:
                 n_dev = self.mesh.size
                 local = functools.partial(
@@ -392,21 +613,18 @@ class Trainer:
     def save(self, path: str) -> None:
         from ppoc_tpu.utils import checkpoint
 
-        state = self.state
-        if self.cfg.tp_size > 1:
-            state = self._tp_unshard(jax.device_get(state))
+        # always serialize the logical (unsharded) layout, so tp/pp/plain
+        # checkpoints are interchangeable across trainer modes
+        state = self._unshard_state(jax.device_get(self.state))
         checkpoint.save(path, self.cfg, self.env.spec, state, key=self.key)
 
     def load(self, path: str) -> None:
         from ppoc_tpu.utils import checkpoint
 
-        if self.cfg.tp_size > 1:
-            # validate against the UNSHARDED view of the live packed state
-            template = self._tp_unshard(jax.device_get(self.state))
-        else:
-            template = self.state
+        # validate against the UNSHARDED view of the live state
+        template = self._unshard_state(jax.device_get(self.state))
         ck = checkpoint.load(path, template=template)
-        self.state = self._tp_pack(ck.state) if self.cfg.tp_size > 1 else ck.state
+        self.state = self._pack_state(ck.state)
         if ck.key is not None:
             self.key = ck.key
 
@@ -434,10 +652,9 @@ class Trainer:
             )
         cfg = ck.cfg.replace(**overrides) if overrides else ck.cfg
         tr = cls(cfg, mesh=mesh)
-        template = (tr._tp_unshard(jax.device_get(tr.state))
-                    if cfg.tp_size > 1 else tr.state)
+        template = tr._unshard_state(jax.device_get(tr.state))
         checkpoint._check_template(ck.state, template)
-        tr.state = tr._tp_pack(ck.state) if cfg.tp_size > 1 else ck.state
+        tr.state = tr._pack_state(ck.state)
         if ck.key is not None:
             tr.key = ck.key
         return tr

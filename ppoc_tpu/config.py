@@ -57,6 +57,13 @@ class PPOConfig:
     tp_size: int = 1              # tensor-parallel degree: shard the MLPs'
                                   # hidden dim over a second mesh axis "tp"
                                   # (parallel/tp.py); 1 = pure data parallel
+    pp_size: int = 1              # pipeline-parallel degree: partition the
+                                  # MLPs' layers into stages over a mesh axis
+                                  # "pp" with a GPipe microbatch schedule
+                                  # (parallel/pp.py); layer count
+                                  # (len(hidden)+1) must divide pp_size
+    pp_microbatches: int = 0      # GPipe microbatches per forward; 0 =
+                                  # pp_size (bubble fraction (S-1)/(M+S-1))
     norm_adv_global: bool = True  # normalize advantages over the whole buffer
                                   # (reference: src/ppo.cu:355-368)
     reset_per_fit: bool = True    # reference resets env at every collection

@@ -58,8 +58,10 @@ def apply(params: Params, x: jax.Array, activation: str = "relu", backend: str =
     """Forward pass on a batch ``x`` of shape [..., fan_in].
 
     Backends: "jnp" (XLA-fused), "pallas" (fused TPU kernels,
-    ops/pallas_mlp.py), or "tp:<axis>" (tensor-parallel forward on tp-local
-    param shards inside shard_map, parallel/tp.py).
+    ops/pallas_mlp.py), "tp:<axis>" (tensor-parallel forward on tp-local
+    param shards inside shard_map, parallel/tp.py), or "pp:<axis>[:M]"
+    (GPipe pipeline forward on the local StageParams inside shard_map,
+    parallel/pp.py).
     """
     if backend == "pallas":
         from ppoc_tpu.ops import pallas_mlp
@@ -69,6 +71,10 @@ def apply(params: Params, x: jax.Array, activation: str = "relu", backend: str =
         from ppoc_tpu.parallel import tp
 
         return tp.apply_tp(params, x, activation, backend[3:])
+    if backend.startswith("pp:"):
+        from ppoc_tpu.parallel import pp
+
+        return pp.apply_pp(params, x, activation, backend[3:])
     act = _ACTIVATIONS[activation]
     h = x
     for i, (w, b) in enumerate(params):

@@ -30,14 +30,22 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def type_varying(x, axis_name: str):
-    """Mark an array as device-varying over ``axis_name`` for shard_map's
-    varying-axes type system (jax version shim: pcast on new jax, pvary on
-    older). Shared by the rollout carry (algo/ppo.py) and the pipeline
-    schedule (parallel/pp.py)."""
+def type_varying(x, axis_name):
+    """Mark an array as device-varying over ``axis_name`` (a name or tuple
+    of names) for shard_map's varying-axes type system (jax version shim:
+    pcast on new jax, pvary on older). Shared by the rollout carry
+    (algo/ppo.py) and the pipeline schedule (parallel/pp.py)."""
+    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    try:
+        already = set(jax.typeof(x).vma)
+        axes = tuple(a for a in axes if a not in already)
+    except AttributeError:
+        pass
+    if not axes:
+        return x
     if hasattr(jax.lax, "pcast"):
-        return jax.lax.pcast(x, (axis_name,), to="varying")
-    return jax.lax.pvary(x, axis_name)
+        return jax.lax.pcast(x, axes, to="varying")
+    return jax.lax.pvary(x, axes)
 
 
 def initialize_distributed(

@@ -1,11 +1,20 @@
 """Pipeline parallelism for the MLP: layer partitioning + GPipe microbatches.
 
 The reference needs no PP (a 2-hidden-layer MLP, SURVEY.md §2a "not
-required"); this module demonstrates the strategy TPU-natively for deeper
+required"); this module provides the strategy TPU-natively for deeper
 stacks: layers partition into S contiguous stages over a ``pp`` mesh axis,
 microbatches stream through the S-stage pipeline with activations handed to
 the next stage by ``jax.lax.ppermute`` over ICI, and autodiff runs the
 reverse schedule automatically (ppermute transposes to the inverse shift).
+
+Training integration (PPOConfig(pp_size=N)): parameters live as
+:class:`StageParams` — per-stage zero-padded layer stacks placed P("pp") on
+a (dp, pp) mesh — consumed by ``models/mlp.apply`` through the
+``"pp:<axis>[:M]"`` backend inside shard_map.  Gradients arrive per-stage
+(stage-local Adam, no extra collectives: padded-lane gradients are
+identically zero so padded moments stay zero), and checkpoints store the
+UNSHARDED logical layers (``unshard_pp``), so pp/tp/single-device
+checkpoints are interchangeable.
 
 SPMD trick: every stage must execute the SAME program, so all layer weights
 are zero-padded to a common [W, W] square (W = max layer width).  Zero
@@ -137,9 +146,19 @@ def apply_pipeline(
         )
         return (h_next, out_buf), None
 
-    # initial carry must be typed device-varying over pp
-    h_init = type_varying(jnp.zeros((mb, wmax), x.dtype), axis_name)
-    out_init = type_varying(jnp.zeros((M, mb, wmax), x.dtype), axis_name)
+    # initial carry must be typed device-varying over pp AND over any other
+    # mesh axis the inputs vary over (e.g. dp when x is a per-device batch
+    # on a (dp, pp) mesh) — the scan carry's type must match the stepped
+    # carry, which inherits the inputs' varying axes.
+    axes = {axis_name}
+    for ref in (x, stage_w):
+        try:
+            axes |= set(jax.typeof(ref).vma)
+        except AttributeError:
+            pass
+    axes = tuple(sorted(axes))
+    h_init = type_varying(jnp.zeros((mb, wmax), x.dtype), axes)
+    out_init = type_varying(jnp.zeros((M, mb, wmax), x.dtype), axes)
     (_, out_buf), _ = jax.lax.scan(
         tick, (h_init, out_init), jnp.arange(M + S - 1)
     )
@@ -148,3 +167,99 @@ def apply_pipeline(
         jnp.where(stage == S - 1, out_buf, jnp.zeros_like(out_buf)), axis_name
     )
     return out_buf.reshape(total, wmax)[:, :out_dim]
+
+
+# --------------------------------------------------------------------------
+# Training integration: StageParams pytree + pack/unpack/unshard
+# --------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class StageParams:
+    """Pipeline-stage view of an MLP's parameters.
+
+    Array children: ``w`` (padded square layer stack), ``b``, ``act``
+    (1.0 where the hidden activation applies).  Packed form (host / mesh
+    placement) carries a leading [S] stage dim with spec P(pp_axis); the
+    local form (inside shard_map) has it stripped.  Static aux: ``widths``
+    — the logical layer-size list [d_in, h1, ..., out], from which the
+    padded width, per-stage layer count and output dim all derive, so
+    unsharding needs no external template.
+    """
+
+    def __init__(self, w, b, act, widths):
+        self.w, self.b, self.act = w, b, act
+        self.widths = tuple(widths)
+
+    def tree_flatten(self):
+        return (self.w, self.b, self.act), self.widths
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)
+
+    def __repr__(self):
+        return f"StageParams(widths={self.widths}, w={getattr(self.w, 'shape', self.w)})"
+
+
+def pack_pp(params: Params, pp_size: int, axis_name: str = "pp"):
+    """(packed StageParams, PartitionSpec StageParams) for mesh placement."""
+    from jax.sharding import PartitionSpec as P
+
+    widths = [params[0][0].shape[0]] + [w.shape[1] for w, _ in params]
+    stages = shard_stage_params(params, pp_size)
+    packed = StageParams(
+        jnp.stack([s[0] for s in stages]),
+        jnp.stack([s[1] for s in stages]),
+        jnp.stack([s[2] for s in stages]),
+        widths,
+    )
+    spec = StageParams(P(axis_name), P(axis_name), P(axis_name), widths)
+    return packed, spec
+
+
+def unpack_pp_local(sp: StageParams) -> StageParams:
+    """Strip the leading stage dim inside shard_map (local stage view)."""
+    return StageParams(sp.w[0], sp.b[0], sp.act[0], sp.widths)
+
+
+def repack_pp_local(sp: StageParams) -> StageParams:
+    """Re-add the leading stage dim to local leaves (inverse of unpack)."""
+    return StageParams(sp.w[None], sp.b[None], sp.act[None], sp.widths)
+
+
+def unshard_pp(sp: StageParams) -> Params:
+    """Host-side: packed [S, L/S, W, W] stacks -> logical [(W, b), ...]
+    (checkpointing; inverse of pack_pp up to the zero padding)."""
+    widths = sp.widths
+    n = len(widths) - 1
+    S = sp.w.shape[0]
+    per = n // S
+    out: Params = []
+    for l in range(n):
+        s, i = divmod(l, per)
+        out.append((
+            sp.w[s, i, : widths[l], : widths[l + 1]],
+            sp.b[s, i, : widths[l + 1]],
+        ))
+    return out
+
+
+def apply_pp(sp: StageParams, x: jax.Array, activation: str, spec: str) -> jax.Array:
+    """mlp.apply entry point for the ``"pp:<axis>[:M]"`` backend: run the
+    GPipe pipeline on the LOCAL stage params inside shard_map.
+
+    ``spec`` is ``"<axis>"`` or ``"<axis>:<M>"`` (M = microbatches; default
+    = the pp axis size).  Accepts any leading batch dims; their product must
+    divide M.
+    """
+    parts = spec.split(":")
+    axis_name = parts[0]
+    S = jax.lax.axis_size(axis_name)
+    M = int(parts[1]) if len(parts) > 1 and int(parts[1]) > 0 else S
+    out_dim = sp.widths[-1]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = apply_pipeline(
+        sp.w, sp.b, sp.act, x2, out_dim, M, activation, axis_name
+    )
+    return out.reshape(*lead, out_dim)
