@@ -44,14 +44,53 @@ def measure(cfg, mesh, n_epochs: int = 5) -> float:
     return n_epochs * cfg.steps_per_epoch / (time.perf_counter() - t0)
 
 
+def _distributed_measure(args) -> int:
+    """Multi-process leg: the whole job forms ONE global mesh; each process
+    contributes its local devices.  Measures global env-steps/s of the
+    sharded train epoch — run with --num-processes 1 then N and compare for
+    the cross-host (DCN) scaling number."""
+    import jax
+
+    from ppoc_tpu.config import PPOConfig
+    from ppoc_tpu.parallel import make_mesh
+
+    n_dev = len(jax.devices())
+    per_dev_envs, per_dev_mb = 256, 1024
+    cfg = PPOConfig(
+        env=args.env, n_envs=per_dev_envs * n_dev, rollout_len=200,
+        minibatch_size=per_dev_mb * n_dev, fits_per_epoch=1,
+        eval_envs=8 * n_dev, eval_len=200,
+    )
+    sps = measure(cfg, make_mesh(), args.epochs)
+    if jax.process_index() == 0:
+        out = {
+            "metric": "dp_steps_per_s_distributed",
+            "value": round(sps),
+            "unit": f"env_steps_per_s_at_{jax.process_count()}proc_{n_dev}dev",
+            "vs_baseline": None,
+            "platform": jax.default_backend(),
+        }
+        print(json.dumps(out), flush=True)
+    jax.distributed.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=None,
-                    help="max mesh size (default: all available)")
+                    help="max mesh size (default: all available; in "
+                         "--distributed mode, per-PROCESS device count)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force backend BEFORE init (cpu => virtual mesh)")
     ap.add_argument("--env", default="pendulum")
     ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--coordinator", metavar="HOST:PORT", default=None,
+                    help="multi-process mode: jax.distributed coordinator; "
+                         "requires --num-processes/--process-id. Launch one "
+                         "copy per host; the mesh spans all global devices "
+                         "and only rank 0 prints")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
 
     import jax
@@ -60,6 +99,15 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
         if args.platform == "cpu" and args.devices:
             jax.config.update("jax_num_cpu_devices", args.devices)
+
+    if args.coordinator is not None:
+        if None in (args.num_processes, args.process_id):
+            ap.error("--coordinator needs --num-processes and --process-id")
+        from ppoc_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+        return _distributed_measure(args)
     if args.devices and len(jax.devices()) < args.devices:
         raise SystemExit(
             f"need {args.devices} devices, have {len(jax.devices())} "

@@ -1,16 +1,30 @@
-"""Train on a Gymnasium env through the host bridge.
+"""Train BipedalWalker-v3 through the host bridge (reference env id 1,
+scripts/gym_env.py:15-16).
 
-BipedalWalker-v3 is the reference's env id 1 (scripts/gym_env.py:15-16):
-host actor (one batched device call per step), jitted device learner.
-Swap in any Gymnasium id.
+Actor/learner split at full throughput: numpy policy on the host (weights
+synced once per fit — the reference's policy_to_host pattern,
+src/ppo.cu:536-538), Box2D physics in gymnasium.vector workers, jitted
+device learner.  Swap in any Gymnasium id.
+
+Usage: python examples/gym_bipedal.py [n_epochs] [seed]
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import json
+
 from ppoc_tpu import PPOConfig
 from ppoc_tpu.envs.gym_bridge import GymTrainer
 
-cfg = PPOConfig(n_envs=16, rollout_len=400, minibatch_size=256,
-                fits_per_epoch=2, n_epochs=50, eval_envs=8, eval_len=1600,
+n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
+cfg = PPOConfig(n_envs=16, rollout_len=256, minibatch_size=256,
+                fits_per_epoch=4, n_epochs=n_epochs, eval_envs=8,
+                eval_len=1600, seed=seed,
+                reset_per_fit=False,      # 1600-step horizon >> rollout window
                 ent_coeff=0.001, kernel_backend="jnp")
-GymTrainer(cfg, "BipedalWalker-v3").train()
+tr = GymTrainer(cfg, "BipedalWalker-v3", actor="host", vector_mode="sync")
+hist = tr.train()
+print(json.dumps([{k: round(float(v), 2) for k, v in row.items()}
+                  for row in hist]))

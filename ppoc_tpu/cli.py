@@ -47,7 +47,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train-until-R as ONE device program (ppo.train_until) "
                         "instead of the host epoch loop; prints epochs used")
     p.add_argument("--mesh", type=int, default=0, metavar="N",
-                   help="data-parallel mesh over N devices (0 = single device)")
+                   help="data-parallel mesh over N devices (0 = single device; "
+                        "with --num-processes, N counts GLOBAL devices and 0 "
+                        "means all of them)")
+    p.add_argument("--coordinator", metavar="HOST:PORT", default=None,
+                   help="multi-host bootstrap: jax.distributed coordinator "
+                        "address (process 0's host); requires "
+                        "--num-processes and --process-id")
+    p.add_argument("--num-processes", type=int, default=None, metavar="N",
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int, default=None, metavar="I",
+                   help="multi-host: this process's rank in [0, N)")
     p.add_argument("--jsonl", action="store_true",
                    help="emit per-epoch metrics as JSON lines instead of text")
     p.add_argument("--hidden", type=int, nargs="+", default=None, metavar="W",
@@ -96,12 +106,24 @@ def main(argv=None) -> int:
               "written at the end when --save is given)", file=sys.stderr)
     cfg = config_from_args(args)
 
+    distributed = (args.coordinator is not None or args.num_processes is not None
+                   or args.process_id is not None)
+    if distributed:
+        if None in (args.coordinator, args.num_processes, args.process_id):
+            parser.error("multi-host mode needs all of --coordinator, "
+                         "--num-processes and --process-id")
+        # MUST run before any import that touches the XLA backend (the env
+        # registry builds jnp constants at import time)
+        from ppoc_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+
     from ppoc_tpu.algo.trainer import Trainer  # deferred: imports jax
 
     mesh = None
-    if args.mesh:
+    if args.mesh or distributed:
         from ppoc_tpu.parallel import make_mesh
-        mesh = make_mesh(args.mesh)
+        mesh = make_mesh(args.mesh or None)  # 0/None = all (global) devices
 
     if args.resume:
         trainer = Trainer.from_checkpoint(args.resume, mesh=mesh)
@@ -111,16 +133,23 @@ def main(argv=None) -> int:
         if args.load:
             trainer.load(args.load)
 
+    is_main = True
+    if distributed:
+        import jax
+        is_main = jax.process_index() == 0
+
     if args.eval_only:
         m = trainer.evaluate()
-        print(f"J: {m.J:f} R: {m.R:f} Episodes: {int(m.episodes)}")
+        if is_main:
+            print(f"J: {m.J:f} R: {m.R:f} Episodes: {int(m.episodes)}")
         return 0
 
     if args.solve_R is not None:
         res = trainer.solve(target_R=args.solve_R, max_epochs=cfg.n_epochs)
-        print(f"solved={res['R'] >= args.solve_R} epochs={res['epochs']} "
-              f"R={res['R']:f}")
-        if args.save:
+        if is_main:
+            print(f"solved={res['R'] >= args.solve_R} epochs={res['epochs']} "
+                  f"R={res['R']:f}")
+        if args.save and is_main:
             trainer.save(args.save)
         return 0
 
@@ -132,12 +161,13 @@ def main(argv=None) -> int:
         # config flags are otherwise ignored on --resume, but an explicit
         # --n-epochs means "train this many MORE epochs"
         ckpt_kw["n_epochs"] = args.n_epochs
-    history = trainer.train(log=not args.jsonl, stop_at_R=args.stop_at_R,
+    history = trainer.train(log=not args.jsonl and is_main,
+                            stop_at_R=args.stop_at_R,
                             initial_eval=not args.resume, **ckpt_kw)
-    if args.jsonl:
+    if args.jsonl and is_main:
         for row in history:
             print(json.dumps(row), flush=True)
-    if args.save:
+    if args.save and is_main:
         trainer.save(args.save)
         print(f"saved checkpoint to {args.save}", file=sys.stderr)
     return 0

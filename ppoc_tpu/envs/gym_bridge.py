@@ -28,6 +28,18 @@ from ppoc_tpu.envs.core import EnvSpec
 ENV_IDS = {0: "Pendulum-v1", 1: "BipedalWalker-v3"}
 
 
+class _make_env_fn:
+    """Picklable env factory (AsyncVectorEnv ships it to worker processes)."""
+
+    def __init__(self, _gym, env_id: str):
+        self.env_id = env_id
+
+    def __call__(self):
+        import gymnasium
+
+        return gymnasium.make(self.env_id)
+
+
 def _gymnasium():
     try:
         import gymnasium
@@ -40,26 +52,42 @@ def _gymnasium():
 
 
 class GymVecEnv:
-    """n_envs synchronous Gymnasium instances with per-env auto-reset.
+    """n_envs Gymnasium instances with per-env auto-reset, stepped through
+    ``gymnasium.vector`` (``vector_mode``: "sync" = one process,
+    "async" = one worker process per env for CPU-heavy physics like
+    Box2D/BipedalWalker).
 
     Mirrors the reference rollout semantics (collect_trajectories,
     src/ppo.cu:54-79): ``step`` returns the TRUE successor observation for
     GAE bootstrapping plus the post-reset observation the policy acts on
-    next.
+    next (SAME_STEP autoreset: the final pre-reset observation arrives in
+    ``info["final_obs"]``).
     """
 
-    def __init__(self, env_id, n_envs: int, seed: int = 0):
+    def __init__(self, env_id, n_envs: int, seed: int = 0,
+                 vector_mode: str = "sync"):
         gymnasium = _gymnasium()
+        from gymnasium.vector import (
+            AsyncVectorEnv, AutoresetMode, SyncVectorEnv,
+        )
+
         if isinstance(env_id, int):
             env_id = ENV_IDS[env_id]
         self.name = env_id
         self.n_envs = n_envs
         self._seed = seed
-        self.envs = [gymnasium.make(env_id) for _ in range(n_envs)]
-        e0 = self.envs[0]
-        obs_space, act_space = e0.observation_space, e0.action_space
+        if vector_mode not in ("sync", "async"):
+            raise ValueError(f"vector_mode must be 'sync' or 'async', got {vector_mode!r}")
+        vec_cls = AsyncVectorEnv if vector_mode == "async" else SyncVectorEnv
+        self.venv = vec_cls(
+            [_make_env_fn(gymnasium, env_id) for _ in range(n_envs)],
+            autoreset_mode=AutoresetMode.SAME_STEP,
+        )
+        obs_space = self.venv.single_observation_space
+        act_space = self.venv.single_action_space
         discrete = hasattr(act_space, "n")
-        horizon = e0.spec.max_episode_steps or 1000
+        gspec = gymnasium.spec(env_id)
+        horizon = gspec.max_episode_steps or 1000
         if not discrete:
             # EnvSpec carries SCALAR action bounds; silently taking dim 0
             # would mis-scale asymmetric Boxes (ADVICE r1 #4) — validate.
@@ -85,38 +113,32 @@ class GymVecEnv:
         self._episode = 0
 
     def reset(self) -> np.ndarray:
-        obs = np.stack([
-            e.reset(seed=self._seed + i + 1000 * self._episode)[0]
-            for i, e in enumerate(self.envs)
-        ]).astype(np.float32)
         self._episode += 1
-        return obs.reshape(self.n_envs, -1)
+        obs, _ = self.venv.reset(seed=self._seed + 1000 * self._episode)
+        return np.asarray(obs, np.float32).reshape(self.n_envs, -1)
 
     def step(self, actions: np.ndarray):
-        n = self.n_envs
-        next_obs = np.zeros((n, self.spec.obs_dim), np.float32)
-        obs_after = np.zeros((n, self.spec.obs_dim), np.float32)
-        reward = np.zeros((n,), np.float32)
-        term = np.zeros((n,), bool)
-        trunc = np.zeros((n,), bool)
-        for i, e in enumerate(self.envs):
-            a = actions[i]
-            if self.spec.discrete:
-                a = int(a[0])
-            o, r, te, tr, _ = e.step(a)
-            o = np.asarray(o, np.float32).reshape(-1)
-            next_obs[i], reward[i], term[i], trunc[i] = o, r, te, tr
-            if te or tr:
-                self._episode += 1
-                o2, _ = e.reset(seed=self._seed + i + 1000 * self._episode)
-                obs_after[i] = np.asarray(o2, np.float32).reshape(-1)
-            else:
-                obs_after[i] = o
-        return obs_after, next_obs, reward, term, trunc
+        if self.spec.discrete:
+            a = np.asarray(actions).reshape(self.n_envs, -1)[:, 0].astype(np.int64)
+        else:
+            a = np.asarray(actions, np.float32).reshape(
+                self.n_envs, *self.venv.single_action_space.shape
+            )
+        obs, reward, term, trunc, info = self.venv.step(a)
+        obs_after = np.asarray(obs, np.float32).reshape(self.n_envs, -1)
+        next_obs = obs_after.copy()
+        done = term | trunc
+        if done.any():
+            # SAME_STEP autoreset: obs is the fresh reset; the true (final)
+            # successor the GAE bootstrap needs is in info["final_obs"]
+            final = info.get("final_obs")
+            for i in np.nonzero(done)[0]:
+                next_obs[i] = np.asarray(final[i], np.float32).reshape(-1)
+        return (obs_after, next_obs, np.asarray(reward, np.float32),
+                np.asarray(term, bool), np.asarray(trunc, bool))
 
     def close(self):
-        for e in self.envs:
-            e.close()
+        self.venv.close()
 
 
 def collect_host(cfg, venv, policy_params, key, length, backend="jnp"):
@@ -134,9 +156,12 @@ class GymTrainer:
     table (scripts/gym_env.py:11-17).
     """
 
-    def __new__(cls, cfg: PPOConfig, env_id, backend: str = "jnp"):
+    def __new__(cls, cfg: PPOConfig, env_id, backend: str = "jnp",
+                vector_mode: str = "sync", actor: str = "device"):
         from ppoc_tpu.envs.host import HostTrainer
 
-        venv = GymVecEnv(env_id, cfg.n_envs, seed=cfg.seed)
-        eval_venv = GymVecEnv(env_id, cfg.eval_envs, seed=cfg.seed + 7777)
-        return HostTrainer(cfg, venv, eval_venv, backend=backend)
+        venv = GymVecEnv(env_id, cfg.n_envs, seed=cfg.seed,
+                         vector_mode=vector_mode)
+        eval_venv = GymVecEnv(env_id, cfg.eval_envs, seed=cfg.seed + 7777,
+                              vector_mode=vector_mode)
+        return HostTrainer(cfg, venv, eval_venv, backend=backend, actor=actor)

@@ -12,12 +12,65 @@ import sys
 
 def main() -> int:
     coord, n_proc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "fit"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 4)
+
+    if mode == "cli":
+        # full CLI path: --coordinator flags drive initialize_distributed,
+        # the trainer runs on the global mesh, only rank 0 logs/saves
+        import io
+        from contextlib import redirect_stdout
+
+        from ppoc_tpu import cli
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = cli.main([
+                "--env", "simple", "--n-envs", "16", "--rollout-len", "15",
+                "--minibatch-size", "16", "--fits-per-epoch", "1",
+                "--n-epochs", "2", "--eval-envs", "16", "--eval-len", "15",
+                "--hidden", "16", "16", "--kernel-backend", "jnp", "--jsonl",
+                "--coordinator", coord, "--num-processes", str(n_proc),
+                "--process-id", str(pid),
+            ])
+        out = buf.getvalue()
+        n_lines = len([l for l in out.splitlines() if l.strip()])
+        print(f"RESULT pid={pid} rc={rc} stdout_lines={n_lines}", flush=True)
+        jax.distributed.shutdown()
+        return rc
+
+    if mode == "trainer":
+        # full Trainer over the 2-process global mesh through the public
+        # API (train_epoch + evaluate), bootstrapped by our wrapper.
+        # initialize_distributed must precede the trainer/envs imports —
+        # the env registry builds jnp constants at import time, which
+        # initializes the XLA backend.
+        from ppoc_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(coord, n_proc, pid)
+
+        from ppoc_tpu import PPOConfig
+        from ppoc_tpu.algo.trainer import Trainer
+        from ppoc_tpu.parallel import make_mesh
+        n_dev = len(jax.devices())
+        assert n_dev == 4 * n_proc, f"expected {4 * n_proc} devices, got {n_dev}"
+        cfg = PPOConfig(env="simple", n_envs=2 * n_dev, rollout_len=15,
+                        minibatch_size=2 * n_dev, fits_per_epoch=2,
+                        eval_envs=2 * n_dev, eval_len=15,
+                        hidden=(16, 16), kernel_backend="jnp")
+        tr = Trainer(cfg, mesh=make_mesh())
+        hist = tr.train(n_epochs=2, log=False)
+        r = hist[-1]["R"]
+        v = hist[-1]["value_loss"]
+        print(f"RESULT pid={pid} R={r:.6f} value_loss={v:.6f}", flush=True)
+        jax.distributed.shutdown()
+        return 0
+
     jax.distributed.initialize(
         coordinator_address=coord, num_processes=n_proc, process_id=pid
     )
