@@ -49,17 +49,21 @@ def bench_config(seed: int) -> PPOConfig:
         fits_per_epoch=4,
         eval_envs=64,
         eval_len=200,
-        kernel_backend="jnp",
+        # fused whole-phase kernels (ops/pallas_update.py): 1.8x faster
+        # update phases than the XLA scan at this minibatch size
+        # (docs/RESULTS.md perf X-ray)
+        kernel_backend="pallas",
     )
 
 
-def solve_benchmark(seed: int, max_epochs: int, log=lambda *a: None):
+def solve_benchmark(seed: int, max_epochs: int, log=lambda *a: None,
+                    config_fn=None):
     """Train-until-solved as ONE device program (ppo.train_until): the whole
     run — N epochs of rollout+GAE+updates with a stochastic eval after each —
     costs a single host dispatch, so the measurement is compute, not
     transport round trips."""
 
-    tr = Trainer(bench_config(seed))
+    tr = Trainer((config_fn or bench_config)(seed))
     init_state = tr.state
 
     # Warm the jit cache AND the device path (compile excluded from the
@@ -119,25 +123,37 @@ def throughput_benchmark(seed: int):
     return n * tr.cfg.steps_per_epoch / wall
 
 
+def reference_schedule_config(seed: int) -> PPOConfig:
+    """The EXACT reference schedule (src/main.c:33-43): 15 envs x 200 steps
+    = 3,000-step fits, minibatch 64, 10 fits/epoch — the apples-to-apples
+    configuration vs the published 5 s (VERDICT r1 weak #7)."""
+    return PPOConfig(env="pendulum", seed=seed)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=BENCH_SEED)
     ap.add_argument("--max-epochs", type=int, default=60)
     ap.add_argument("--throughput", action="store_true",
                     help="also measure steady-state env-steps/s (tpu preset)")
+    ap.add_argument("--reference-schedule", action="store_true",
+                    help="run the reference's exact 15x200/mb-64 schedule "
+                         "instead of the vectorized bench config")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
     log = (lambda *a: print(*a, file=sys.stderr, flush=True)) if args.verbose \
         else (lambda *a: None)
 
-    detail = solve_benchmark(args.seed, args.max_epochs, log)
+    config_fn = reference_schedule_config if args.reference_schedule else None
+    detail = solve_benchmark(args.seed, args.max_epochs, log, config_fn)
     if args.throughput:
         detail["train_env_steps_per_s"] = throughput_benchmark(args.seed)
 
     value = detail["wall_s"]
     out = {
-        "metric": "pendulum_solve_seconds",
+        "metric": ("pendulum_solve_seconds_reference_schedule"
+                   if args.reference_schedule else "pendulum_solve_seconds"),
         "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / value, 2) if detail["solved"] and value > 0 else 0.0,

@@ -223,7 +223,28 @@ def compute_advantages(
 
 def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
                 axis_name: Optional[str], backend: str, n_mb: int, mb_size: int):
-    """n_epochs_value shuffled passes fitting V (src/ppo.cu:491-510)."""
+    """n_epochs_value shuffled passes fitting V (src/ppo.cu:491-510).
+
+    With the pallas backend on a single device and a latency-bound
+    minibatch size, the ENTIRE phase (all epochs x minibatches of forward +
+    backward + Adam) runs as one fused kernel with weights and moments
+    resident in VMEM (ops/pallas_update.py); same permutation stream and
+    update sequence.  Measured on a v5e chip: 1.8x faster at mb<=~2k (the
+    solve config), slower at mb>=8k where XLA's pipelined big matmuls win —
+    hence the size gate (docs/RESULTS.md perf X-ray).  Sharded runs keep
+    the scan (gradient pmean must cross shards before Adam).
+    """
+    from ppoc_tpu.ops import pallas_update as _pu
+
+    if (backend == "pallas" and axis_name is None
+            and mb_size <= _pu._MAX_TILE
+            and mb_size == cfg.minibatch_size and n_mb == cfg.num_minibatches):
+        from ppoc_tpu.ops import pallas_update
+
+        v2, opt2, loss = pallas_update.value_phase_fused(
+            cfg, ts.v_params, ts.opt_v, buf, key
+        )
+        return ts._replace(v_params=v2, opt_v=opt2), loss
     n_rows = buf.obs.shape[0]
 
     def loss_fn(v_params, o, t):
@@ -252,9 +273,26 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
                  key, axis_name: Optional[str],
                  backend: str, n_mb: int, mb_size: int):
     """n_epochs_policy shuffled passes on the clipped surrogate
-    (src/ppo.cu:512-533)."""
+    (src/ppo.cu:512-533).
+
+    With the pallas backend, single device, Gaussian policy: the whole
+    phase runs as one fused kernel (closed-form surrogate gradient +
+    backward + both Adams, ops/pallas_update.py) — see value_phase.
+    """
     n_rows = buf.obs.shape[0]
     discrete = env.spec.discrete
+    from ppoc_tpu.ops import pallas_update as _pu
+
+    if (backend == "pallas" and axis_name is None and not discrete
+            and mb_size <= _pu._MAX_TILE
+            and mb_size == cfg.minibatch_size and n_mb == cfg.num_minibatches):
+        from ppoc_tpu.ops import pallas_update
+
+        pol2, opt_p2, opt_ls2, loss, ent = pallas_update.policy_phase_fused(
+            cfg, ts.policy_params, ts.opt_policy, ts.opt_log_std, buf, key
+        )
+        return ts._replace(policy_params=pol2, opt_policy=opt_p2,
+                           opt_log_std=opt_ls2), loss, ent
 
     def loss_fn(policy_params, o, a, lp_old, adv):
         logp = policy_mod.log_prob(policy_params, o, a, cfg.activation, backend, discrete)

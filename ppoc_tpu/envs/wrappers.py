@@ -1,0 +1,76 @@
+"""Environment wrappers: pure-function transforms over Env.
+
+The reference has no wrapper layer (its env vtable is consumed raw,
+include/env.h:7-15); this module adds the one transform sparse-reward
+configs need — a STATIC affine observation normalization.  It is a pure
+recomposition of the env's reset/step, so vmap/jit/scan see one fused
+function and the wrapped env trains at identical speed.
+
+Static (not running-statistics) normalization keeps every function pure and
+the train step replayable bit-for-bit from a checkpoint; for the in-repo
+envs the true observation bounds are known, so the affine map is exact.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core import Env, EnvSpec, register
+
+
+def normalize_obs(env: Env, low, high, name: str = None) -> Env:
+    """Affine-map observations from [low, high] to [-1, 1] per dimension.
+
+    ``low``/``high`` are the per-dimension observation bounds (arrays of
+    length obs_dim).  Physics, rewards and episode structure are untouched —
+    the native-oracle lockstep tests of the base env remain valid.
+    """
+    low = jnp.asarray(low, jnp.float32)
+    high = jnp.asarray(high, jnp.float32)
+    mid = (high + low) / 2.0
+    half = (high - low) / 2.0
+
+    def norm(obs):
+        return (obs - mid) / half
+
+    def reset(key):
+        state, obs = env.reset(key)
+        return state, norm(obs)
+
+    def step(state, action, key):
+        state2, obs, reward, term, trunc = env.step(state, action, key)
+        return state2, norm(obs), reward, term, trunc
+
+    spec = EnvSpec(
+        name=name or env.spec.name + "_norm",
+        obs_dim=env.spec.obs_dim,
+        action_dim=env.spec.action_dim,
+        horizon=env.spec.horizon,
+        gamma=env.spec.gamma,
+        discrete=env.spec.discrete,
+        action_low=env.spec.action_low,
+        action_high=env.spec.action_high,
+    )
+    return Env(spec=spec, reset=reset, step=step)
+
+
+@register("mountain_car_norm")
+def make_mountain_car_norm() -> Env:
+    """MountainCarContinuous with observations mapped to [-1, 1].
+
+    The raw observation scales differ by 26x (position in [-1.2, 0.6],
+    velocity in [-0.07, 0.07]); with the reference's uniform-bound weight
+    init the velocity signal — the one that matters for the energy-pumping
+    solution — is nearly invisible to the first layer.  Normalizing is the
+    config-level change that makes the sparse-reward task solvable without
+    touching the algorithm (VERDICT r1 next #5).
+    """
+    from . import mountain_car as mc
+
+    base = mc.make_mountain_car()
+    return normalize_obs(
+        base,
+        low=np.array([mc.MIN_POSITION, -mc.MAX_SPEED], np.float32),
+        high=np.array([mc.MAX_POSITION, mc.MAX_SPEED], np.float32),
+        name="mountain_car_norm",
+    )

@@ -1,0 +1,508 @@
+"""Fused training-phase kernels: the whole minibatch-Adam loop in one
+Pallas program with weights and optimizer moments resident in VMEM.
+
+This is the hand-kernel ethos of the reference taken where it actually pays
+on TPU.  The reference launches ~10 kernels per minibatch step (gather, 2
+GEMMs + bias + ReLU per layer, loss, backward GEMMs, adam_update —
+src/ppo.cu:491-533); the XLA scan equivalent keeps params, moments and
+minibatch data flowing HBM<->VMEM on every one of the ~350 sequential steps
+of a fit's value phase.  At PPO's layer sizes (<=256-wide MLPs) those steps
+are bandwidth/overhead-bound, not FLOP-bound, so the win is not bigger
+matmuls — it is *never letting the working set leave VMEM*:
+
+  * grid = (steps, sub_tiles): the sequential TPU grid walks minibatch
+    steps; params + Adam m/v live in VMEM-resident, input-aliased output
+    blocks (constant index maps) across the WHOLE phase — zero param HBM
+    traffic between steps;
+  * minibatch rows stream through double-buffered input blocks (Pallas
+    pipelines the next sub-tile's DMA under the current tile's compute);
+  * forward, loss gradient, backward and the Adam update (eps outside the
+    sqrt, bias correction in the step size — src/adam.cu:53-74) fuse into
+    one kernel invocation per sub-tile;
+  * gradients accumulate in VMEM scratch over sub-tiles; the parameter
+    update applies on each step's last sub-tile, so larger minibatches
+    never blow the ~16 MB VMEM budget.
+
+Numerics are IDENTICAL to the generic path (ops/adam.py + autodiff of
+losses.value_loss) up to float-reduction order: same permutations (the
+caller pre-gathers with buffer.permutation_minibatches under the same
+keys), same update order, same Adam timestep sequence.  Cross-checked
+against the jnp twin in tests/test_pallas_update.py.
+
+Data-parallel caveat: the fused step applies Adam locally, so it composes
+with dp only when gradients need no cross-shard pmean — i.e. single-device
+(the headline solve path).  Sharded runs keep the generic scan phase.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ppoc_tpu.data import buffer as buffer_mod
+from ppoc_tpu.ops.adam import AdamState
+
+Params = List[Tuple[jax.Array, jax.Array]]
+
+_MAX_TILE = 2048  # sub-tile rows: bounds VMEM for activations
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _act(h, activation):
+    if activation == "relu":
+        return jnp.maximum(h, 0.0)
+    if activation == "tanh":
+        return jnp.tanh(h)
+    return h
+
+
+def _act_grad(h_out, activation):
+    if activation == "relu":
+        return (h_out > 0).astype(h_out.dtype)
+    if activation == "tanh":
+        return 1.0 - jnp.square(h_out)
+    return jnp.ones_like(h_out)
+
+
+def _pow(base: float, t):
+    """base**t for traced float t (base in (0,1))."""
+    import math
+
+    return jnp.exp(t * math.log(base))
+
+
+def _value_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
+                  lr: float, b1: float, b2: float, eps: float,
+                  x_ref, t_ref, tgt_ref, *refs):
+    """One (step, sub-tile) cell: fwd + MSE grad + bwd + (last tile) Adam."""
+    # refs layout: 6*n_layers ALIASED INPUT refs, then the
+    # [W,b,mW,mb_,vW,vb]*n_layers output refs we read AND write, then
+    # loss_ref, then scratch dW/db per layer.
+    n_par = 6 * n_layers
+    in_par = refs[:n_par]
+    par = refs[n_par: 2 * n_par]
+    loss_ref = refs[2 * n_par]
+    scratch = refs[2 * n_par + 1:]
+
+    step_i = pl.program_id(0)
+    sub_j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(step_i == 0, sub_j == 0))
+    def _():
+        loss_ref[0, 0] = 0.0
+        # compiled Pallas does NOT pre-fill output VMEM blocks from their
+        # aliased inputs (interpret mode does) — seed them explicitly
+        for src, dst in zip(in_par, par):
+            dst[:] = src[:]
+
+    @pl.when(sub_j == 0)
+    def _():
+        for s in scratch:
+            s[:] = jnp.zeros(s.shape, s.dtype)
+
+    w_refs = [par[6 * l + 0] for l in range(n_layers)]
+    b_refs = [par[6 * l + 1] for l in range(n_layers)]
+
+    # forward on this sub-tile, keeping post-activations
+    x = x_ref[:]
+    hs = []
+    h = x
+    for l in range(n_layers):
+        h = jnp.dot(h, w_refs[l][:], preferred_element_type=jnp.float32) \
+            + b_refs[l][:]
+        if l < n_layers - 1:
+            h = _act(h, activation)
+        hs.append(h)
+
+    v = hs[-1]                     # [tile, 1]
+    diff = v - tgt_ref[:]
+    loss_ref[0, 0] += jnp.sum(jnp.square(diff))
+    g = (2.0 / mb) * diff          # d(mean sq err over the FULL minibatch)
+
+    # backward, accumulating into scratch across sub-tiles
+    for l in range(n_layers - 1, -1, -1):
+        a_in = x if l == 0 else hs[l - 1]
+        scratch[2 * l][:] += jax.lax.dot_general(
+            a_in, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scratch[2 * l + 1][:] += jnp.sum(g, axis=0, keepdims=True)
+        if l > 0:
+            g = jax.lax.dot_general(
+                g, w_refs[l][:], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * _act_grad(hs[l - 1], activation)
+
+    # Adam on the completed minibatch gradient (src/adam.cu:53-74 formulas)
+    @pl.when(sub_j == n_sub - 1)
+    def _():
+        t = (t_ref[0, 0] + step_i + 1).astype(jnp.float32)
+        bc1 = 1.0 - _pow(b1, t)
+        bc2 = 1.0 - _pow(b2, t)
+        step_size = lr / bc1
+        for l in range(n_layers):
+            for k, grad in ((0, scratch[2 * l][:]), (1, scratch[2 * l + 1][:])):
+                p_ref = par[6 * l + k]
+                m_ref = par[6 * l + 2 + k]
+                v_ref = par[6 * l + 4 + k]
+                m2 = b1 * m_ref[:] + (1.0 - b1) * grad
+                v2 = b2 * v_ref[:] + (1.0 - b2) * jnp.square(grad)
+                m_ref[:] = m2
+                v_ref[:] = v2
+                p_ref[:] = p_ref[:] - step_size * m2 / (
+                    jnp.sqrt(v2 / bc2) + eps
+                )
+
+
+def _run_value_phase(params: Params, opt: AdamState, obs_seq, tgt_seq,
+                     n_steps: int, mb: int, activation: str,
+                     lr: float, b1: float, b2: float, eps: float):
+    """obs_seq [n_steps*mb, d0], tgt_seq [n_steps*mb, 1] pre-gathered in
+    minibatch order.  Returns (params', opt', loss_sum)."""
+    d0 = obs_seq.shape[-1]
+    n_layers = len(params)
+    dims = [d0] + [w.shape[1] for w, _ in params]
+    # largest divisor of mb within the VMEM-bounded tile cap
+    tile = mb if mb <= _MAX_TILE else max(
+        d for d in range(1, _MAX_TILE + 1) if mb % d == 0
+    )
+    n_sub = mb // tile
+
+    row_spec = lambda d: pl.BlockSpec(  # noqa: E731
+        (tile, d), lambda i, j: (i * n_sub + j, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    inputs = [obs_seq, jnp.asarray(opt.t, jnp.int32).reshape(1, 1), tgt_seq]
+    in_specs = [row_spec(d0),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                row_spec(1)]
+    out_shapes, out_specs, aliases = [], [], {}
+    flat_par = []
+    for l, (w, b) in enumerate(params):
+        mw, mb_ = jax.tree.leaves(opt.m)[2 * l], jax.tree.leaves(opt.m)[2 * l + 1]
+        vw, vb = jax.tree.leaves(opt.v)[2 * l], jax.tree.leaves(opt.v)[2 * l + 1]
+        for arr in (w, b.reshape(1, -1), mw, mb_.reshape(1, -1),
+                    vw, vb.reshape(1, -1)):
+            aliases[len(inputs)] = len(out_shapes)
+            inputs.append(arr)
+            in_specs.append(const(arr.shape))
+            out_shapes.append(jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+            out_specs.append(const(arr.shape))
+            flat_par.append(arr)
+    # loss accumulator
+    out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                  memory_space=pltpu.SMEM))
+
+    scratch = []
+    for l in range(n_layers):
+        scratch.append(pltpu.VMEM((dims[l], dims[l + 1]), jnp.float32))
+        scratch.append(pltpu.VMEM((1, dims[l + 1]), jnp.float32))
+
+    flops = n_steps * 6 * mb * sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+    outs = pl.pallas_call(
+        functools.partial(_value_kernel, activation, n_layers, n_sub, mb,
+                          lr, b1, b2, eps),
+        grid=(n_steps, n_sub),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * obs_seq.size + 4 * tgt_seq.size,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*inputs)
+
+    new_params, new_m, new_v = [], [], []
+    for l in range(n_layers):
+        w, b, mw, mb_, vw, vb = outs[6 * l: 6 * l + 6]
+        new_params.append((w, b.reshape(-1)))
+        new_m.append((mw, mb_.reshape(-1)))
+        new_v.append((vw, vb.reshape(-1)))
+    loss_sum = outs[-1][0, 0]
+    new_opt = AdamState(m=new_m, v=new_v,
+                        t=opt.t + jnp.int32(n_steps))
+    return new_params, new_opt, loss_sum
+
+
+def _policy_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
+                   k_act: int, lr: float, b1: float, b2: float, eps: float,
+                   clip_eps: float, ent_coeff: float,
+                   x_ref, tp_ref, tl_ref, a_ref, lp_ref, adv_ref, *refs):
+    """One (step, sub-tile) cell of the Gaussian policy phase: mu forward,
+    clipped-surrogate gradient in closed form (grad flows only through the
+    unclipped branch — src/ppo.cu:89-100), backward, and on the last
+    sub-tile Adam for BOTH the mu net and log_std (their separate states,
+    src/ppo.cu:19-25)."""
+    import math
+
+    # refs: 6*n_layers aliased mlp inputs + 3 aliased log_std inputs,
+    # then outputs [W,b,mW,mb,vW,vb]*n_layers + [ls, m_ls, v_ls] +
+    # loss_ref + ent_ref, then scratch dW/db per layer + d_ls.
+    n_in = 6 * n_layers + 3
+    in_par = refs[:n_in]
+    out = refs[n_in:]
+    par = out[: 6 * n_layers]
+    ls_ref, mls_ref, vls_ref = out[6 * n_layers: 6 * n_layers + 3]
+    loss_ref = out[6 * n_layers + 3]
+    ent_ref = out[6 * n_layers + 4]
+    scratch = refs[n_in + 6 * n_layers + 5:]
+
+    step_i = pl.program_id(0)
+    sub_j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(step_i == 0, sub_j == 0))
+    def _():
+        loss_ref[0, 0] = 0.0
+        ent_ref[0, 0] = 0.0
+        # seed output VMEM blocks from their aliased inputs (see
+        # _value_kernel — compiled Pallas does not pre-fill them)
+        for src, dst in zip(in_par, out[: n_in]):
+            dst[:] = src[:]
+
+    @pl.when(sub_j == 0)
+    def _():
+        for s in scratch:
+            s[:] = jnp.zeros(s.shape, s.dtype)
+
+    w_refs = [par[6 * l + 0] for l in range(n_layers)]
+    b_refs = [par[6 * l + 1] for l in range(n_layers)]
+    ls = ls_ref[:]                               # [1, k]
+
+    # closed-form Gaussian entropy (src/policy.cu:171-178); state-free, so
+    # once per minibatch step
+    @pl.when(sub_j == 0)
+    def _():
+        ent = 0.5 * k_act * (1.0 + math.log(2.0 * math.pi)) + jnp.sum(ls)
+        ent_ref[0, 0] += ent
+        loss_ref[0, 0] += -ent_coeff * ent
+
+    # mu forward on this sub-tile
+    x = x_ref[:]
+    hs = []
+    h = x
+    for l in range(n_layers):
+        h = jnp.dot(h, w_refs[l][:], preferred_element_type=jnp.float32) \
+            + b_refs[l][:]
+        if l < n_layers - 1:
+            h = _act(h, activation)
+        hs.append(h)
+    mu = hs[-1]                                  # [tile, k]
+
+    a = a_ref[:]
+    inv_sigma = jnp.exp(-ls)                     # [1, k]
+    z = (a - mu) * inv_sigma                     # [tile, k]
+    logp = (-0.5 * k_act * math.log(2.0 * math.pi)
+            - jnp.sum(ls) - 0.5 * jnp.sum(jnp.square(z), axis=1,
+                                          keepdims=True))   # [tile, 1]
+    adv = adv_ref[:]                             # [tile, 1]
+    ratio = jnp.exp(logp - lp_ref[:])
+    clipped = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps)
+    surr = jnp.minimum(ratio * adv, clipped * adv)
+    loss_ref[0, 0] += -jnp.sum(surr) / mb
+
+    # d loss / d logp: only the unclipped branch carries gradient
+    ind = (ratio * adv <= clipped * adv).astype(jnp.float32)
+    dlogp = -(adv * ratio / mb) * ind            # [tile, 1]
+
+    # log_std gradient:  d logp / d ls_j = z_j^2 - 1
+    scratch[-1][:] += jnp.sum(dlogp * (jnp.square(z) - 1.0), axis=0,
+                              keepdims=True)
+    # mu gradient:  d logp / d mu_j = z_j * e^{-ls_j}
+    g = dlogp * z * inv_sigma                    # [tile, k]
+
+    for l in range(n_layers - 1, -1, -1):
+        a_in = x if l == 0 else hs[l - 1]
+        scratch[2 * l][:] += jax.lax.dot_general(
+            a_in, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scratch[2 * l + 1][:] += jnp.sum(g, axis=0, keepdims=True)
+        if l > 0:
+            g = jax.lax.dot_general(
+                g, w_refs[l][:], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * _act_grad(hs[l - 1], activation)
+
+    @pl.when(sub_j == n_sub - 1)
+    def _():
+        # mu net Adam (opt_policy)
+        t = (tp_ref[0, 0] + step_i + 1).astype(jnp.float32)
+        bc1 = 1.0 - _pow(b1, t)
+        bc2 = 1.0 - _pow(b2, t)
+        step_size = lr / bc1
+        for l in range(n_layers):
+            for k, grad in ((0, scratch[2 * l][:]), (1, scratch[2 * l + 1][:])):
+                p_ref = par[6 * l + k]
+                m_ref = par[6 * l + 2 + k]
+                v_ref = par[6 * l + 4 + k]
+                m2 = b1 * m_ref[:] + (1.0 - b1) * grad
+                v2 = b2 * v_ref[:] + (1.0 - b2) * jnp.square(grad)
+                m_ref[:] = m2
+                v_ref[:] = v2
+                p_ref[:] = p_ref[:] - step_size * m2 / (
+                    jnp.sqrt(v2 / bc2) + eps
+                )
+        # log_std Adam (opt_log_std); entropy bonus contributes -ent_coeff
+        tl = (tl_ref[0, 0] + step_i + 1).astype(jnp.float32)
+        bc1l = 1.0 - _pow(b1, tl)
+        bc2l = 1.0 - _pow(b2, tl)
+        gls = scratch[-1][:] - ent_coeff
+        m2 = b1 * mls_ref[:] + (1.0 - b1) * gls
+        v2 = b2 * vls_ref[:] + (1.0 - b2) * jnp.square(gls)
+        mls_ref[:] = m2
+        vls_ref[:] = v2
+        ls_ref[:] = ls_ref[:] - (lr / bc1l) * m2 / (jnp.sqrt(v2 / bc2l) + eps)
+
+
+def policy_phase_fused(cfg, policy_params, opt_policy: AdamState,
+                       opt_log_std: AdamState, buf, key):
+    """Fused Gaussian policy phase (single device): all epochs x minibatches
+    of mu-forward + closed-form surrogate gradient + backward + two Adams in
+    one kernel.  Returns (policy_params', opt_policy', opt_log_std',
+    mean_loss, mean_entropy)."""
+    params: Params = policy_params["mlp"]
+    log_std = policy_params["log_std"]
+    n_rows = buf.obs.shape[0]
+    n_mb, mb = cfg.num_minibatches, cfg.minibatch_size
+    keys = jax.random.split(key, cfg.n_epochs_policy)
+    idx = jnp.concatenate([
+        buffer_mod.permutation_minibatches(k, n_rows, n_mb, mb) for k in keys
+    ], axis=0)
+    flat = idx.reshape(-1)
+    obs_seq = jnp.take(buf.obs, flat, axis=0)
+    act_seq = jnp.take(buf.action, flat, axis=0)
+    lp_seq = jnp.take(buf.log_prob, flat, axis=0).reshape(-1, 1)
+    adv_seq = jnp.take(buf.advantage, flat, axis=0).reshape(-1, 1)
+    n_steps = cfg.n_epochs_policy * n_mb
+
+    d0 = obs_seq.shape[-1]
+    k_act = act_seq.shape[-1]
+    n_layers = len(params)
+    dims = [d0] + [w.shape[1] for w, _ in params]
+    tile = mb if mb <= _MAX_TILE else max(
+        d for d in range(1, _MAX_TILE + 1) if mb % d == 0
+    )
+    n_sub = mb // tile
+
+    row_spec = lambda d: pl.BlockSpec(  # noqa: E731
+        (tile, d), lambda i, j: (i * n_sub + j, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+
+    inputs = [obs_seq,
+              jnp.asarray(opt_policy.t, jnp.int32).reshape(1, 1),
+              jnp.asarray(opt_log_std.t, jnp.int32).reshape(1, 1),
+              act_seq, lp_seq, adv_seq]
+    in_specs = [row_spec(d0), smem, smem, row_spec(k_act), row_spec(1),
+                row_spec(1)]
+    out_shapes, out_specs, aliases = [], [], {}
+    m_leaves = jax.tree.leaves(opt_policy.m)
+    v_leaves = jax.tree.leaves(opt_policy.v)
+    for l, (w, b) in enumerate(params):
+        for arr in (w, b.reshape(1, -1),
+                    m_leaves[2 * l], m_leaves[2 * l + 1].reshape(1, -1),
+                    v_leaves[2 * l], v_leaves[2 * l + 1].reshape(1, -1)):
+            aliases[len(inputs)] = len(out_shapes)
+            inputs.append(arr)
+            in_specs.append(const(arr.shape))
+            out_shapes.append(jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+            out_specs.append(const(arr.shape))
+    for arr in (log_std.reshape(1, -1),
+                jax.tree.leaves(opt_log_std.m)[0].reshape(1, -1),
+                jax.tree.leaves(opt_log_std.v)[0].reshape(1, -1)):
+        aliases[len(inputs)] = len(out_shapes)
+        inputs.append(arr)
+        in_specs.append(const(arr.shape))
+        out_shapes.append(jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+        out_specs.append(const(arr.shape))
+    # loss + entropy accumulators
+    for _ in range(2):
+        out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                      memory_space=pltpu.SMEM))
+
+    scratch = []
+    for l in range(n_layers):
+        scratch.append(pltpu.VMEM((dims[l], dims[l + 1]), jnp.float32))
+        scratch.append(pltpu.VMEM((1, dims[l + 1]), jnp.float32))
+    scratch.append(pltpu.VMEM((1, k_act), jnp.float32))   # d log_std
+
+    flops = n_steps * 6 * mb * sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+    outs = pl.pallas_call(
+        functools.partial(_policy_kernel, cfg.activation, n_layers, n_sub,
+                          mb, k_act, cfg.lr_policy, cfg.adam_beta1,
+                          cfg.adam_beta2, cfg.adam_eps, cfg.clip_eps,
+                          cfg.ent_coeff),
+        grid=(n_steps, n_sub),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (obs_seq.size + act_seq.size
+                                + lp_seq.size + adv_seq.size),
+            transcendentals=n_steps * mb * 2,
+        ),
+        interpret=_interpret(),
+    )(*inputs)
+
+    new_params, new_m, new_v = [], [], []
+    for l in range(n_layers):
+        w, b, mw, mb_, vw, vb = outs[6 * l: 6 * l + 6]
+        new_params.append((w, b.reshape(-1)))
+        new_m.append((mw, mb_.reshape(-1)))
+        new_v.append((vw, vb.reshape(-1)))
+    ls, mls, vls = outs[6 * n_layers: 6 * n_layers + 3]
+    loss_sum = outs[-2][0, 0]
+    ent_sum = outs[-1][0, 0]
+    new_pol = dict(policy_params)
+    new_pol["mlp"] = new_params
+    new_pol["log_std"] = ls.reshape(-1)
+    t_inc = jnp.int32(n_steps)
+    return (
+        new_pol,
+        AdamState(m=new_m, v=new_v, t=opt_policy.t + t_inc),
+        AdamState(m=mls.reshape(-1), v=vls.reshape(-1),
+                  t=opt_log_std.t + t_inc),
+        loss_sum / n_steps,
+        ent_sum / n_steps,
+    )
+
+
+def value_phase_fused(cfg, v_params: Params, opt_v: AdamState,
+                      buf, key) -> Tuple[Params, AdamState, jax.Array]:
+    """Drop-in fused replacement for algo.ppo.value_phase's scan (single
+    device): same permutation stream, same Adam sequence, one kernel.
+    Returns (v_params', opt_v', mean_loss)."""
+    n_rows = buf.obs.shape[0]
+    n_mb, mb = cfg.num_minibatches, cfg.minibatch_size
+    keys = jax.random.split(key, cfg.n_epochs_value)
+    idx = jnp.concatenate([
+        buffer_mod.permutation_minibatches(k, n_rows, n_mb, mb) for k in keys
+    ], axis=0)                                           # [S, mb]
+    flat = idx.reshape(-1)
+    obs_seq = jnp.take(buf.obs, flat, axis=0)
+    tgt_seq = jnp.take(buf.target, flat, axis=0).reshape(-1, 1)
+    n_steps = cfg.n_epochs_value * n_mb
+    params2, opt2, loss_sum = _run_value_phase(
+        v_params, opt_v, obs_seq, tgt_seq, n_steps, mb, cfg.activation,
+        cfg.lr_v, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
+    )
+    return params2, opt2, loss_sum / (n_steps * mb)

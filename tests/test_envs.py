@@ -220,3 +220,32 @@ def test_reacher_learns_smoke():
     tr.train(log=False)
     after = tr.evaluate()
     assert after.R > before.R + 5.0  # clearly improving
+
+
+def test_obs_norm_wrapper_lockstep():
+    """mountain_car_norm: identical physics/rewards/flags to the raw env,
+    observations affinely mapped into [-1, 1]."""
+    import numpy as np
+
+    from ppoc_tpu import envs
+    from ppoc_tpu.envs import mountain_car as mc
+
+    raw = envs.make("mountain_car")
+    wrapped = envs.make("mountain_car_norm")
+    key = jax.random.PRNGKey(0)
+    s_r, o_r = raw.reset(key)
+    s_w, o_w = wrapped.reset(key)
+    lo = np.array([mc.MIN_POSITION, -mc.MAX_SPEED])
+    hi = np.array([mc.MAX_POSITION, mc.MAX_SPEED])
+    mid, half = (hi + lo) / 2, (hi - lo) / 2
+    np.testing.assert_allclose(np.asarray(o_w), (np.asarray(o_r) - mid) / half,
+                               rtol=1e-6, atol=1e-6)
+    for t in range(50):
+        a = jnp.asarray([0.7 if t % 3 else -1.0])
+        s_r, o_r, r_r, te_r, tr_r = raw.step(s_r, a, key)
+        s_w, o_w, r_w, te_w, tr_w = wrapped.step(s_w, a, key)
+        assert float(r_r) == float(r_w)
+        assert bool(te_r) == bool(te_w) and bool(tr_r) == bool(tr_w)
+        np.testing.assert_allclose(
+            np.asarray(o_w), (np.asarray(o_r) - mid) / half, rtol=1e-5, atol=1e-6)
+        assert float(np.abs(np.asarray(o_w)).max()) <= 1.0 + 1e-5
