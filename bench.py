@@ -83,14 +83,21 @@ def solve_benchmark(seed: int, max_epochs: int, log=lambda *a: None,
     compile_s = time.perf_counter() - t0
     log(f"warmup+compile total {compile_s:.1f}s")
 
-    # Measured run: fresh initial state, one dispatch, one fetch.
-    tr.state = init_state
-    t0 = time.perf_counter()
-    res = tr.solve(target_R=SOLVE_R, max_epochs=max_epochs)
-    wall = time.perf_counter() - t0
-    epochs, R = res["epochs"], res["R"]
-    log(f"measured solve: {epochs} epochs, R={R:.1f}, {wall:.3f}s")
-    solved = R >= SOLVE_R
+    # Measured runs: fresh initial state each, one dispatch + one fetch per
+    # run; report the MEDIAN of 3 so one unlucky RNG draw (solve-epoch count
+    # varies 5-7 across seeds) doesn't define the headline.
+    runs = []
+    for i in range(3):
+        tr.state = init_state
+        t0 = time.perf_counter()
+        res = tr.solve(target_R=SOLVE_R, max_epochs=max_epochs)
+        wall = time.perf_counter() - t0
+        runs.append((wall, res["epochs"], res["R"]))
+        log(f"measured solve {i}: {res['epochs']} epochs, R={res['R']:.1f}, "
+            f"{wall:.3f}s")
+    runs.sort()
+    wall, epochs, R = runs[len(runs) // 2]
+    solved = all(r >= SOLVE_R for _, _, r in runs)
     steps = epochs * tr.cfg.steps_per_epoch
     return {
         "solved": solved,
@@ -98,6 +105,7 @@ def solve_benchmark(seed: int, max_epochs: int, log=lambda *a: None,
         "epochs": epochs,
         "final_R": R,
         "compile_s": compile_s,
+        "all_runs_s": [round(w, 3) for w, _, _ in runs],
         "env_steps": steps,
         "env_steps_per_s": steps / wall if wall > 0 else 0.0,
     }

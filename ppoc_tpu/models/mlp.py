@@ -76,6 +76,19 @@ def apply(params: Params, x: jax.Array, activation: str = "relu", backend: str =
 
         return pp.apply_pp(params, x, activation, backend[3:])
     act = _ACTIVATIONS[activation]
+    if backend == "bf16":
+        # bf16 MXU matmuls with f32 accumulation and f32 master weights:
+        # the TPU-native mixed-precision recipe for the large-batch regime
+        # (f32 matmuls run as multi-pass bf16 on the MXU; casting inputs
+        # halves the passes and the HBM traffic). Gradients flow in f32
+        # through the cast (its VJP is a cast back).
+        h = x
+        for i, (w, b) in enumerate(params):
+            h = jnp.dot(h.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) + b
+            if i < len(params) - 1:
+                h = act(h)
+        return h
     h = x
     for i, (w, b) in enumerate(params):
         h = h @ w + b

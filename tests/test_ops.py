@@ -173,3 +173,27 @@ def test_mlp_forward_shapes_and_linearity():
     p1 = [(jnp.eye(3), jnp.zeros(3)), (jnp.eye(3) * 2, jnp.ones(3))]
     y2 = mlp.apply(p1, jnp.ones((1, 3)), "none", "jnp")
     np.testing.assert_allclose(np.asarray(y2), np.full((1, 3), 3.0))
+
+
+def test_bf16_backend_forward_and_training():
+    """kernel_backend='bf16': forward matches f32 within bf16 tolerance and
+    training still learns (master weights stay f32; chip runs show identical
+    solve-epoch counts — docs/RESULTS.md)."""
+    import numpy as np
+
+    from ppoc_tpu import PPOConfig, Trainer
+    from ppoc_tpu.models import mlp
+
+    params = mlp.init(jax.random.PRNGKey(0), (5, 64, 64, 2))
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 5), jnp.float32)
+    out16 = mlp.apply(params, x, "relu", "bf16")
+    out32 = mlp.apply(params, x, "relu", "jnp")
+    assert out16.dtype == jnp.float32  # f32 accumulation/out
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=2e-2, atol=2e-2)
+
+    cfg = PPOConfig(env="simple", n_envs=32, rollout_len=15, minibatch_size=64,
+                    fits_per_epoch=5, n_epochs=3, eval_envs=64, eval_len=15,
+                    kernel_backend="bf16", hidden=(32, 32), seed=0)
+    hist = Trainer(cfg).train(log=False)
+    assert hist[-1]["R"] > 0.5
