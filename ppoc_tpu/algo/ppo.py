@@ -275,20 +275,24 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
     """n_epochs_policy shuffled passes on the clipped surrogate
     (src/ppo.cu:512-533).
 
-    With the pallas backend, single device, Gaussian policy: the whole
-    phase runs as one fused kernel (closed-form surrogate gradient +
-    backward + both Adams, ops/pallas_update.py) — see value_phase.
+    With the pallas backend on a single device (small-minibatch gate as in
+    value_phase), the whole phase runs as one fused kernel — Gaussian and
+    categorical policies both (closed-form surrogate + entropy gradients,
+    ops/pallas_update.py).
     """
     n_rows = buf.obs.shape[0]
     discrete = env.spec.discrete
     from ppoc_tpu.ops import pallas_update as _pu
 
-    if (backend == "pallas" and axis_name is None and not discrete
+    if (backend == "pallas" and axis_name is None
             and mb_size <= _pu._MAX_TILE
             and mb_size == cfg.minibatch_size and n_mb == cfg.num_minibatches):
-        from ppoc_tpu.ops import pallas_update
-
-        pol2, opt_p2, opt_ls2, loss, ent = pallas_update.policy_phase_fused(
+        if discrete:
+            pol2, opt_p2, loss, ent = _pu.policy_phase_fused_categorical(
+                cfg, ts.policy_params, ts.opt_policy, buf, key
+            )
+            return ts._replace(policy_params=pol2, opt_policy=opt_p2), loss, ent
+        pol2, opt_p2, opt_ls2, loss, ent = _pu.policy_phase_fused(
             cfg, ts.policy_params, ts.opt_policy, ts.opt_log_std, buf, key
         )
         return ts._replace(policy_params=pol2, opt_policy=opt_p2,

@@ -486,6 +486,204 @@ def policy_phase_fused(cfg, policy_params, opt_policy: AdamState,
     )
 
 
+def _policy_kernel_cat(activation: str, n_layers: int, n_sub: int, mb: int,
+                       k_act: int, lr: float, b1: float, b2: float,
+                       eps: float, clip_eps: float, ent_coeff: float,
+                       x_ref, tp_ref, a_ref, lp_ref, adv_ref, *refs):
+    """Categorical twin of _policy_kernel: softmax policy over k_act logits,
+    closed-form surrogate + entropy-bonus gradient, one Adam (no log_std).
+    The reference has no discrete path at all; this keeps the native-kernel
+    coverage symmetric with the Gaussian family."""
+    n_in = 6 * n_layers
+    in_par = refs[:n_in]
+    out = refs[n_in:]
+    par = out[:n_in]
+    loss_ref = out[n_in]
+    ent_ref = out[n_in + 1]
+    scratch = refs[n_in + n_in + 2:]
+
+    step_i = pl.program_id(0)
+    sub_j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(step_i == 0, sub_j == 0))
+    def _():
+        loss_ref[0, 0] = 0.0
+        ent_ref[0, 0] = 0.0
+        for src, dst in zip(in_par, par):
+            dst[:] = src[:]
+
+    @pl.when(sub_j == 0)
+    def _():
+        for s in scratch:
+            s[:] = jnp.zeros(s.shape, s.dtype)
+
+    w_refs = [par[6 * l + 0] for l in range(n_layers)]
+    b_refs = [par[6 * l + 1] for l in range(n_layers)]
+
+    x = x_ref[:]
+    hs = []
+    h = x
+    for l in range(n_layers):
+        h = jnp.dot(h, w_refs[l][:], preferred_element_type=jnp.float32) \
+            + b_refs[l][:]
+        if l < n_layers - 1:
+            h = _act(h, activation)
+        hs.append(h)
+    logits = hs[-1]                                   # [tile, K]
+
+    zmax = jnp.max(logits, axis=1, keepdims=True)
+    lse = zmax + jnp.log(jnp.sum(jnp.exp(logits - zmax), axis=1,
+                                 keepdims=True))
+    logp_all = logits - lse                           # [tile, K]
+    p = jnp.exp(logp_all)
+
+    a_idx = a_ref[:].astype(jnp.int32)                # [tile, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    onehot = (cols == a_idx).astype(jnp.float32)
+    logp = jnp.sum(onehot * logp_all, axis=1, keepdims=True)   # [tile, 1]
+
+    adv = adv_ref[:]
+    ratio = jnp.exp(logp - lp_ref[:])
+    clipped = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps)
+    surr = jnp.minimum(ratio * adv, clipped * adv)
+    H = -jnp.sum(p * logp_all, axis=1, keepdims=True)          # [tile, 1]
+    loss_ref[0, 0] += (-jnp.sum(surr) - ent_coeff * jnp.sum(H)) / mb
+    ent_ref[0, 0] += jnp.sum(H) / mb
+
+    ind = (ratio * adv <= clipped * adv).astype(jnp.float32)
+    dlogp = -(adv * ratio / mb) * ind                 # [tile, 1]
+    # d logp_a / d logits = onehot - p ;  entropy bonus:
+    # d(-ent_coeff * mean H)/d logits = (ent_coeff/mb) * p * (logp + H)
+    g = dlogp * (onehot - p) + (ent_coeff / mb) * p * (logp_all + H)
+
+    for l in range(n_layers - 1, -1, -1):
+        a_in = x if l == 0 else hs[l - 1]
+        scratch[2 * l][:] += jax.lax.dot_general(
+            a_in, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scratch[2 * l + 1][:] += jnp.sum(g, axis=0, keepdims=True)
+        if l > 0:
+            g = jax.lax.dot_general(
+                g, w_refs[l][:], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * _act_grad(hs[l - 1], activation)
+
+    @pl.when(sub_j == n_sub - 1)
+    def _():
+        t = (tp_ref[0, 0] + step_i + 1).astype(jnp.float32)
+        bc1 = 1.0 - _pow(b1, t)
+        bc2 = 1.0 - _pow(b2, t)
+        step_size = lr / bc1
+        for l in range(n_layers):
+            for k, grad in ((0, scratch[2 * l][:]), (1, scratch[2 * l + 1][:])):
+                p_ref = par[6 * l + k]
+                m_ref = par[6 * l + 2 + k]
+                v_ref = par[6 * l + 4 + k]
+                m2 = b1 * m_ref[:] + (1.0 - b1) * grad
+                v2 = b2 * v_ref[:] + (1.0 - b2) * jnp.square(grad)
+                m_ref[:] = m2
+                v_ref[:] = v2
+                p_ref[:] = p_ref[:] - step_size * m2 / (
+                    jnp.sqrt(v2 / bc2) + eps
+                )
+
+
+def policy_phase_fused_categorical(cfg, policy_params,
+                                   opt_policy: AdamState, buf, key):
+    """Fused categorical policy phase (single device).  Returns
+    (policy_params', opt_policy', mean_loss, mean_entropy)."""
+    params: Params = policy_params["mlp"]
+    n_rows = buf.obs.shape[0]
+    n_mb, mb = cfg.num_minibatches, cfg.minibatch_size
+    keys = jax.random.split(key, cfg.n_epochs_policy)
+    idx = jnp.concatenate([
+        buffer_mod.permutation_minibatches(k, n_rows, n_mb, mb) for k in keys
+    ], axis=0)
+    flat = idx.reshape(-1)
+    obs_seq = jnp.take(buf.obs, flat, axis=0)
+    act_seq = jnp.take(buf.action, flat, axis=0).astype(jnp.int32)
+    lp_seq = jnp.take(buf.log_prob, flat, axis=0).reshape(-1, 1)
+    adv_seq = jnp.take(buf.advantage, flat, axis=0).reshape(-1, 1)
+    n_steps = cfg.n_epochs_policy * n_mb
+
+    d0 = obs_seq.shape[-1]
+    k_act = params[-1][0].shape[1]
+    n_layers = len(params)
+    dims = [d0] + [w.shape[1] for w, _ in params]
+    tile = mb if mb <= _MAX_TILE else max(
+        d for d in range(1, _MAX_TILE + 1) if mb % d == 0
+    )
+    n_sub = mb // tile
+
+    row_spec = lambda d: pl.BlockSpec(  # noqa: E731
+        (tile, d), lambda i, j: (i * n_sub + j, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+
+    inputs = [obs_seq, jnp.asarray(opt_policy.t, jnp.int32).reshape(1, 1),
+              act_seq, lp_seq, adv_seq]
+    in_specs = [row_spec(d0), smem, row_spec(act_seq.shape[-1]),
+                row_spec(1), row_spec(1)]
+    out_shapes, out_specs, aliases = [], [], {}
+    m_leaves = jax.tree.leaves(opt_policy.m)
+    v_leaves = jax.tree.leaves(opt_policy.v)
+    for l, (w, b) in enumerate(params):
+        for arr in (w, b.reshape(1, -1),
+                    m_leaves[2 * l], m_leaves[2 * l + 1].reshape(1, -1),
+                    v_leaves[2 * l], v_leaves[2 * l + 1].reshape(1, -1)):
+            aliases[len(inputs)] = len(out_shapes)
+            inputs.append(arr)
+            in_specs.append(const(arr.shape))
+            out_shapes.append(jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+            out_specs.append(const(arr.shape))
+    for _ in range(2):   # loss + entropy accumulators
+        out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                      memory_space=pltpu.SMEM))
+
+    scratch = []
+    for l in range(n_layers):
+        scratch.append(pltpu.VMEM((dims[l], dims[l + 1]), jnp.float32))
+        scratch.append(pltpu.VMEM((1, dims[l + 1]), jnp.float32))
+
+    flops = n_steps * 6 * mb * sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+    outs = pl.pallas_call(
+        functools.partial(_policy_kernel_cat, cfg.activation, n_layers,
+                          n_sub, mb, k_act, cfg.lr_policy, cfg.adam_beta1,
+                          cfg.adam_beta2, cfg.adam_eps, cfg.clip_eps,
+                          cfg.ent_coeff),
+        grid=(n_steps, n_sub),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (obs_seq.size + act_seq.size
+                                + lp_seq.size + adv_seq.size),
+            transcendentals=n_steps * mb * (k_act + 2),
+        ),
+        interpret=_interpret(),
+    )(*inputs)
+
+    new_params, new_m, new_v = [], [], []
+    for l in range(n_layers):
+        w, b, mw, mb_, vw, vb = outs[6 * l: 6 * l + 6]
+        new_params.append((w, b.reshape(-1)))
+        new_m.append((mw, mb_.reshape(-1)))
+        new_v.append((vw, vb.reshape(-1)))
+    loss_sum = outs[-2][0, 0]
+    ent_sum = outs[-1][0, 0]
+    new_pol = dict(policy_params)
+    new_pol["mlp"] = new_params
+    return (new_pol,
+            AdamState(m=new_m, v=new_v, t=opt_policy.t + jnp.int32(n_steps)),
+            loss_sum / n_steps, ent_sum / n_steps)
+
+
 def value_phase_fused(cfg, v_params: Params, opt_v: AdamState,
                       buf, key) -> Tuple[Params, AdamState, jax.Array]:
     """Drop-in fused replacement for algo.ppo.value_phase's scan (single

@@ -151,3 +151,31 @@ def test_fused_phases_multi_action_dim():
                               jax.device_get(ts_p.policy_params["mlp"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("env_name,ent_coeff", [("cartpole", 0.0),
+                                                ("acrobot", 0.01)])
+def test_fused_categorical_policy_phase_matches_scan(env_name, ent_coeff):
+    """Discrete policies get the fused phase too (the reference has no
+    discrete path at all); softmax + entropy-bonus gradients must match
+    autodiff of the generic loss."""
+    cfg = PPOConfig(env=env_name, n_envs=8, rollout_len=48,
+                    minibatch_size=64, n_epochs_policy=3, hidden=(32, 32),
+                    ent_coeff=ent_coeff, kernel_backend="jnp")
+    env, ts, buf = _setup(cfg)
+    k = jax.random.PRNGKey(13)
+    ts_r, loss_r, ent_r = ppo.policy_phase(
+        cfg, env, ts, buf, k, None, "jnp",
+        cfg.num_minibatches, cfg.minibatch_size)
+    ts_p, loss_p, ent_p = jax.jit(lambda t: ppo.policy_phase(
+        cfg, env, t, buf, k, None, "pallas",
+        cfg.num_minibatches, cfg.minibatch_size))(ts)
+    assert float(loss_r) == pytest.approx(float(loss_p), abs=1e-5)
+    assert float(ent_r) == pytest.approx(float(ent_p), rel=1e-4)
+    for (a, ab), (b, bb) in zip(jax.device_get(ts_r.policy_params["mlp"]),
+                                jax.device_get(ts_p.policy_params["mlp"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ab), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-6)
+    assert int(ts_r.opt_policy.t) == int(ts_p.opt_policy.t)
