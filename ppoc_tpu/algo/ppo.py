@@ -203,6 +203,17 @@ def compute_advantages(
     """
     values = mlp.apply(v_params, traj.obs, cfg.activation, backend)[..., 0]
     next_values = mlp.apply(v_params, traj.next_obs, cfg.activation, backend)[..., 0]
+    if backend == "pallas" and axis_name is None:
+        # one kernel: deltas + backward recurrence + Welford + normalize,
+        # all VMEM-resident (ops/pallas_gae.py); the dp path keeps the XLA
+        # scan so the Welford triple can psum across shards
+        from ppoc_tpu.ops import pallas_gae
+
+        return pallas_gae.gae_norm_fused(
+            traj.reward, values, next_values, traj.terminated,
+            traj.truncated, env.spec.gamma, cfg.lam,
+            normalize=cfg.norm_adv_global,
+        )
     adv, target = gae_ops.gae(
         traj.reward, values, next_values, traj.terminated, traj.truncated,
         env.spec.gamma, cfg.lam,
