@@ -151,6 +151,24 @@ def rollout(
     passing the previous rollout's carry continues the same episodes
     (cfg.reset_per_fit=False).
     """
+    if (backend == "pallas" and axis_name is None
+            and env.spec.name == "pendulum"):
+        # whole-rollout kernel (ops/pallas_rollout.py): the T-step actor
+        # loop as ONE program — a compiled scan iteration costs ~10us of
+        # loop overhead alone, so the 200-step scan pays ~2ms before any
+        # work; the kernel does the lot in <1ms (docs/RESULTS.md)
+        from ppoc_tpu.ops import pallas_rollout
+
+        traj, final_carry = pallas_rollout.rollout_pendulum(
+            policy_params, key, n_envs, length, cfg.activation, env_carry
+        )
+        if force_truncate:
+            last_trunc = jnp.logical_or(
+                traj.truncated[-1], jnp.logical_not(traj.terminated[-1])
+            )
+            traj = traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
+        return traj, final_carry
+
     k_reset, k_scan = jax.random.split(key)
     if env_carry is None:
         env_state, obs = _pvary(vector_reset(env, k_reset, n_envs), axis_name)

@@ -1,0 +1,114 @@
+"""Whole-rollout Pallas kernel vs the generic scan rollout.
+
+The one-kernel actor loop (ops/pallas_rollout.py) must reproduce the scan
+path's SEMANTICS exactly — physics, log-prob bookkeeping, truncation and
+auto-reset, carry continuation — while its sampling stream (counter-based
+software PRNG) only needs to be a valid standard normal.  Runs in interpret
+mode on CPU; the same code compiles on TPU (chip cross-check in
+docs/RESULTS.md).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppoc_tpu import PPOConfig, envs
+from ppoc_tpu.algo import ppo
+from ppoc_tpu.envs import pendulum as pend
+from ppoc_tpu.models import policy as policy_mod
+
+CFG = PPOConfig(env="pendulum", n_envs=8, rollout_len=32)
+ENV = envs.make("pendulum")
+
+
+def _rollout(key, env_carry=None, length=32, n_envs=8):
+    return jax.jit(lambda pp, k: ppo.rollout(
+        CFG, ENV, pp, k, n_envs, length, "pallas", env_carry=env_carry,
+    ))(_TS.policy_params, key)
+
+
+_TS = ppo.init_train_state(CFG, ENV, jax.random.PRNGKey(0))
+
+
+def test_kernel_rollout_physics_match_env():
+    """Stepping the generic env from the kernel's (obs, action) pairs must
+    reproduce its next_obs and rewards — physics parity with
+    envs/pendulum.py, hence with Gymnasium."""
+    traj, _ = _rollout(jax.random.PRNGKey(1))
+    T, E = 32, 8
+    th = jnp.arctan2(traj.obs[..., 1], traj.obs[..., 0])
+    st = pend.PendulumState(th.reshape(-1), traj.obs[..., 2].reshape(-1),
+                            jnp.zeros(T * E, jnp.int32))
+    _, obs2, rew, _, _ = jax.vmap(ENV.step)(
+        st, traj.action.reshape(-1, 1), jax.random.split(jax.random.PRNGKey(2), T * E))
+    np.testing.assert_allclose(np.asarray(obs2.reshape(T, E, 3)),
+                               np.asarray(traj.next_obs), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rew.reshape(T, E)),
+                               np.asarray(traj.reward), rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_rollout_logprob_consistency():
+    traj, _ = _rollout(jax.random.PRNGKey(3))
+    lp = policy_mod.log_prob(_TS.policy_params, traj.obs, traj.action,
+                             "relu", "jnp", False)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(traj.log_prob),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_rollout_truncation_and_carry():
+    """Window end force-truncated; carry continues episode step counters and
+    the next rollout's first obs equals the carried obs."""
+    traj, carry = _rollout(jax.random.PRNGKey(4))
+    assert bool(jnp.all(traj.truncated[-1] | traj.terminated[-1]))
+    state, obs_after = carry
+    assert np.asarray(state.t).tolist() == [32] * 8  # horizon 200 > 32
+    traj2, carry2 = _rollout(jax.random.PRNGKey(5), env_carry=carry)
+    np.testing.assert_allclose(np.asarray(traj2.obs[0]), np.asarray(obs_after),
+                               rtol=1e-6)
+    assert np.asarray(carry2[0].t).tolist() == [64] * 8
+
+
+def test_kernel_rollout_autoreset_at_horizon():
+    """Rolling past the 200-step horizon must truncate and reset counters."""
+    traj, carry = _rollout(jax.random.PRNGKey(6), length=210, n_envs=4)
+    tr = np.asarray(traj.truncated)
+    assert tr[199].all()          # genuine horizon truncation
+    assert not tr[:199].any()
+    assert (np.asarray(carry[0].t) == 10).all()  # reset, then 10 more steps
+
+
+def test_kernel_sampling_is_standard_normal():
+    """eps = (a - mu)/sigma over many draws: mean ~0, std ~1, and
+    deterministic per key."""
+    traj, _ = _rollout(jax.random.PRNGKey(7), length=200, n_envs=64)
+    mu = policy_mod.gaussian_mean(_TS.policy_params, traj.obs, "relu", "jnp")
+    eps = np.asarray((traj.action - mu)
+                     / jnp.exp(_TS.policy_params["log_std"])).ravel()
+    assert abs(eps.mean()) < 0.02, eps.mean()
+    assert abs(eps.std() - 1.0) < 0.02, eps.std()
+    # lag-1 autocorrelation in time should vanish
+    e2 = np.asarray(traj.action[..., 0])
+    ac = np.corrcoef(e2[:-1].ravel(), e2[1:].ravel())[0, 1]
+    assert abs(ac) < 0.32  # actions correlate via obs; eps itself:
+    eps_t = eps.reshape(200, 64)
+    ac_eps = np.corrcoef(eps_t[:-1].ravel(), eps_t[1:].ravel())[0, 1]
+    assert abs(ac_eps) < 0.02, ac_eps
+
+    traj_b, _ = _rollout(jax.random.PRNGKey(7), length=200, n_envs=64)
+    np.testing.assert_array_equal(np.asarray(traj.action), np.asarray(traj_b.action))
+    traj_c, _ = _rollout(jax.random.PRNGKey(8), length=200, n_envs=64)
+    assert np.abs(np.asarray(traj.action) - np.asarray(traj_c.action)).max() > 0
+
+
+def test_kernel_rollout_trains():
+    """End-to-end: the fused-rollout pallas backend still learns Pendulum
+    (short smoke — full solves run on the chip, docs/RESULTS.md)."""
+    cfg = CFG.replace(n_envs=16, rollout_len=64, minibatch_size=128,
+                      fits_per_epoch=2, eval_envs=16, eval_len=200,
+                      kernel_backend="pallas")
+    from ppoc_tpu.algo.trainer import Trainer
+
+    tr = Trainer(cfg)
+    h = tr.train(n_epochs=2, log=False)
+    assert np.isfinite(h[-1]["R"])
+    assert h[-1]["entropy"] < 1.45  # policy updated from init entropy 1.419
