@@ -151,16 +151,17 @@ def rollout(
     passing the previous rollout's carry continues the same episodes
     (cfg.reset_per_fit=False).
     """
+    from ppoc_tpu.ops import pallas_rollout as _pr
+
     if (backend == "pallas" and axis_name is None
-            and env.spec.name == "pendulum"):
+            and env.spec.name in _pr.SUPPORTED):
         # whole-rollout kernel (ops/pallas_rollout.py): the T-step actor
         # loop as ONE program — a compiled scan iteration costs ~10us of
         # loop overhead alone, so the 200-step scan pays ~2ms before any
         # work; the kernel does the lot in <1ms (docs/RESULTS.md)
-        from ppoc_tpu.ops import pallas_rollout
-
-        traj, final_carry = pallas_rollout.rollout_pendulum(
-            policy_params, key, n_envs, length, cfg.activation, env_carry
+        traj, final_carry = _pr.rollout_fused(
+            env.spec.name, policy_params, key, n_envs, length,
+            cfg.activation, env_carry,
         )
         if force_truncate:
             last_trunc = jnp.logical_or(

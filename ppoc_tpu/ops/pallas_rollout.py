@@ -4,16 +4,20 @@ On this chip a compiled `lax.scan` iteration costs ~10 us of loop overhead
 regardless of body size — a 200-step rollout pays ~2 ms before doing any
 work, and the per-step policy/env kernels add fusion-boundary cost on top
 (measured: 5.4 ms at the bench config, of which <1.5 ms is real compute).
-This kernel runs the ENTIRE rollout — policy forward, Box-Muller Gaussian
-sampling from the on-core PRNG (the reference's generate_gaussian_noise,
-src/policy.cu:46-65, reborn in hardware), Pendulum physics
-(envs/pendulum.py semantics exactly), horizon truncation and auto-reset —
-inside one kernel: T iterations of VMEM-resident VPU/MXU work with zero
-kernel boundaries.
+This kernel runs the ENTIRE rollout — policy forward, Gaussian (Box-Muller,
+the reference's generate_gaussian_noise src/policy.cu:46-65 reborn in
+hardware) or categorical (Gumbel-max) sampling, env physics, horizon
+truncation and auto-reset — inside one kernel: T iterations of
+VMEM-resident VPU/MXU work with zero kernel boundaries.
 
 Layout: features on sublanes, environments on lanes ([d, E] activations),
 so the policy matmuls are [H, d] x [d, E] MXU contractions and every
 physics quantity is a [1, E] lane vector.
+
+Every in-repo environment is supported through the :data:`LANE_ENVS`
+registry — each entry re-expresses its env's reset/step/obs (the SAME
+equations as envs/<name>.py, cross-checked in tests/test_pallas_rollout.py)
+as functions on [1, E] lane rows, so one generic kernel serves all of them.
 
 RNG: a counter-based software generator (murmur3 finalizer over
 (seed, step, draw, lane) counters) computed on the VPU — identical on TPU
@@ -21,23 +25,17 @@ and in CPU interpret mode, deterministic per trainer key.  The random
 STREAM differs from jax.random (as the reference's libc rand() differs
 from both); distributions are preserved and stored log-probs are
 self-consistent, which is all PPO needs.
-
-Pendulum-only (the flagship/headline env); other envs keep the scan path.
 """
 from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Callable, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from ppoc_tpu.envs.pendulum import (
-    DT, G, HORIZON, L, M, MAX_SPEED, MAX_TORQUE, PendulumState,
-)
 
 _TWO_PI = 2.0 * math.pi
 
@@ -45,6 +43,10 @@ _TWO_PI = 2.0 * math.pi
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
+
+# ---------------------------------------------------------------------------
+# counter-based RNG (VPU-only; same bits on every backend)
+# ---------------------------------------------------------------------------
 
 def _fmix32(z):
     """murmur3 finalizer: full-avalanche 32-bit mixer (uint32 in/out)."""
@@ -70,59 +72,327 @@ def _uniform01(shape, s0, s1, t, draw: int):
     return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
 
 
-def _angle_norm(x):
-    v = x + math.pi
-    v = v - _TWO_PI * jnp.floor(v / _TWO_PI)
-    return v - math.pi
+# ---------------------------------------------------------------------------
+# lane-physics registry: each env as functions on [1, E] rows
+# ---------------------------------------------------------------------------
+
+Rows = List[jax.Array]  # state as a list of [1, E] f32 rows
 
 
-def _kernel(T: int, E: int, n_layers: int, activation: str, fresh_reset: bool,
-            seed_ref, ls_ref, *refs):
-    # refs: [W_l [d_in,d_out], b_l [d_out,1]] * n_layers, th0, thd0, st0
-    # (each [1,E]), then outputs: cos,sin,thd planes (obs), next planes,
-    # action, logp, reward, trunc (each [T,E]), th_f, thd_f, st_f [1,E].
+class LaneEnv(NamedTuple):
+    state_dim: int
+    obs_dim: int
+    act_dim: int            # continuous action rows (0 if discrete)
+    n_actions: int          # discrete class count (0 if continuous)
+    horizon: int
+    reset: Callable         # rand(j) -> [1,E] uniform; returns state Rows
+    obs: Callable           # Rows -> obs Rows
+    step: Callable          # (Rows, act Rows) -> (Rows, reward, term) rows
+    pack: Callable          # vmapped env state pytree -> ([E,state_dim], steps [E])
+    unpack: Callable        # ([E,state_dim], steps [E]) -> state pytree
+
+
+def _pendulum_lane() -> LaneEnv:
+    from ppoc_tpu.envs.pendulum import (
+        DT, G, HORIZON, L, M, MAX_SPEED, MAX_TORQUE, PendulumState,
+    )
+
+    def reset(rand):
+        return [-math.pi + _TWO_PI * rand(0), -1.0 + 2.0 * rand(1)]
+
+    def obs(s):
+        th, thd = s
+        return [jnp.cos(th), jnp.sin(th), thd]
+
+    def step(s, act):
+        th, thd = s
+        u = jnp.clip(act[0], -MAX_TORQUE, MAX_TORQUE)
+        v = th + math.pi
+        an = v - _TWO_PI * jnp.floor(v / _TWO_PI) - math.pi
+        cost = an * an + 0.1 * thd * thd + 0.001 * u * u
+        thd2 = jnp.clip(
+            thd + (3.0 * G / (2.0 * L) * jnp.sin(th) + 3.0 / (M * L * L) * u) * DT,
+            -MAX_SPEED, MAX_SPEED,
+        )
+        th2 = th + thd2 * DT
+        return [th2, thd2], -cost, jnp.zeros_like(th)
+
+    return LaneEnv(
+        2, 3, 1, 0, HORIZON, reset, obs, step,
+        pack=lambda st: (jnp.stack([st.theta, st.theta_dot], 1), st.t),
+        unpack=lambda m, t: PendulumState(m[:, 0], m[:, 1], t),
+    )
+
+
+def _simple_lane() -> LaneEnv:
+    from ppoc_tpu.envs.simple import HORIZON, SimpleState
+
+    def reset(rand):
+        return [jnp.zeros_like(rand(0))]
+
+    def obs(s):
+        return [s[0]]
+
+    def step(s, act):
+        x = s[0] + jnp.clip(act[0], -1.0, 1.0)
+        term = (x >= 5.0).astype(jnp.float32)
+        return [x], term, term  # reward == 1 iff terminated
+
+    return LaneEnv(
+        1, 1, 1, 0, HORIZON, reset, obs, step,
+        pack=lambda st: (st.s[:, None], st.t),
+        unpack=lambda m, t: SimpleState(m[:, 0], t),
+    )
+
+
+def _cartpole_lane() -> LaneEnv:
+    from ppoc_tpu.envs.cartpole import (
+        FORCE_MAG, GRAVITY, HORIZON, LENGTH, MASSPOLE, POLEMASS_LENGTH,
+        TAU, THETA_THRESHOLD, TOTAL_MASS, X_THRESHOLD, CartPoleState,
+    )
+    theta_lim = float(THETA_THRESHOLD)
+
+    def reset(rand):
+        return [-0.05 + 0.1 * rand(j) for j in range(4)]
+
+    def obs(s):
+        return list(s)
+
+    def step(s, act):
+        x, xd, th, thd = s
+        force = jnp.where(act[0] > 0.5, FORCE_MAG, -FORCE_MAG)
+        c, si = jnp.cos(th), jnp.sin(th)
+        temp = (force + POLEMASS_LENGTH * thd * thd * si) / TOTAL_MASS
+        th_acc = (GRAVITY * si - c * temp) / (
+            LENGTH * (4.0 / 3.0 - MASSPOLE * c * c / TOTAL_MASS)
+        )
+        x_acc = temp - POLEMASS_LENGTH * th_acc * c / TOTAL_MASS
+        x2 = x + TAU * xd
+        xd2 = xd + TAU * x_acc
+        th2 = th + TAU * thd
+        thd2 = thd + TAU * th_acc
+        term = jnp.maximum(
+            (jnp.abs(x2) > X_THRESHOLD).astype(jnp.float32),
+            (jnp.abs(th2) > theta_lim).astype(jnp.float32),
+        )
+        return [x2, xd2, th2, thd2], jnp.ones_like(x2), term
+
+    return LaneEnv(
+        4, 4, 0, 2, HORIZON, reset, obs, step,
+        pack=lambda st: (jnp.stack([st.x, st.x_dot, st.theta, st.theta_dot], 1), st.t),
+        unpack=lambda m, t: CartPoleState(m[:, 0], m[:, 1], m[:, 2], m[:, 3], t),
+    )
+
+
+def _mountain_car_lane(norm: bool) -> LaneEnv:
+    from ppoc_tpu.envs.mountain_car import (
+        GOAL_POSITION, GOAL_VELOCITY, HORIZON, MAX_POSITION, MAX_SPEED,
+        MIN_POSITION, POWER, MountainCarState,
+    )
+    mid_p = (MAX_POSITION + MIN_POSITION) / 2.0
+    half_p = (MAX_POSITION - MIN_POSITION) / 2.0
+
+    def reset(rand):
+        return [-0.6 + 0.2 * rand(0), jnp.zeros_like(rand(0))]
+
+    def obs(s):
+        pos, vel = s
+        if norm:
+            return [(pos - mid_p) / half_p, vel / MAX_SPEED]
+        return [pos, vel]
+
+    def step(s, act):
+        pos, vel = s
+        force = jnp.clip(act[0], -1.0, 1.0)
+        vel2 = jnp.clip(vel + force * POWER - 0.0025 * jnp.cos(3.0 * pos),
+                        -MAX_SPEED, MAX_SPEED)
+        pos2 = jnp.clip(pos + vel2, MIN_POSITION, MAX_POSITION)
+        vel2 = jnp.where(
+            jnp.logical_and(pos2 <= MIN_POSITION, vel2 < 0.0), 0.0, vel2)
+        term = jnp.logical_and(pos2 >= GOAL_POSITION,
+                               vel2 >= GOAL_VELOCITY).astype(jnp.float32)
+        reward = term * 100.0 - 0.1 * act[0] * act[0]
+        return [pos2, vel2], reward, term
+
+    return LaneEnv(
+        2, 2, 1, 0, HORIZON, reset, obs, step,
+        pack=lambda st: (jnp.stack([st.position, st.velocity], 1), st.t),
+        unpack=lambda m, t: MountainCarState(m[:, 0], m[:, 1], t),
+    )
+
+
+def _acrobot_lane() -> LaneEnv:
+    from ppoc_tpu.envs import acrobot as ac
+
+    DT = ac.DT
+    mv1, mv2 = float(ac.MAX_VEL_1), float(ac.MAX_VEL_2)
+
+    def dsdt(th1, th2, d1_, d2_, torque):
+        m1 = m2 = 1.0
+        l1 = 1.0
+        lc1 = lc2 = 0.5
+        i1 = i2 = 1.0
+        g = 9.8
+        c2 = jnp.cos(th2)
+        s2 = jnp.sin(th2)
+        d1 = m1 * lc1 ** 2 + m2 * (l1 ** 2 + lc2 ** 2 + 2 * l1 * lc2 * c2) + i1 + i2
+        d2 = m2 * (lc2 ** 2 + l1 * lc2 * c2) + i2
+        phi2 = m2 * lc2 * g * jnp.cos(th1 + th2 - math.pi / 2.0)
+        phi1 = (-m2 * l1 * lc2 * d2_ ** 2 * s2
+                - 2 * m2 * l1 * lc2 * d2_ * d1_ * s2
+                + (m1 * lc1 + m2 * l1) * g * jnp.cos(th1 - math.pi / 2.0)
+                + phi2)
+        dd2 = (torque + d2 / d1 * phi1 - m2 * l1 * lc2 * d1_ ** 2 * s2 - phi2) / (
+            m2 * lc2 ** 2 + i2 - d2 ** 2 / d1)
+        dd1 = -(d2 * dd2 + phi1) / d1
+        return d1_, d2_, dd1, dd2
+
+    def wrap(x):
+        v = x + math.pi
+        return v - _TWO_PI * jnp.floor(v / _TWO_PI) - math.pi
+
+    def reset(rand):
+        return [-0.1 + 0.2 * rand(j) for j in range(4)]
+
+    def obs(s):
+        th1, th2, d1_, d2_ = s
+        return [jnp.cos(th1), jnp.sin(th1), jnp.cos(th2), jnp.sin(th2),
+                d1_, d2_]
+
+    def step(s, act):
+        th1, th2, d1_, d2_ = s
+        torque = act[0] - 1.0                      # class index {0,1,2}
+        y = (th1, th2, d1_, d2_)
+        k1 = dsdt(*y, torque)
+        y2 = tuple(a + DT / 2.0 * b for a, b in zip(y, k1))
+        k2 = dsdt(*y2, torque)
+        y3 = tuple(a + DT / 2.0 * b for a, b in zip(y, k2))
+        k3 = dsdt(*y3, torque)
+        y4 = tuple(a + DT * b for a, b in zip(y, k3))
+        k4 = dsdt(*y4, torque)
+        out = [a + DT / 6.0 * (p + 2 * q + 2 * r_ + w)
+               for a, p, q, r_, w in zip(y, k1, k2, k3, k4)]
+        out[0] = wrap(out[0])
+        out[1] = wrap(out[1])
+        out[2] = jnp.clip(out[2], -mv1, mv1)
+        out[3] = jnp.clip(out[3], -mv2, mv2)
+        term = ((-jnp.cos(out[0]) - jnp.cos(out[1] + out[0])) > 1.0
+                ).astype(jnp.float32)
+        reward = term - 1.0                        # 0 on terminate, else -1
+        return out, reward, term
+
+    return LaneEnv(
+        4, 6, 0, 3, ac.HORIZON, reset, obs, step,
+        pack=lambda st: (st.s, st.t),
+        unpack=lambda m, t: ac.AcrobotState(m, t),
+    )
+
+
+def _reacher_lane() -> LaneEnv:
+    from ppoc_tpu.envs import reacher as rc
+
+    def tip(q1, q2):
+        return (rc.L1 * jnp.cos(q1) + rc.L2 * jnp.cos(q1 + q2),
+                rc.L1 * jnp.sin(q1) + rc.L2 * jnp.sin(q1 + q2))
+
+    def reset(rand):
+        q1 = -math.pi + _TWO_PI * rand(0)
+        q2 = -math.pi + _TWO_PI * rand(1)
+        radius = 0.1 + (0.9 * (rc.L1 + rc.L2) - 0.1) * rand(2)
+        angle = -math.pi + _TWO_PI * rand(3)
+        z = jnp.zeros_like(q1)
+        return [q1, q2, z, z,
+                radius * jnp.cos(angle), radius * jnp.sin(angle)]
+
+    def obs(s):
+        q1, q2, qd1, qd2, tx, ty = s
+        tx_, ty_ = tip(q1, q2)
+        return [jnp.cos(q1), jnp.cos(q2), jnp.sin(q1), jnp.sin(q2),
+                qd1 / rc.MAX_SPEED, qd2 / rc.MAX_SPEED, tx, ty,
+                tx_ - tx, ty_ - ty]
+
+    def step(s, act):
+        q1, q2, qd1, qd2, tx, ty = s
+        u1 = jnp.clip(act[0], -rc.MAX_TORQUE, rc.MAX_TORQUE)
+        u2 = jnp.clip(act[1], -rc.MAX_TORQUE, rc.MAX_TORQUE)
+        qd1n = jnp.clip(qd1 + (rc.ACCEL_GAIN * u1 - rc.DAMPING * qd1) * rc.DT,
+                        -rc.MAX_SPEED, rc.MAX_SPEED)
+        qd2n = jnp.clip(qd2 + (rc.ACCEL_GAIN * u2 - rc.DAMPING * qd2) * rc.DT,
+                        -rc.MAX_SPEED, rc.MAX_SPEED)
+        q1n = q1 + qd1n * rc.DT
+        q2n = q2 + qd2n * rc.DT
+        tx_, ty_ = tip(q1n, q2n)
+        dist = jnp.sqrt(jnp.square(tx_ - tx) + jnp.square(ty_ - ty))
+        reward = -dist - 0.01 * (u1 * u1 + u2 * u2)
+        return [q1n, q2n, qd1n, qd2n, tx, ty], reward, jnp.zeros_like(q1)
+
+    return LaneEnv(
+        6, 10, 2, 0, rc.HORIZON, reset, obs, step,
+        pack=lambda st: (jnp.concatenate([st.q, st.qd, st.target], 1), st.t),
+        unpack=lambda m, t: rc.ReacherState(m[:, 0:2], m[:, 2:4], m[:, 4:6], t),
+    )
+
+
+LANE_ENVS = {
+    "pendulum": _pendulum_lane,
+    "simple": _simple_lane,
+    "cartpole": _cartpole_lane,
+    "mountain_car": functools.partial(_mountain_car_lane, False),
+    "mountain_car_norm": functools.partial(_mountain_car_lane, True),
+    "acrobot": _acrobot_lane,
+    "reacher": _reacher_lane,
+}
+
+SUPPORTED = frozenset(LANE_ENVS)
+
+
+# ---------------------------------------------------------------------------
+# the generic kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(T: int, E: int, n_layers: int, activation: str, fresh: bool,
+            lane: LaneEnv, seed_ref, ls_ref, *refs):
     par = refs[: 2 * n_layers]
-    th0_ref, thd0_ref, st0_ref = refs[2 * n_layers: 2 * n_layers + 3]
-    (oc_ref, os_ref, od_ref, nc_ref, ns_ref, nd_ref, a_ref, lp_ref,
-     r_ref, tr_ref, thf_ref, thdf_ref, stf_ref) = refs[2 * n_layers + 3:]
+    st0_ref = refs[2 * n_layers]          # [state_dim, E]
+    steps0_ref = refs[2 * n_layers + 1]   # [1, E]
+    out = refs[2 * n_layers + 2:]
+    D, O = lane.state_dim, lane.obs_dim
+    obs_refs = out[:O]
+    nobs_refs = out[O: 2 * O]
+    a_ref, lp_ref, r_ref, te_ref, tr_ref = out[2 * O: 2 * O + 5]
+    stf_ref = out[2 * O + 5]              # [state_dim, E] final carry
+    stepsf_ref = out[2 * O + 6]           # [1, E]
 
     s0 = seed_ref[0, 0].astype(jnp.uint32)
     s1 = seed_ref[0, 1].astype(jnp.uint32)
-    t_init = jnp.uint32(0xFFFF0000)  # init draws use a reserved "step"
+    K = lane.n_actions
+    discrete = K > 0
+    k_out = K if discrete else lane.act_dim
 
-    if fresh_reset:
-        th = -math.pi + _TWO_PI * _uniform01((1, E), s0, s1, t_init, 0)
-        thd = -1.0 + 2.0 * _uniform01((1, E), s0, s1, t_init, 1)
-        st = jnp.zeros((1, E), jnp.float32)
+    if fresh:
+        t_init = jnp.uint32(0xFFFF0000)
+        rows = lane.reset(lambda j: _uniform01((1, E), s0, s1, t_init, 50 + j))
+        for d in range(D):
+            stf_ref[d: d + 1, :] = rows[d]
+        stepsf_ref[:] = jnp.zeros((1, E), jnp.float32)
     else:
-        th = th0_ref[:]
-        thd = thd0_ref[:]
-        st = st0_ref[:]
-
-    ls = ls_ref[0, 0]
-    sigma = jnp.exp(ls)
-
-    thf_ref[:] = th
-    thdf_ref[:] = thd
-    stf_ref[:] = st
+        stf_ref[:] = st0_ref[:]
+        stepsf_ref[:] = steps0_ref[:]
 
     def body(t, _):
-        th = thf_ref[:]
-        thd = thdf_ref[:]
         st = stf_ref[:]
+        rows = [st[d: d + 1, :] for d in range(D)]
+        steps = stepsf_ref[:]
 
-        # observation the policy acts on
-        c = jnp.cos(th)
-        s = jnp.sin(th)
-        oc_ref[pl.ds(t, 1), :] = c
-        os_ref[pl.ds(t, 1), :] = s
-        od_ref[pl.ds(t, 1), :] = thd
+        ob = lane.obs(rows)
+        for d in range(O):
+            obs_refs[d][pl.ds(t, 1), :] = ob[d]
 
-        # policy forward: [H, d] x [d, E] contractions
-        h = jnp.concatenate([c, s, thd], axis=0)        # [3, E]
+        # policy forward: [H, d] x [d, E]
+        h = jnp.concatenate(ob, axis=0)
         for l in range(n_layers):
-            w = par[2 * l][:]                           # [d_in, d_out]
-            b = par[2 * l + 1][:]                       # [d_out, 1]
+            w = par[2 * l][:]
+            b = par[2 * l + 1][:]
             h = jax.lax.dot_general(
                 w, h, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -132,48 +402,82 @@ def _kernel(T: int, E: int, n_layers: int, activation: str, fresh_reset: bool,
                     h = jnp.maximum(h, 0.0)
                 elif activation == "tanh":
                     h = jnp.tanh(h)
-        mu = h                                          # [1, E]
 
-        # Box-Muller sample (src/policy.cu:46-65)
-        u1 = jnp.maximum(_uniform01((1, E), s0, s1, t, 2), 1e-12)
-        u2 = _uniform01((1, E), s0, s1, t, 3)
-        eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-        a = mu + eps * sigma
-        z = (a - mu) / sigma
-        lp = -0.5 * math.log(_TWO_PI) - ls - 0.5 * z * z
-        a_ref[pl.ds(t, 1), :] = a
+        if discrete:
+            # Gumbel-max sampling over K logit rows + exact log-softmax
+            zmax = h[0:1, :]
+            for k in range(1, K):
+                zmax = jnp.maximum(zmax, h[k: k + 1, :])
+            lse = jnp.zeros((1, E), jnp.float32)
+            for k in range(K):
+                lse = lse + jnp.exp(h[k: k + 1, :] - zmax)
+            lse = zmax + jnp.log(lse)
+            best_val = None
+            best_idx = None
+            for k in range(K):
+                u = jnp.clip(_uniform01((1, E), s0, s1, t, k),
+                             1e-12, 1.0 - 1e-7)
+                y = h[k: k + 1, :] - jnp.log(-jnp.log(u))
+                if best_val is None:
+                    best_val, best_idx = y, jnp.zeros((1, E), jnp.float32)
+                else:
+                    take = y > best_val
+                    best_val = jnp.where(take, y, best_val)
+                    best_idx = jnp.where(take, float(k), best_idx)
+            a_rows = [best_idx]
+            lp = jnp.zeros((1, E), jnp.float32)
+            for k in range(K):
+                lp = lp + jnp.where(best_idx == float(k),
+                                    h[k: k + 1, :] - lse, 0.0)
+        else:
+            a_rows = []
+            lp = jnp.full((1, E), -0.5 * lane.act_dim * math.log(_TWO_PI))
+            for j in range(lane.act_dim):
+                ls = ls_ref[j, 0]
+                sigma = jnp.exp(ls)
+                u1 = jnp.maximum(_uniform01((1, E), s0, s1, t, 2 * j), 1e-12)
+                u2 = _uniform01((1, E), s0, s1, t, 2 * j + 1)
+                eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+                mu = h[j: j + 1, :]
+                a = mu + eps * sigma
+                z = (a - mu) / sigma
+                lp = lp - ls - 0.5 * z * z
+                a_rows.append(a)
+
+        # action plane: single row (discrete index / 1-D) or stacked rows
+        if len(a_rows) == 1:
+            a_ref[pl.ds(t, 1), :] = a_rows[0]
+        else:
+            for j, a in enumerate(a_rows):
+                a_ref[pl.ds(t, 1), pl.ds(j * E, E)] = a
         lp_ref[pl.ds(t, 1), :] = lp
 
-        # Pendulum physics (envs/pendulum.py:_step)
-        u = jnp.clip(a, -MAX_TORQUE, MAX_TORQUE)
-        an = _angle_norm(th)
-        cost = an * an + 0.1 * thd * thd + 0.001 * u * u
-        thd2 = jnp.clip(
-            thd + (3.0 * G / (2.0 * L) * s + 3.0 / (M * L * L) * u) * DT,
-            -MAX_SPEED, MAX_SPEED,
-        )
-        th2 = th + thd2 * DT
-        st2 = st + 1.0
-        trunc = (st2 >= HORIZON).astype(jnp.float32)
+        new_rows, reward, term = lane.step(rows, a_rows)
+        steps2 = steps + 1.0
+        trunc = jnp.maximum(
+            (steps2 >= lane.horizon).astype(jnp.float32) - term, 0.0)
 
-        nc_ref[pl.ds(t, 1), :] = jnp.cos(th2)
-        ns_ref[pl.ds(t, 1), :] = jnp.sin(th2)
-        nd_ref[pl.ds(t, 1), :] = thd2
-        r_ref[pl.ds(t, 1), :] = -cost
+        nob = lane.obs(new_rows)
+        for d in range(O):
+            nobs_refs[d][pl.ds(t, 1), :] = nob[d]
+        r_ref[pl.ds(t, 1), :] = reward
+        te_ref[pl.ds(t, 1), :] = term
         tr_ref[pl.ds(t, 1), :] = trunc
 
-        # auto-reset the truncated lanes
-        th_new = -math.pi + _TWO_PI * _uniform01((1, E), s0, s1, t, 4)
-        thd_new = -1.0 + 2.0 * _uniform01((1, E), s0, s1, t, 5)
-        thf_ref[:] = jnp.where(trunc > 0, th_new, th2)
-        thdf_ref[:] = jnp.where(trunc > 0, thd_new, thd2)
-        stf_ref[:] = jnp.where(trunc > 0, 0.0, st2)
+        done = jnp.maximum(term, trunc)
+        fresh_rows = lane.reset(
+            lambda j: _uniform01((1, E), s0, s1, t, 50 + j))
+        for d in range(D):
+            stf_ref[d: d + 1, :] = jnp.where(done > 0, fresh_rows[d],
+                                             new_rows[d])
+        stepsf_ref[:] = jnp.where(done > 0, 0.0, steps2)
         return 0
 
     jax.lax.fori_loop(0, T, body, 0)
 
 
-def rollout_pendulum(
+def rollout_fused(
+    env_name: str,
     policy_params,
     key: jax.Array,
     n_envs: int,
@@ -181,14 +485,19 @@ def rollout_pendulum(
     activation: str = "relu",
     env_carry: Optional[Tuple] = None,
 ):
-    """One-kernel rollout; returns (Transition-field tuple, env_carry) with
-    the same structure as the scan path (algo/ppo.py rollout)."""
+    """One-kernel rollout for any registered env; returns (Transition,
+    env_carry) with the same structure as the scan path (algo/ppo.py)."""
     from ppoc_tpu.algo.ppo import Transition
 
+    lane = LANE_ENVS[env_name]()
     params = policy_params["mlp"]
-    log_std = policy_params["log_std"]
+    discrete = lane.n_actions > 0
+    log_std = (jnp.zeros((1,), jnp.float32) if discrete
+               else policy_params["log_std"])
     n_layers = len(params)
     T, E = length, n_envs
+    D, O = lane.state_dim, lane.obs_dim
+    act_dim = 1 if discrete else lane.act_dim
 
     kd = jax.random.fold_in(key, 0)
     try:
@@ -201,62 +510,63 @@ def rollout_pendulum(
 
     fresh = env_carry is None
     if fresh:
-        th0 = jnp.zeros((1, E), jnp.float32)
-        thd0 = jnp.zeros((1, E), jnp.float32)
-        st0 = jnp.zeros((1, E), jnp.float32)
+        st0 = jnp.zeros((D, E), jnp.float32)
+        steps0 = jnp.zeros((1, E), jnp.float32)
     else:
         state, _obs0 = env_carry
-        th0 = state.theta.reshape(1, E)
-        thd0 = state.theta_dot.reshape(1, E)
-        st0 = state.t.astype(jnp.float32).reshape(1, E)
+        mat, steps = lane.pack(state)
+        st0 = mat.T.astype(jnp.float32)
+        steps0 = steps.astype(jnp.float32).reshape(1, E)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    inputs = [seed_arr, log_std.reshape(1, 1)]
+    inputs = [seed_arr, log_std.reshape(-1, 1)]
     in_specs = [smem, vmem]
     for w, b in params:
         inputs += [w, b.reshape(-1, 1)]
         in_specs += [vmem, vmem]
-    inputs += [th0, thd0, st0]
-    in_specs += [vmem, vmem, vmem]
+    inputs += [st0, steps0]
+    in_specs += [vmem, vmem]
 
     plane = jax.ShapeDtypeStruct((T, E), jnp.float32)
-    carry_row = jax.ShapeDtypeStruct((1, E), jnp.float32)
-    out_shape = [plane] * 10 + [carry_row] * 3
-    out_specs = [vmem] * 13
+    a_plane = jax.ShapeDtypeStruct((T, act_dim * E), jnp.float32)
+    out_shape = ([plane] * (2 * O) + [a_plane] + [plane] * 4
+                 + [jax.ShapeDtypeStruct((D, E), jnp.float32),
+                    jax.ShapeDtypeStruct((1, E), jnp.float32)])
+    out_specs = [vmem] * len(out_shape)
 
+    mlp_flops = 2 * E * sum(w.shape[0] * w.shape[1] for w, _ in params)
     outs = pl.pallas_call(
-        functools.partial(_kernel, T, E, n_layers, activation, fresh),
+        functools.partial(_kernel, T, E, n_layers, activation, fresh, lane),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=T * 2 * E * sum(w.shape[0] * w.shape[1] for w, _ in params)
-            + 40 * T * E,
-            bytes_accessed=4 * (10 * T * E),
-            transcendentals=8 * T * E,
+            flops=T * (mlp_flops + 60 * E),
+            bytes_accessed=4 * (2 * O + 6) * T * E,
+            transcendentals=12 * T * E,
         ),
         interpret=_interpret(),
     )(*inputs)
 
-    oc, os_, od, nc, ns, nd, a, lp, r, tr, thf, thdf, stf = outs
-    obs = jnp.stack([oc, os_, od], axis=-1)           # [T, E, 3]
-    next_obs = jnp.stack([nc, ns, nd], axis=-1)
+    obs_planes = outs[:O]
+    nobs_planes = outs[O: 2 * O]
+    a_flat, lp, r, te, tr = outs[2 * O: 2 * O + 5]
+    stf, stepsf = outs[2 * O + 5], outs[2 * O + 6]
+
+    obs = jnp.stack(obs_planes, axis=-1)
+    next_obs = jnp.stack(nobs_planes, axis=-1)
+    if discrete:
+        action = a_flat.reshape(T, E, 1).astype(jnp.int32)
+    else:
+        action = a_flat.reshape(T, act_dim, E).transpose(0, 2, 1)
+    term = te > 0
     trunc = tr > 0
     traj = Transition(
-        obs=obs,
-        action=a[..., None],
-        log_prob=lp,
-        next_obs=next_obs,
-        reward=r,
-        terminated=jnp.zeros_like(trunc),
-        truncated=trunc,
+        obs=obs, action=action, log_prob=lp, next_obs=next_obs,
+        reward=r, terminated=term, truncated=trunc,
     )
-    state = PendulumState(
-        theta=thf.reshape(E), theta_dot=thdf.reshape(E),
-        t=stf.reshape(E).astype(jnp.int32),
-    )
-    obs_after = jnp.stack(
-        [jnp.cos(state.theta), jnp.sin(state.theta), state.theta_dot], axis=-1
-    )
+    state = lane.unpack(stf.T, stepsf.reshape(E).astype(jnp.int32))
+    obs_after_rows = lane.obs([stf[d: d + 1, :] for d in range(D)])
+    obs_after = jnp.stack([x.reshape(E) for x in obs_after_rows], axis=-1)
     return traj, (state, obs_after)
