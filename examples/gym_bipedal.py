@@ -12,6 +12,7 @@ import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import json
+import math
 
 from ppoc_tpu import PPOConfig
 from ppoc_tpu.envs.gym_bridge import GymTrainer
@@ -26,5 +27,8 @@ cfg = PPOConfig(n_envs=16, rollout_len=256, minibatch_size=256,
                 ent_coeff=0.001, kernel_backend="jnp")
 tr = GymTrainer(cfg, "BipedalWalker-v3", actor="host", vector_mode="sync")
 hist = tr.train()
-print(json.dumps([{k: round(float(v), 2) for k, v in row.items()}
-                  for row in hist]))
+print(json.dumps([
+    {k: (round(float(v), 2) if math.isfinite(float(v)) else None)
+     for k, v in row.items()}
+    for row in hist
+]))

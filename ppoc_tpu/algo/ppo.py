@@ -151,10 +151,12 @@ def rollout(
     passing the previous rollout's carry continues the same episodes
     (cfg.reset_per_fit=False).
     """
-    from ppoc_tpu.ops import pallas_rollout as _pr
+    if backend == "pallas" and axis_name is None:
+        from ppoc_tpu.ops import pallas_rollout as _pr
+    else:
+        _pr = None
 
-    if (backend == "pallas" and axis_name is None
-            and env.spec.name in _pr.SUPPORTED):
+    if _pr is not None and env.spec.name in _pr.SUPPORTED:
         # whole-rollout kernel (ops/pallas_rollout.py): the T-step actor
         # loop as ONE program — a compiled scan iteration costs ~10us of
         # loop overhead alone, so the 200-step scan pays ~2ms before any
@@ -264,17 +266,16 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
     hence the size gate (docs/RESULTS.md perf X-ray).  Sharded runs keep
     the scan (gradient pmean must cross shards before Adam).
     """
-    from ppoc_tpu.ops import pallas_update as _pu
+    if backend == "pallas" and axis_name is None:
+        from ppoc_tpu.ops import pallas_update as _pu
 
-    if (backend == "pallas" and axis_name is None
-            and mb_size <= _pu._MAX_TILE
-            and mb_size == cfg.minibatch_size and n_mb == cfg.num_minibatches):
-        from ppoc_tpu.ops import pallas_update
-
-        v2, opt2, loss = pallas_update.value_phase_fused(
-            cfg, ts.v_params, ts.opt_v, buf, key
-        )
-        return ts._replace(v_params=v2, opt_v=opt2), loss
+        if (mb_size <= _pu._MAX_TILE
+                and mb_size == cfg.minibatch_size
+                and n_mb == cfg.num_minibatches):
+            v2, opt2, loss = _pu.value_phase_fused(
+                cfg, ts.v_params, ts.opt_v, buf, key
+            )
+            return ts._replace(v_params=v2, opt_v=opt2), loss
     n_rows = buf.obs.shape[0]
 
     def loss_fn(v_params, o, t):
@@ -312,21 +313,23 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
     """
     n_rows = buf.obs.shape[0]
     discrete = env.spec.discrete
-    from ppoc_tpu.ops import pallas_update as _pu
+    if backend == "pallas" and axis_name is None:
+        from ppoc_tpu.ops import pallas_update as _pu
 
-    if (backend == "pallas" and axis_name is None
-            and mb_size <= _pu._MAX_TILE
-            and mb_size == cfg.minibatch_size and n_mb == cfg.num_minibatches):
-        if discrete:
-            pol2, opt_p2, loss, ent = _pu.policy_phase_fused_categorical(
-                cfg, ts.policy_params, ts.opt_policy, buf, key
+        if (mb_size <= _pu._MAX_TILE
+                and mb_size == cfg.minibatch_size
+                and n_mb == cfg.num_minibatches):
+            if discrete:
+                pol2, opt_p2, loss, ent = _pu.policy_phase_fused_categorical(
+                    cfg, ts.policy_params, ts.opt_policy, buf, key
+                )
+                return (ts._replace(policy_params=pol2, opt_policy=opt_p2),
+                        loss, ent)
+            pol2, opt_p2, opt_ls2, loss, ent = _pu.policy_phase_fused(
+                cfg, ts.policy_params, ts.opt_policy, ts.opt_log_std, buf, key
             )
-            return ts._replace(policy_params=pol2, opt_policy=opt_p2), loss, ent
-        pol2, opt_p2, opt_ls2, loss, ent = _pu.policy_phase_fused(
-            cfg, ts.policy_params, ts.opt_policy, ts.opt_log_std, buf, key
-        )
-        return ts._replace(policy_params=pol2, opt_policy=opt_p2,
-                           opt_log_std=opt_ls2), loss, ent
+            return ts._replace(policy_params=pol2, opt_policy=opt_p2,
+                               opt_log_std=opt_ls2), loss, ent
 
     def loss_fn(policy_params, o, a, lp_old, adv):
         logp = policy_mod.log_prob(policy_params, o, a, cfg.activation, backend, discrete)

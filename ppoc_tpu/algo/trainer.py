@@ -36,6 +36,33 @@ def _shard_map(fn, mesh, in_specs, out_specs):
         return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
+def _map_train_state(ts: "ppo.TrainState", param_fn, moment_fn=None,
+                     log_std_fn=None) -> "ppo.TrainState":
+    """Apply a transform to every MLP-shaped slot of a TrainState.
+
+    The tp/pp modes need the same mapping (pack / unpack-local /
+    repack-local / unshard) over the policy net, value net and both their
+    Adam moment trees; this is the single place that knows which slots
+    exist, so adding a TrainState field breaks loudly here instead of
+    silently dropping state in eight hand-written mappers.
+    ``moment_fn`` (default: ``param_fn``) transforms Adam m/v trees;
+    ``log_std_fn`` (default: identity) the log_std optimizer state.
+    """
+    moment_fn = param_fn if moment_fn is None else moment_fn
+    pol = dict(ts.policy_params)
+    pol["mlp"] = param_fn(ts.policy_params["mlp"])
+    opt_log_std = ts.opt_log_std if log_std_fn is None else log_std_fn(ts.opt_log_std)
+    return ppo.TrainState(
+        policy_params=pol,
+        v_params=param_fn(ts.v_params),
+        opt_policy=ts.opt_policy._replace(
+            m=moment_fn(ts.opt_policy.m), v=moment_fn(ts.opt_policy.v)),
+        opt_v=ts.opt_v._replace(
+            m=moment_fn(ts.opt_v.m), v=moment_fn(ts.opt_v.v)),
+        opt_log_std=opt_log_std,
+    )
+
+
 class Trainer:
     def __init__(self, cfg: PPOConfig, mesh: Optional[Mesh] = None):
         self.cfg = cfg
@@ -171,17 +198,7 @@ class Trainer:
             return tp_mod.pack_mlp(lst, tp_size)[0]
 
         def pack_state(ts: ppo.TrainState):
-            pol = dict(ts.policy_params)
-            pol["mlp"] = pack_list(ts.policy_params["mlp"])
-            return ppo.TrainState(
-                policy_params=pol,
-                v_params=pack_list(ts.v_params),
-                opt_policy=ts.opt_policy._replace(
-                    m=pack_list(ts.opt_policy.m), v=pack_list(ts.opt_policy.v)),
-                opt_v=ts.opt_v._replace(
-                    m=pack_list(ts.opt_v.m), v=pack_list(ts.opt_v.v)),
-                opt_log_std=ts.opt_log_std,
-            )
+            return _map_train_state(ts, pack_list)
 
         mlp_specs = tp_mod.pack_mlp(full_state.policy_params["mlp"], tp_size)[1]
         v_specs = tp_mod.pack_mlp(full_state.v_params, tp_size)[1]
@@ -197,49 +214,13 @@ class Trainer:
         )
 
         def unpack_local(ts: ppo.TrainState) -> ppo.TrainState:
-            pol = dict(ts.policy_params)
-            pol["mlp"] = tp_mod.unpack_mlp_local(ts.policy_params["mlp"])
-            return ppo.TrainState(
-                policy_params=pol,
-                v_params=tp_mod.unpack_mlp_local(ts.v_params),
-                opt_policy=ts.opt_policy._replace(
-                    m=tp_mod.unpack_mlp_local(ts.opt_policy.m),
-                    v=tp_mod.unpack_mlp_local(ts.opt_policy.v)),
-                opt_v=ts.opt_v._replace(
-                    m=tp_mod.unpack_mlp_local(ts.opt_v.m),
-                    v=tp_mod.unpack_mlp_local(ts.opt_v.v)),
-                opt_log_std=ts.opt_log_std,
-            )
+            return _map_train_state(ts, tp_mod.unpack_mlp_local)
 
         def repack_local(ts: ppo.TrainState) -> ppo.TrainState:
-            pol = dict(ts.policy_params)
-            pol["mlp"] = tp_mod.repack_mlp_local(ts.policy_params["mlp"])
-            return ppo.TrainState(
-                policy_params=pol,
-                v_params=tp_mod.repack_mlp_local(ts.v_params),
-                opt_policy=ts.opt_policy._replace(
-                    m=tp_mod.repack_mlp_local(ts.opt_policy.m),
-                    v=tp_mod.repack_mlp_local(ts.opt_policy.v)),
-                opt_v=ts.opt_v._replace(
-                    m=tp_mod.repack_mlp_local(ts.opt_v.m),
-                    v=tp_mod.repack_mlp_local(ts.opt_v.v)),
-                opt_log_std=ts.opt_log_std,
-            )
+            return _map_train_state(ts, tp_mod.repack_mlp_local)
 
-        self._tp_unshard = lambda packed: ppo.TrainState(
-            policy_params={
-                **packed.policy_params,
-                "mlp": tp_mod.unshard_packed(packed.policy_params["mlp"]),
-            },
-            v_params=tp_mod.unshard_packed(packed.v_params),
-            opt_policy=packed.opt_policy._replace(
-                m=tp_mod.unshard_packed(packed.opt_policy.m),
-                v=tp_mod.unshard_packed(packed.opt_policy.v)),
-            opt_v=packed.opt_v._replace(
-                m=tp_mod.unshard_packed(packed.opt_v.m),
-                v=tp_mod.unshard_packed(packed.opt_v.v)),
-            opt_log_std=packed.opt_log_std,
-        )
+        self._tp_unshard = lambda packed: _map_train_state(
+            packed, tp_mod.unshard_packed)
         self._tp_pack = pack_state
         self._tp_ctx = (dp_size, unpack_local, repack_local)
         self._pack_state = pack_state
@@ -332,8 +313,10 @@ class Trainer:
                         ("eval_envs", cfg.eval_envs)):
             if val % dp_size or (val // dp_size) % M:
                 raise ValueError(
-                    f"{nm} ({val}) must divide the dp size ({dp_size}) and "
-                    f"its per-device share must divide {M} microbatches"
+                    f"{nm} ({val}) must be divisible by the dp size "
+                    f"({dp_size}), and its per-device share "
+                    f"({val // dp_size if val % dp_size == 0 else '?'}) must "
+                    f"be divisible by the {M} GPipe microbatches"
                 )
         pp_backend = f"pp:pp:{M}"
 
@@ -351,17 +334,7 @@ class Trainer:
             )
 
         def pack_state(ts: ppo.TrainState) -> ppo.TrainState:
-            pol = dict(ts.policy_params)
-            pol["mlp"] = pack_list(ts.policy_params["mlp"])
-            return ppo.TrainState(
-                policy_params=pol,
-                v_params=pack_list(ts.v_params),
-                opt_policy=ts.opt_policy._replace(
-                    m=pack_moment(ts.opt_policy.m), v=pack_moment(ts.opt_policy.v)),
-                opt_v=ts.opt_v._replace(
-                    m=pack_moment(ts.opt_v.m), v=pack_moment(ts.opt_v.v)),
-                opt_log_std=ts.opt_log_std,
-            )
+            return _map_train_state(ts, pack_list, pack_moment)
 
         mlp_spec = pp_mod.pack_pp(full_state.policy_params["mlp"], S)[1]
         v_spec = pp_mod.pack_pp(full_state.v_params, S)[1]
@@ -377,50 +350,13 @@ class Trainer:
         )
 
         def unpack_local(ts: ppo.TrainState) -> ppo.TrainState:
-            pol = dict(ts.policy_params)
-            pol["mlp"] = pp_mod.unpack_pp_local(ts.policy_params["mlp"])
-            return ppo.TrainState(
-                policy_params=pol,
-                v_params=pp_mod.unpack_pp_local(ts.v_params),
-                opt_policy=ts.opt_policy._replace(
-                    m=pp_mod.unpack_pp_local(ts.opt_policy.m),
-                    v=pp_mod.unpack_pp_local(ts.opt_policy.v)),
-                opt_v=ts.opt_v._replace(
-                    m=pp_mod.unpack_pp_local(ts.opt_v.m),
-                    v=pp_mod.unpack_pp_local(ts.opt_v.v)),
-                opt_log_std=ts.opt_log_std,
-            )
+            return _map_train_state(ts, pp_mod.unpack_pp_local)
 
         def repack_local(ts: ppo.TrainState) -> ppo.TrainState:
-            pol = dict(ts.policy_params)
-            pol["mlp"] = pp_mod.repack_pp_local(ts.policy_params["mlp"])
-            return ppo.TrainState(
-                policy_params=pol,
-                v_params=pp_mod.repack_pp_local(ts.v_params),
-                opt_policy=ts.opt_policy._replace(
-                    m=pp_mod.repack_pp_local(ts.opt_policy.m),
-                    v=pp_mod.repack_pp_local(ts.opt_policy.v)),
-                opt_v=ts.opt_v._replace(
-                    m=pp_mod.repack_pp_local(ts.opt_v.m),
-                    v=pp_mod.repack_pp_local(ts.opt_v.v)),
-                opt_log_std=ts.opt_log_std,
-            )
+            return _map_train_state(ts, pp_mod.repack_pp_local)
 
         def unshard(packed: ppo.TrainState) -> ppo.TrainState:
-            return ppo.TrainState(
-                policy_params={
-                    **packed.policy_params,
-                    "mlp": pp_mod.unshard_pp(packed.policy_params["mlp"]),
-                },
-                v_params=pp_mod.unshard_pp(packed.v_params),
-                opt_policy=packed.opt_policy._replace(
-                    m=pp_mod.unshard_pp(packed.opt_policy.m),
-                    v=pp_mod.unshard_pp(packed.opt_policy.v)),
-                opt_v=packed.opt_v._replace(
-                    m=pp_mod.unshard_pp(packed.opt_v.m),
-                    v=pp_mod.unshard_pp(packed.opt_v.v)),
-                opt_log_std=packed.opt_log_std,
-            )
+            return _map_train_state(packed, pp_mod.unshard_pp)
 
         self._pack_state = pack_state
         self._unshard_state = unshard

@@ -94,6 +94,16 @@ def config_from_args(args: argparse.Namespace) -> PPOConfig:
     return cfg.replace(**overrides)
 
 
+def _json_safe(row: dict) -> dict:
+    """Replace non-finite floats (eval R/J are -inf when no episode
+    completes in the window) with None — json.dumps would otherwise emit
+    the non-RFC token -Infinity and break strict parsers."""
+    import math
+
+    return {k: (None if isinstance(v, float) and not math.isfinite(v) else v)
+            for k, v in row.items()}
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -166,7 +176,7 @@ def main(argv=None) -> int:
                             initial_eval=not args.resume, **ckpt_kw)
     if args.jsonl and is_main:
         for row in history:
-            print(json.dumps(row), flush=True)
+            print(json.dumps(_json_safe(row)), flush=True)
     if args.save and is_main:
         trainer.save(args.save)
         print(f"saved checkpoint to {args.save}", file=sys.stderr)

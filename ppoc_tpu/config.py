@@ -64,8 +64,8 @@ class PPOConfig:
     pp_size: int = 1              # pipeline-parallel degree: partition the
                                   # MLPs' layers into stages over a mesh axis
                                   # "pp" with a GPipe microbatch schedule
-                                  # (parallel/pp.py); layer count
-                                  # (len(hidden)+1) must divide pp_size
+                                  # (parallel/pp.py); pp_size must divide
+                                  # the layer count (len(hidden)+1)
     pp_microbatches: int = 0      # GPipe microbatches per forward; 0 =
                                   # pp_size (bubble fraction (S-1)/(M+S-1))
     norm_adv_global: bool = True  # normalize advantages over the whole buffer

@@ -31,7 +31,7 @@ ENV_IDS = {0: "Pendulum-v1", 1: "BipedalWalker-v3"}
 class _make_env_fn:
     """Picklable env factory (AsyncVectorEnv ships it to worker processes)."""
 
-    def __init__(self, _gym, env_id: str):
+    def __init__(self, env_id: str):
         self.env_id = env_id
 
     def __call__(self):
@@ -67,9 +67,17 @@ class GymVecEnv:
     def __init__(self, env_id, n_envs: int, seed: int = 0,
                  vector_mode: str = "sync"):
         gymnasium = _gymnasium()
-        from gymnasium.vector import (
-            AsyncVectorEnv, AutoresetMode, SyncVectorEnv,
-        )
+        try:
+            from gymnasium.vector import (
+                AsyncVectorEnv, AutoresetMode, SyncVectorEnv,
+            )
+        except ImportError as e:
+            raise ImportError(
+                f"the vectorized bridge needs gymnasium >= 1.1 "
+                f"(AutoresetMode.SAME_STEP); installed version "
+                f"{getattr(gymnasium, '__version__', '?')} lacks it — "
+                f"upgrade with `pip install -U gymnasium`"
+            ) from e
 
         if isinstance(env_id, int):
             env_id = ENV_IDS[env_id]
@@ -80,7 +88,7 @@ class GymVecEnv:
             raise ValueError(f"vector_mode must be 'sync' or 'async', got {vector_mode!r}")
         vec_cls = AsyncVectorEnv if vector_mode == "async" else SyncVectorEnv
         self.venv = vec_cls(
-            [_make_env_fn(gymnasium, env_id) for _ in range(n_envs)],
+            [_make_env_fn(env_id) for _ in range(n_envs)],
             autoreset_mode=AutoresetMode.SAME_STEP,
         )
         obs_space = self.venv.single_observation_space

@@ -42,8 +42,8 @@ Params = List[Tuple[jax.Array, jax.Array]]
 
 
 def stage_layout(params: Params, pp_size: int) -> Tuple[int, List[int]]:
-    """(padded width W, per-layer logical output widths). Requires the layer
-    count to divide pp_size."""
+    """(padded width W, per-layer logical output widths). Requires pp_size
+    to divide the layer count."""
     n = len(params)
     if n % pp_size:
         raise ValueError(f"{n} layers do not partition into {pp_size} stages")
