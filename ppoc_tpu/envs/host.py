@@ -306,7 +306,13 @@ class HostTrainer:
         return jax.tree.map(float, jax.device_get(m))
 
     def train(self, n_epochs: Optional[int] = None, log: bool = True,
-              stop_at_R: Optional[float] = None) -> List[dict]:
+              stop_at_R: Optional[float] = None,
+              checkpoint_path: Optional[str] = None,
+              checkpoint_every: int = 1) -> List[dict]:
+        """Epoch loop; same signature subset as Trainer.train (periodic
+        checkpoints included — NOTE host env objects are not serializable,
+        so a resumed host run restores optimization state + RNG but starts
+        from fresh env resets)."""
         n_epochs = self.cfg.n_epochs if n_epochs is None else n_epochs
         history: List[dict] = []
         for i in range(n_epochs):
@@ -323,6 +329,8 @@ class HostTrainer:
                 print(f"Epoch: {i} Entropy: {row['entropy']:f} "
                       f"Time {row['time_s']:f}s J: {row['J']:f} R: {row['R']:f} "
                       f"Episodes: {row['episodes']}", flush=True)
+            if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
+                self.save(checkpoint_path)
             if stop_at_R is not None and ev.R >= stop_at_R:
                 break
         return history

@@ -75,3 +75,28 @@ def test_bipedalwalker_bridge_smoke():
     assert tr.env.spec.obs_dim == 24 and tr.env.spec.action_dim == 4
     m = tr.train_fit()
     assert np.isfinite(float(jax.device_get(m.value_loss)))
+
+
+def test_host_trainer_periodic_checkpoint(tmp_path):
+    """HostTrainer.train(checkpoint_path=...) writes resumable checkpoints
+    (optimization state + RNG; host envs restart fresh by design)."""
+    import jax
+    import numpy as np
+
+    from ppoc_tpu.utils import checkpoint
+
+    cfg = PPOConfig(env="simple", n_envs=8, rollout_len=15, minibatch_size=16,
+                    fits_per_epoch=1, eval_envs=8, eval_len=15,
+                    hidden=(16, 16), kernel_backend="jnp")
+    venv = NativeHostVecEnv("simple", 8, seed=0)
+    eval_venv = NativeHostVecEnv("simple", 8, seed=7)
+    tr = HostTrainer(cfg, venv, eval_venv)
+    p = str(tmp_path / "host_ck.bin")
+    tr.train(n_epochs=2, log=False, checkpoint_path=p, checkpoint_every=1)
+    ck = checkpoint.load(p)
+    assert ck.cfg == cfg and ck.key is not None
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(tr.key)), np.asarray(jax.device_get(ck.key)))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(tr.state), jax.device_get(ck.state))
