@@ -151,12 +151,16 @@ def rollout(
     passing the previous rollout's carry continues the same episodes
     (cfg.reset_per_fit=False).
     """
-    if backend == "pallas" and axis_name is None:
+    # the whole-rollout kernel also serves the bf16 backend (its in-kernel
+    # f32 matmuls are tiny; the bf16 win is in the large-batch update
+    # phases, which stay on XLA)
+    if backend in ("pallas", "bf16") and axis_name is None:
         from ppoc_tpu.ops import pallas_rollout as _pr
     else:
         _pr = None
 
-    if _pr is not None and env.spec.name in _pr.SUPPORTED:
+    if (_pr is not None and env.spec.name in _pr.SUPPORTED
+            and _pr.fits_vmem(env.spec.name, length, n_envs)):
         # whole-rollout kernel (ops/pallas_rollout.py): the T-step actor
         # loop as ONE program — a compiled scan iteration costs ~10us of
         # loop overhead alone, so the 200-step scan pays ~2ms before any
@@ -224,7 +228,7 @@ def compute_advantages(
     """
     values = mlp.apply(v_params, traj.obs, cfg.activation, backend)[..., 0]
     next_values = mlp.apply(v_params, traj.next_obs, cfg.activation, backend)[..., 0]
-    if backend == "pallas" and axis_name is None:
+    if backend in ("pallas", "bf16") and axis_name is None:
         # one kernel: deltas + backward recurrence + Welford + normalize,
         # all VMEM-resident (ops/pallas_gae.py); the dp path keeps the XLA
         # scan so the Welford triple can psum across shards

@@ -345,6 +345,21 @@ LANE_ENVS = {
 
 SUPPORTED = frozenset(LANE_ENVS)
 
+# The kernel keeps every [T, E] output plane VMEM-resident for the whole
+# rollout; past this total the Mosaic scoped-VMEM limit trips at compile
+# time, so bigger shapes fall back to the XLA scan (which is also where
+# per-iteration overhead is amortized anyway).  Empirical on v5e: 18.4 MB
+# of planes (mountain_car at 512x999) compiles and runs; ~64 MB (reacher
+# at 4096x150) is rejected.
+_VMEM_PLANE_BUDGET = 24 * 1024 * 1024
+
+
+def fits_vmem(env_name: str, T: int, E: int) -> bool:
+    lane = LANE_ENVS[env_name]()
+    act = 1 if lane.n_actions > 0 else lane.act_dim
+    planes = 2 * lane.obs_dim + 4 + act          # obs, next_obs, a/lp/r/te/tr
+    return 4 * planes * T * E <= _VMEM_PLANE_BUDGET
+
 
 # ---------------------------------------------------------------------------
 # the generic kernel
