@@ -229,11 +229,16 @@ def compute_advantages(
     values = mlp.apply(v_params, traj.obs, cfg.activation, backend)[..., 0]
     next_values = mlp.apply(v_params, traj.next_obs, cfg.activation, backend)[..., 0]
     if backend in ("pallas", "bf16") and axis_name is None:
+        from ppoc_tpu.ops import pallas_gae
+    else:
+        pallas_gae = None
+
+    if (pallas_gae is not None
+            and pallas_gae.fits_vmem(traj.reward.shape[0], traj.reward.shape[1])):
         # one kernel: deltas + backward recurrence + Welford + normalize,
         # all VMEM-resident (ops/pallas_gae.py); the dp path keeps the XLA
-        # scan so the Welford triple can psum across shards
-        from ppoc_tpu.ops import pallas_gae
-
+        # scan so the Welford triple can psum across shards, and
+        # over-VMEM-budget shapes fall back too
         return pallas_gae.gae_norm_fused(
             traj.reward, values, next_values, traj.terminated,
             traj.truncated, env.spec.gamma, cfg.lam,

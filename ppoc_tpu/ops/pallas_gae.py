@@ -33,6 +33,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Empirical Mosaic scoped-VMEM ceiling on v5e: a [200, 4096] f32 plane
+# (3.3 MB) compiles, [200, 8192] (6.6 MB) is rejected — the kernel keeps
+# several [T, E] planes live at once. Callers should fall back to the XLA
+# scan path beyond this.
+_PLANE_BYTE_LIMIT = 4 * 1024 * 1024
+
+
+def fits_vmem(T: int, E: int) -> bool:
+    return 4 * T * E <= _PLANE_BYTE_LIMIT
+
+
 def _kernel(gamma: float, lam: float, do_norm: bool, T: int,
             r_ref, v_ref, nv_ref, term_ref, done_ref, adv_ref, tgt_ref,
             scr_ref, coeff_ref):
