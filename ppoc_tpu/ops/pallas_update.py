@@ -161,6 +161,99 @@ def _value_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
                 )
 
 
+def _fwd_refs(x, w_refs, b_refs, n_layers, activation):
+    """Forward through VMEM-resident weights, returning post-activations."""
+    hs = []
+    h = x
+    for l in range(n_layers):
+        h = jnp.dot(h, w_refs[l][:], preferred_element_type=jnp.float32) \
+            + b_refs[l][:]
+        if l < n_layers - 1:
+            h = _act(h, activation)
+        hs.append(h)
+    return hs
+
+
+def _bwd_from_g(x, hs, g, w_refs, n_layers, activation):
+    """Backward from output cotangent g; returns flat [dW0, db0, ...]."""
+    grads = [None] * (2 * n_layers)
+    for l in range(n_layers - 1, -1, -1):
+        a_in = x if l == 0 else hs[l - 1]
+        grads[2 * l] = jax.lax.dot_general(
+            a_in, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        grads[2 * l + 1] = jnp.sum(g, axis=0, keepdims=True)
+        if l > 0:
+            g = jax.lax.dot_general(
+                g, w_refs[l][:], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * _act_grad(hs[l - 1], activation)
+    return grads
+
+
+def _adam_refs(par, grads, n_layers, t, lr, b1, b2, eps):
+    """In-place Adam on the [W,b,mW,mb,vW,vb]*n_layers ref layout."""
+    bc1 = 1.0 - _pow(b1, t)
+    bc2 = 1.0 - _pow(b2, t)
+    step_size = lr / bc1
+    for l in range(n_layers):
+        for k in (0, 1):
+            grad = grads[2 * l + k]
+            p_ref = par[6 * l + k]
+            m_ref = par[6 * l + 2 + k]
+            v_ref = par[6 * l + 4 + k]
+            m2 = b1 * m_ref[:] + (1.0 - b1) * grad
+            v2 = b2 * v_ref[:] + (1.0 - b2) * jnp.square(grad)
+            m_ref[:] = m2
+            v_ref[:] = v2
+            p_ref[:] = p_ref[:] - step_size * m2 / (jnp.sqrt(v2 / bc2) + eps)
+
+
+def _value_kernel_unrolled(activation: str, n_layers: int, U: int, mb: int,
+                           lr: float, b1: float, b2: float, eps: float,
+                           x_ref, t_ref, tgt_ref, *refs):
+    """Fast path for whole-minibatch tiles (n_sub == 1): U complete
+    minibatch iterations (fwd + bwd + Adam each) per grid cell.  A grid
+    step costs ~10 us of sequencing overhead on this chip — at reference
+    minibatch sizes that overhead dominates the math, so amortizing it
+    over U minibatches is most of the phase's remaining time."""
+    n_par = 6 * n_layers
+    in_par = refs[:n_par]
+    par = refs[n_par: 2 * n_par]
+    loss_ref = refs[2 * n_par]
+    cell = pl.program_id(0)
+
+    @pl.when(cell == 0)
+    def _():
+        loss_ref[0, 0] = 0.0
+        for src, dst in zip(in_par, par):
+            dst[:] = src[:]
+
+    w_refs = [par[6 * l + 0] for l in range(n_layers)]
+    b_refs = [par[6 * l + 1] for l in range(n_layers)]
+
+    for u in range(U):
+        x = x_ref[u * mb: (u + 1) * mb, :]
+        tgt = tgt_ref[u * mb: (u + 1) * mb, :]
+        hs = _fwd_refs(x, w_refs, b_refs, n_layers, activation)
+        diff = hs[-1] - tgt
+        loss_ref[0, 0] += jnp.sum(jnp.square(diff))
+        g = (2.0 / mb) * diff
+        grads = _bwd_from_g(x, hs, g, w_refs, n_layers, activation)
+        t = (t_ref[0, 0] + cell * U + u + 1).astype(jnp.float32)
+        _adam_refs(par, grads, n_layers, t, lr, b1, b2, eps)
+
+
+def _pick_unroll(n_steps: int, mb: int) -> int:
+    """Largest divisor of n_steps (<= 8) whose U*mb block stays small."""
+    cap = max(1, min(8, _MAX_TILE // max(mb, 1)))
+    for u in range(cap, 0, -1):
+        if n_steps % u == 0:
+            return u
+    return 1
+
+
 def _run_value_phase(params: Params, opt: AdamState, obs_seq, tgt_seq,
                      n_steps: int, mb: int, activation: str,
                      lr: float, b1: float, b2: float, eps: float):
@@ -174,17 +267,33 @@ def _run_value_phase(params: Params, opt: AdamState, obs_seq, tgt_seq,
         d for d in range(1, _MAX_TILE + 1) if mb % d == 0
     )
     n_sub = mb // tile
+    U = _pick_unroll(n_steps, mb) if n_sub == 1 else 1
 
-    row_spec = lambda d: pl.BlockSpec(  # noqa: E731
-        (tile, d), lambda i, j: (i * n_sub + j, 0), memory_space=pltpu.VMEM)
-    const = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    if U > 1:
+        # unrolled fast path: 1-D grid, U minibatches per cell
+        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
+            (U * mb, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        const = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+        smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        grid = (n_steps // U,)
+        kernel = functools.partial(_value_kernel_unrolled, activation,
+                                   n_layers, U, mb, lr, b1, b2, eps)
+    else:
+        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
+            (tile, d), lambda i, j: (i * n_sub + j, 0), memory_space=pltpu.VMEM)
+        const = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i, j: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
+        smem_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        grid = (n_steps, n_sub)
+        kernel = functools.partial(_value_kernel, activation, n_layers,
+                                   n_sub, mb, lr, b1, b2, eps)
 
     inputs = [obs_seq, jnp.asarray(opt.t, jnp.int32).reshape(1, 1), tgt_seq]
-    in_specs = [row_spec(d0),
-                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                             memory_space=pltpu.SMEM),
-                row_spec(1)]
+    in_specs = [row_spec(d0), smem_spec, row_spec(1)]
     out_shapes, out_specs, aliases = [], [], {}
     flat_par = []
     for l, (w, b) in enumerate(params):
@@ -200,19 +309,18 @@ def _run_value_phase(params: Params, opt: AdamState, obs_seq, tgt_seq,
             flat_par.append(arr)
     # loss accumulator
     out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
-    out_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                                  memory_space=pltpu.SMEM))
+    out_specs.append(smem_spec)
 
     scratch = []
-    for l in range(n_layers):
-        scratch.append(pltpu.VMEM((dims[l], dims[l + 1]), jnp.float32))
-        scratch.append(pltpu.VMEM((1, dims[l + 1]), jnp.float32))
+    if U == 1:
+        for l in range(n_layers):
+            scratch.append(pltpu.VMEM((dims[l], dims[l + 1]), jnp.float32))
+            scratch.append(pltpu.VMEM((1, dims[l + 1]), jnp.float32))
 
     flops = n_steps * 6 * mb * sum(a * b for a, b in zip(dims[:-1], dims[1:]))
     outs = pl.pallas_call(
-        functools.partial(_value_kernel, activation, n_layers, n_sub, mb,
-                          lr, b1, b2, eps),
-        grid=(n_steps, n_sub),
+        kernel,
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -236,6 +344,131 @@ def _run_value_phase(params: Params, opt: AdamState, obs_seq, tgt_seq,
     new_opt = AdamState(m=new_m, v=new_v,
                         t=opt.t + jnp.int32(n_steps))
     return new_params, new_opt, loss_sum
+
+
+def _policy_kernel_unrolled(activation: str, n_layers: int, U: int, mb: int,
+                            k_act: int, lr: float, b1: float, b2: float,
+                            eps: float, clip_eps: float, ent_coeff: float,
+                            x_ref, tp_ref, tl_ref, a_ref, lp_ref, adv_ref,
+                            *refs):
+    """Unrolled Gaussian policy phase (whole-minibatch tiles): U complete
+    minibatch iterations per grid cell — see _value_kernel_unrolled."""
+    import math
+
+    n_in = 6 * n_layers + 3
+    in_par = refs[:n_in]
+    out = refs[n_in:]
+    par = out[: 6 * n_layers]
+    ls_ref, mls_ref, vls_ref = out[6 * n_layers: 6 * n_layers + 3]
+    loss_ref = out[6 * n_layers + 3]
+    ent_ref = out[6 * n_layers + 4]
+    cell = pl.program_id(0)
+
+    @pl.when(cell == 0)
+    def _():
+        loss_ref[0, 0] = 0.0
+        ent_ref[0, 0] = 0.0
+        for src, dst in zip(in_par, out[: n_in]):
+            dst[:] = src[:]
+
+    w_refs = [par[6 * l + 0] for l in range(n_layers)]
+    b_refs = [par[6 * l + 1] for l in range(n_layers)]
+
+    for u in range(U):
+        sl = slice(u * mb, (u + 1) * mb)
+        x = x_ref[sl, :]
+        a = a_ref[sl, :]
+        lp_old = lp_ref[sl, :]
+        adv = adv_ref[sl, :]
+        ls = ls_ref[:]
+
+        ent = 0.5 * k_act * (1.0 + math.log(2.0 * math.pi)) + jnp.sum(ls)
+        ent_ref[0, 0] += ent
+        loss_ref[0, 0] += -ent_coeff * ent
+
+        hs = _fwd_refs(x, w_refs, b_refs, n_layers, activation)
+        mu = hs[-1]
+        inv_sigma = jnp.exp(-ls)
+        z = (a - mu) * inv_sigma
+        logp = (-0.5 * k_act * math.log(2.0 * math.pi) - jnp.sum(ls)
+                - 0.5 * jnp.sum(jnp.square(z), axis=1, keepdims=True))
+        ratio = jnp.exp(logp - lp_old)
+        clipped = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps)
+        surr = jnp.minimum(ratio * adv, clipped * adv)
+        loss_ref[0, 0] += -jnp.sum(surr) / mb
+        ind = (ratio * adv <= clipped * adv).astype(jnp.float32)
+        dlogp = -(adv * ratio / mb) * ind
+
+        gls = jnp.sum(dlogp * (jnp.square(z) - 1.0), axis=0,
+                      keepdims=True) - ent_coeff
+        g = dlogp * z * inv_sigma
+        grads = _bwd_from_g(x, hs, g, w_refs, n_layers, activation)
+
+        t = (tp_ref[0, 0] + cell * U + u + 1).astype(jnp.float32)
+        _adam_refs(par, grads, n_layers, t, lr, b1, b2, eps)
+        tl = (tl_ref[0, 0] + cell * U + u + 1).astype(jnp.float32)
+        bc1l = 1.0 - _pow(b1, tl)
+        bc2l = 1.0 - _pow(b2, tl)
+        m2 = b1 * mls_ref[:] + (1.0 - b1) * gls
+        v2 = b2 * vls_ref[:] + (1.0 - b2) * jnp.square(gls)
+        mls_ref[:] = m2
+        vls_ref[:] = v2
+        ls_ref[:] = ls_ref[:] - (lr / bc1l) * m2 / (jnp.sqrt(v2 / bc2l) + eps)
+
+
+def _policy_kernel_cat_unrolled(activation: str, n_layers: int, U: int,
+                                mb: int, k_act: int, lr: float, b1: float,
+                                b2: float, eps: float, clip_eps: float,
+                                ent_coeff: float,
+                                x_ref, tp_ref, a_ref, lp_ref, adv_ref, *refs):
+    """Unrolled categorical policy phase — see _value_kernel_unrolled."""
+    n_in = 6 * n_layers
+    in_par = refs[:n_in]
+    out = refs[n_in:]
+    par = out[:n_in]
+    loss_ref = out[n_in]
+    ent_ref = out[n_in + 1]
+    cell = pl.program_id(0)
+
+    @pl.when(cell == 0)
+    def _():
+        loss_ref[0, 0] = 0.0
+        ent_ref[0, 0] = 0.0
+        for src, dst in zip(in_par, par):
+            dst[:] = src[:]
+
+    w_refs = [par[6 * l + 0] for l in range(n_layers)]
+    b_refs = [par[6 * l + 1] for l in range(n_layers)]
+
+    for u in range(U):
+        sl = slice(u * mb, (u + 1) * mb)
+        x = x_ref[sl, :]
+        a_idx = a_ref[sl, :].astype(jnp.int32)
+        lp_old = lp_ref[sl, :]
+        adv = adv_ref[sl, :]
+
+        hs = _fwd_refs(x, w_refs, b_refs, n_layers, activation)
+        logits = hs[-1]
+        zmax = jnp.max(logits, axis=1, keepdims=True)
+        lse = zmax + jnp.log(jnp.sum(jnp.exp(logits - zmax), axis=1,
+                                     keepdims=True))
+        logp_all = logits - lse
+        p = jnp.exp(logp_all)
+        cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        onehot = (cols == a_idx).astype(jnp.float32)
+        logp = jnp.sum(onehot * logp_all, axis=1, keepdims=True)
+        ratio = jnp.exp(logp - lp_old)
+        clipped = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps)
+        surr = jnp.minimum(ratio * adv, clipped * adv)
+        H = -jnp.sum(p * logp_all, axis=1, keepdims=True)
+        loss_ref[0, 0] += (-jnp.sum(surr) - ent_coeff * jnp.sum(H)) / mb
+        ent_ref[0, 0] += jnp.sum(H) / mb
+        ind = (ratio * adv <= clipped * adv).astype(jnp.float32)
+        dlogp = -(adv * ratio / mb) * ind
+        g = dlogp * (onehot - p) + (ent_coeff / mb) * p * (logp_all + H)
+        grads = _bwd_from_g(x, hs, g, w_refs, n_layers, activation)
+        t = (tp_ref[0, 0] + cell * U + u + 1).astype(jnp.float32)
+        _adam_refs(par, grads, n_layers, t, lr, b1, b2, eps)
 
 
 def _policy_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
@@ -397,12 +630,33 @@ def policy_phase_fused(cfg, policy_params, opt_policy: AdamState,
         d for d in range(1, _MAX_TILE + 1) if mb % d == 0
     )
     n_sub = mb // tile
+    U = _pick_unroll(n_steps, mb) if n_sub == 1 else 1
 
-    row_spec = lambda d: pl.BlockSpec(  # noqa: E731
-        (tile, d), lambda i, j: (i * n_sub + j, 0), memory_space=pltpu.VMEM)
-    const = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    if U > 1:
+        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
+            (U * mb, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        const = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        grid = (n_steps // U,)
+        kernel = functools.partial(
+            _policy_kernel_unrolled, cfg.activation, n_layers, U, mb, k_act,
+            cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
+            cfg.clip_eps, cfg.ent_coeff)
+    else:
+        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
+            (tile, d), lambda i, j: (i * n_sub + j, 0),
+            memory_space=pltpu.VMEM)
+        const = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i, j: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+        grid = (n_steps, n_sub)
+        kernel = functools.partial(
+            _policy_kernel, cfg.activation, n_layers, n_sub, mb, k_act,
+            cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
+            cfg.clip_eps, cfg.ent_coeff)
 
     inputs = [obs_seq,
               jnp.asarray(opt_policy.t, jnp.int32).reshape(1, 1),
@@ -433,22 +687,19 @@ def policy_phase_fused(cfg, policy_params, opt_policy: AdamState,
     # loss + entropy accumulators
     for _ in range(2):
         out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                                      memory_space=pltpu.SMEM))
+        out_specs.append(smem)
 
     scratch = []
-    for l in range(n_layers):
-        scratch.append(pltpu.VMEM((dims[l], dims[l + 1]), jnp.float32))
-        scratch.append(pltpu.VMEM((1, dims[l + 1]), jnp.float32))
-    scratch.append(pltpu.VMEM((1, k_act), jnp.float32))   # d log_std
+    if U == 1:
+        for l in range(n_layers):
+            scratch.append(pltpu.VMEM((dims[l], dims[l + 1]), jnp.float32))
+            scratch.append(pltpu.VMEM((1, dims[l + 1]), jnp.float32))
+        scratch.append(pltpu.VMEM((1, k_act), jnp.float32))   # d log_std
 
     flops = n_steps * 6 * mb * sum(a * b for a, b in zip(dims[:-1], dims[1:]))
     outs = pl.pallas_call(
-        functools.partial(_policy_kernel, cfg.activation, n_layers, n_sub,
-                          mb, k_act, cfg.lr_policy, cfg.adam_beta1,
-                          cfg.adam_beta2, cfg.adam_eps, cfg.clip_eps,
-                          cfg.ent_coeff),
-        grid=(n_steps, n_sub),
+        kernel,
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -615,12 +866,33 @@ def policy_phase_fused_categorical(cfg, policy_params,
         d for d in range(1, _MAX_TILE + 1) if mb % d == 0
     )
     n_sub = mb // tile
+    U = _pick_unroll(n_steps, mb) if n_sub == 1 else 1
 
-    row_spec = lambda d: pl.BlockSpec(  # noqa: E731
-        (tile, d), lambda i, j: (i * n_sub + j, 0), memory_space=pltpu.VMEM)
-    const = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    if U > 1:
+        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
+            (U * mb, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        const = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        grid = (n_steps // U,)
+        kernel = functools.partial(
+            _policy_kernel_cat_unrolled, cfg.activation, n_layers, U, mb,
+            k_act, cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2,
+            cfg.adam_eps, cfg.clip_eps, cfg.ent_coeff)
+    else:
+        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
+            (tile, d), lambda i, j: (i * n_sub + j, 0),
+            memory_space=pltpu.VMEM)
+        const = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i, j: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+        grid = (n_steps, n_sub)
+        kernel = functools.partial(
+            _policy_kernel_cat, cfg.activation, n_layers, n_sub, mb, k_act,
+            cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
+            cfg.clip_eps, cfg.ent_coeff)
 
     inputs = [obs_seq, jnp.asarray(opt_policy.t, jnp.int32).reshape(1, 1),
               act_seq, lp_seq, adv_seq]
@@ -640,21 +912,18 @@ def policy_phase_fused_categorical(cfg, policy_params,
             out_specs.append(const(arr.shape))
     for _ in range(2):   # loss + entropy accumulators
         out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                                      memory_space=pltpu.SMEM))
+        out_specs.append(smem)
 
     scratch = []
-    for l in range(n_layers):
-        scratch.append(pltpu.VMEM((dims[l], dims[l + 1]), jnp.float32))
-        scratch.append(pltpu.VMEM((1, dims[l + 1]), jnp.float32))
+    if U == 1:
+        for l in range(n_layers):
+            scratch.append(pltpu.VMEM((dims[l], dims[l + 1]), jnp.float32))
+            scratch.append(pltpu.VMEM((1, dims[l + 1]), jnp.float32))
 
     flops = n_steps * 6 * mb * sum(a * b for a, b in zip(dims[:-1], dims[1:]))
     outs = pl.pallas_call(
-        functools.partial(_policy_kernel_cat, cfg.activation, n_layers,
-                          n_sub, mb, k_act, cfg.lr_policy, cfg.adam_beta1,
-                          cfg.adam_beta2, cfg.adam_eps, cfg.clip_eps,
-                          cfg.ent_coeff),
-        grid=(n_steps, n_sub),
+        kernel,
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
