@@ -8,14 +8,15 @@ shard_map over a data-parallel mesh with psum collectives.
 from ppoc_tpu.config import PPOConfig, reference_preset, tpu_preset
 
 __version__ = "0.1.0"
-__all__ = ["PPOConfig", "reference_preset", "tpu_preset", "Trainer", "envs"]
+__all__ = ["PPOConfig", "reference_preset", "tpu_preset", "Trainer", "envs",
+           "serve"]
 
 
 def __getattr__(name):  # lazy: keep `import ppoc_tpu` free of jax init
     if name == "Trainer":
         from ppoc_tpu.algo.trainer import Trainer
         return Trainer
-    if name == "envs":
+    if name in ("envs", "serve"):
         import importlib
-        return importlib.import_module("ppoc_tpu.envs")
+        return importlib.import_module(f"ppoc_tpu.{name}")
     raise AttributeError(f"module 'ppoc_tpu' has no attribute {name!r}")

@@ -1,0 +1,82 @@
+"""Policy serving: rebuild a trained policy from a checkpoint and act.
+
+The reference's deployment flow is ``load_ppo`` + per-step ``sample_action``
+(src/ppo.cu:610-648, src/policy.cu:76-89 — implemented but never wired into
+main).  Here it is a first-class two-liner:
+
+    act = ppoc_tpu.serve.load_policy("model.bin")
+    action = act(obs)                  # [B, obs_dim] -> [B, act_dim]
+
+``act`` is one jitted device call per batch; ``deterministic=True`` (the
+default) serves the Gaussian mean / categorical argmax, ``False`` samples
+the stochastic policy like the reference's evaluator.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def load_policy(path: str, deterministic: bool = True,
+                seed: int = 0) -> Callable:
+    """Load a version-3 checkpoint and return ``act(obs) -> action``.
+
+    Batched: ``obs`` is [B, obs_dim] (a single [obs_dim] vector is also
+    accepted).  Discrete checkpoints return int32 class indices [B, 1];
+    continuous ones return [B, act_dim] actions.
+    """
+    from ppoc_tpu import envs
+    from ppoc_tpu.models import mlp, policy as policy_mod
+    from ppoc_tpu.utils import checkpoint
+
+    ck = checkpoint.load(path)
+    if ck.cfg is None:
+        raise ValueError(
+            f"{path}: version-2 checkpoint has no embedded config; "
+            f"re-save it with this version (Trainer.save) first"
+        )
+    cfg = ck.cfg
+    spec = envs.make(cfg.env).spec
+    params = ck.state.policy_params
+    key_holder = {"key": jax.random.PRNGKey(seed)}
+
+    if spec.discrete:
+        @jax.jit
+        def _det(obs):
+            logits = mlp.apply(params["mlp"], obs, cfg.activation, "jnp")
+            return jnp.argmax(logits, axis=-1)[..., None].astype(jnp.int32)
+
+        @jax.jit
+        def _sto(obs, key):
+            a, _ = policy_mod.categorical_sample(
+                params, obs, key, cfg.activation, "jnp")
+            return a
+    else:
+        @jax.jit
+        def _det(obs):
+            return policy_mod.gaussian_mean(params, obs, cfg.activation, "jnp")
+
+        @jax.jit
+        def _sto(obs, key):
+            a, _ = policy_mod.gaussian_sample(
+                params, obs, key, cfg.activation, "jnp")
+            return a
+
+    def act(obs, key: Optional[jax.Array] = None):
+        obs = jnp.asarray(obs, jnp.float32)
+        single = obs.ndim == 1
+        if single:
+            obs = obs[None]
+        if deterministic:
+            out = _det(obs)
+        else:
+            if key is None:
+                key_holder["key"], key = jax.random.split(key_holder["key"])
+            out = _sto(obs, key)
+        return out[0] if single else out
+
+    act.cfg = cfg
+    act.spec = spec
+    return act

@@ -99,3 +99,46 @@ def test_load_restores_prng_position(tmp_path):
     tr2.load(p)
     tr2.train(n_epochs=1, log=False, initial_eval=False)
     _assert_state_equal(tr.state, tr2.state)
+
+
+def test_serve_load_policy(tmp_path):
+    """serve.load_policy: checkpoint -> act() (the reference's load_ppo +
+    sample_action deployment flow, src/ppo.cu:610-648)."""
+    import jax.numpy as jnp
+
+    from ppoc_tpu import serve
+    from ppoc_tpu.models import policy as policy_mod
+
+    p = str(tmp_path / "ck.bin")
+    tr = Trainer(CFG)
+    tr.train(n_epochs=1, log=False)
+    tr.save(p)
+
+    act = serve.load_policy(p)
+    assert act.spec.name == "simple" and act.cfg == CFG
+    obs = np.random.default_rng(0).normal(size=(16, 1)).astype(np.float32)
+    a = act(obs)
+    assert a.shape == (16, 1)
+    # deterministic serving = the Gaussian mean under the saved params
+    mu = policy_mod.gaussian_mean(
+        jax.device_get(tr.state.policy_params), jnp.asarray(obs), "relu", "jnp")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(mu), rtol=1e-5)
+    # single-vector convenience
+    assert act(obs[0]).shape == (1,)
+    # stochastic serving varies but stays near the mean
+    act_s = serve.load_policy(p, deterministic=False)
+    a1, a2 = act_s(obs), act_s(obs)
+    assert np.abs(np.asarray(a1) - np.asarray(a2)).max() > 0
+
+
+def test_serve_discrete(tmp_path):
+    from ppoc_tpu import serve
+
+    cfg = CFG.replace(env="cartpole", eval_len=15)
+    p = str(tmp_path / "ck_d.bin")
+    Trainer(cfg).save(p)
+    act = serve.load_policy(p)
+    obs = np.zeros((4, 4), np.float32)
+    a = act(obs)
+    assert a.shape == (4, 1) and a.dtype == np.int32
+    assert set(np.asarray(a).ravel()) <= {0, 1}
