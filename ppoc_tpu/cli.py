@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit per-epoch metrics as JSON lines instead of text")
     p.add_argument("--hidden", type=int, nargs="+", default=None, metavar="W",
                    help="hidden layer widths (reference CLI arg, src/main.c:21-23)")
+    p.add_argument("--actor", choices=["host", "device"], default="host",
+                   help="gym:* envs only — 'host': numpy policy on the host, "
+                        "weights synced once per fit (fast on high-latency "
+                        "transports); 'device': batched device sampling")
+    p.add_argument("--vector-mode", choices=["sync", "async"], default="sync",
+                   help="gym:* envs only — gymnasium.vector stepping mode")
 
     # every config field becomes a flag
     for f in dataclasses.fields(PPOConfig):
@@ -135,7 +141,19 @@ def main(argv=None) -> int:
         from ppoc_tpu.parallel import make_mesh
         mesh = make_mesh(args.mesh or None)  # 0/None = all (global) devices
 
-    if args.resume:
+    if cfg.env.startswith("gym:"):
+        # host-bridge training on any Gymnasium env (the reference driver's
+        # create_gym_env path, src/main.c:25): --env gym:BipedalWalker-v3
+        if args.solve_R is not None or args.resume or mesh is not None:
+            parser.error("gym:* envs use the host bridge; --solve-R, "
+                         "--resume and --mesh apply to on-device envs only")
+        from ppoc_tpu.envs.gym_bridge import GymTrainer
+
+        trainer = GymTrainer(cfg, cfg.env[4:], vector_mode=args.vector_mode,
+                             actor=args.actor)
+        if args.load:
+            trainer.load(args.load)
+    elif args.resume:
         trainer = Trainer.from_checkpoint(args.resume, mesh=mesh)
         cfg = trainer.cfg
     else:

@@ -308,13 +308,20 @@ class HostTrainer:
     def train(self, n_epochs: Optional[int] = None, log: bool = True,
               stop_at_R: Optional[float] = None,
               checkpoint_path: Optional[str] = None,
-              checkpoint_every: int = 1) -> List[dict]:
-        """Epoch loop; same signature subset as Trainer.train (periodic
-        checkpoints included — NOTE host env objects are not serializable,
-        so a resumed host run restores optimization state + RNG but starts
-        from fresh env resets)."""
+              checkpoint_every: int = 1,
+              initial_eval: bool = False) -> List[dict]:
+        """Epoch loop; same signature as Trainer.train (periodic checkpoints
+        included — NOTE host env objects are not serializable, so a resumed
+        host run restores optimization state + RNG but starts from fresh env
+        resets).  ``initial_eval`` defaults False here: a host eval costs a
+        full eval_len rollout of real env stepping."""
         n_epochs = self.cfg.n_epochs if n_epochs is None else n_epochs
         history: List[dict] = []
+        if initial_eval:
+            m0 = self.evaluate()
+            if log:
+                print(f"J: {m0.J:f} R: {m0.R:f} Episodes: {int(m0.episodes)}",
+                      flush=True)
         for i in range(n_epochs):
             tic = time.perf_counter()
             fm = self.train_epoch()

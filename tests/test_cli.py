@@ -39,3 +39,35 @@ def test_every_config_field_has_a_flag():
     opts = {a.dest for a in parser._actions}
     for f in dataclasses.fields(PPOConfig):
         assert f.name in opts, f"config field {f.name} missing from CLI"
+
+
+def test_cli_gym_env_routing(capsys):
+    """--env gym:<id> routes to the host-bridge GymTrainer (the reference
+    driver's create_gym_env path, src/main.c:25)."""
+    import pytest
+    gymnasium = pytest.importorskip("gymnasium")
+
+    from ppoc_tpu import cli
+
+    rc = cli.main([
+        "--env", "gym:Pendulum-v1", "--n-envs", "2", "--rollout-len", "32",
+        "--minibatch-size", "16", "--fits-per-epoch", "1", "--n-epochs", "1",
+        "--eval-envs", "2", "--eval-len", "200", "--hidden", "16", "16",
+        "--kernel-backend", "jnp", "--actor", "host", "--jsonl",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1  # one JSONL epoch row
+    import json
+    row = json.loads(out[0])
+    assert "R" in row and "entropy" in row
+
+
+def test_cli_gym_env_rejects_device_only_flags():
+    import pytest
+    pytest.importorskip("gymnasium")
+
+    from ppoc_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["--env", "gym:Pendulum-v1", "--solve-R", "-200"])
