@@ -461,7 +461,8 @@ class Trainer:
                     f"J: {row['J']:f} R: {row['R']:f} Episodes: {row['episodes']}",
                     flush=True,
                 )
-            if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
+            if (checkpoint_path is not None and checkpoint_every > 0
+                    and (i + 1) % checkpoint_every == 0):
                 self.save(checkpoint_path)
             if stop_at_R is not None and ev.R >= stop_at_R:
                 break

@@ -154,6 +154,15 @@ def main(argv=None) -> int:
         if args.load:
             trainer.load(args.load)
     elif args.resume:
+        from ppoc_tpu.utils import checkpoint as _ck
+
+        saved_cfg = _ck.load(args.resume).cfg
+        if saved_cfg is not None and saved_cfg.env.startswith("gym:"):
+            parser.error(
+                f"{args.resume} was trained on the host bridge "
+                f"({saved_cfg.env}); --resume is device-only — use "
+                f"--env {saved_cfg.env} --load {args.resume} instead"
+            )
         trainer = Trainer.from_checkpoint(args.resume, mesh=mesh)
         cfg = trainer.cfg
     else:
@@ -189,9 +198,12 @@ def main(argv=None) -> int:
         # config flags are otherwise ignored on --resume, but an explicit
         # --n-epochs means "train this many MORE epochs"
         ckpt_kw["n_epochs"] = args.n_epochs
+    # gym envs skip the pre-training eval: it costs a full host rollout
+    # (HostTrainer.train defaults it off for the same reason)
+    init_eval = not args.resume and not cfg.env.startswith("gym:")
     history = trainer.train(log=not args.jsonl and is_main,
                             stop_at_R=args.stop_at_R,
-                            initial_eval=not args.resume, **ckpt_kw)
+                            initial_eval=init_eval, **ckpt_kw)
     if args.jsonl and is_main:
         for row in history:
             print(json.dumps(_json_safe(row)), flush=True)

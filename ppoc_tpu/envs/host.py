@@ -336,7 +336,8 @@ class HostTrainer:
                 print(f"Epoch: {i} Entropy: {row['entropy']:f} "
                       f"Time {row['time_s']:f}s J: {row['J']:f} R: {row['R']:f} "
                       f"Episodes: {row['episodes']}", flush=True)
-            if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
+            if (checkpoint_path is not None and checkpoint_every > 0
+                    and (i + 1) % checkpoint_every == 0):
                 self.save(checkpoint_path)
             if stop_at_R is not None and ev.R >= stop_at_R:
                 break

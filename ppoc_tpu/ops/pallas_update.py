@@ -112,14 +112,7 @@ def _value_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
 
     # forward on this sub-tile, keeping post-activations
     x = x_ref[:]
-    hs = []
-    h = x
-    for l in range(n_layers):
-        h = jnp.dot(h, w_refs[l][:], preferred_element_type=jnp.float32) \
-            + b_refs[l][:]
-        if l < n_layers - 1:
-            h = _act(h, activation)
-        hs.append(h)
+    hs = _fwd_refs(x, w_refs, b_refs, n_layers, activation)
 
     v = hs[-1]                     # [tile, 1]
     diff = v - tgt_ref[:]
@@ -254,6 +247,38 @@ def _pick_unroll(n_steps: int, mb: int) -> int:
     return 1
 
 
+def _phase_layout(n_steps: int, mb: int):
+    """Shared grid/BlockSpec construction for all three phase builders.
+
+    Returns (U, n_sub, tile, row_spec, const, smem, grid): U > 1 selects the
+    unrolled 1-D grid (U whole minibatches per cell); otherwise the
+    (step, sub-tile) 2-D grid with VMEM-bounded sub-tiles.
+    """
+    tile = mb if mb <= _MAX_TILE else max(
+        d for d in range(1, _MAX_TILE + 1) if mb % d == 0
+    )
+    n_sub = mb // tile
+    U = _pick_unroll(n_steps, mb) if n_sub == 1 else 1
+    if U > 1:
+        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
+            (U * mb, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        const = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        grid = (n_steps // U,)
+    else:
+        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
+            (tile, d), lambda i, j: (i * n_sub + j, 0),
+            memory_space=pltpu.VMEM)
+        const = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i, j: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+        grid = (n_steps, n_sub)
+    return U, n_sub, tile, row_spec, const, smem, grid
+
+
 def _run_value_phase(params: Params, opt: AdamState, obs_seq, tgt_seq,
                      n_steps: int, mb: int, activation: str,
                      lr: float, b1: float, b2: float, eps: float):
@@ -262,33 +287,11 @@ def _run_value_phase(params: Params, opt: AdamState, obs_seq, tgt_seq,
     d0 = obs_seq.shape[-1]
     n_layers = len(params)
     dims = [d0] + [w.shape[1] for w, _ in params]
-    # largest divisor of mb within the VMEM-bounded tile cap
-    tile = mb if mb <= _MAX_TILE else max(
-        d for d in range(1, _MAX_TILE + 1) if mb % d == 0
-    )
-    n_sub = mb // tile
-    U = _pick_unroll(n_steps, mb) if n_sub == 1 else 1
-
+    U, n_sub, tile, row_spec, const, smem_spec, grid = _phase_layout(n_steps, mb)
     if U > 1:
-        # unrolled fast path: 1-D grid, U minibatches per cell
-        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
-            (U * mb, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        const = lambda shape: pl.BlockSpec(  # noqa: E731
-            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
-        smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
-                                 memory_space=pltpu.SMEM)
-        grid = (n_steps // U,)
         kernel = functools.partial(_value_kernel_unrolled, activation,
                                    n_layers, U, mb, lr, b1, b2, eps)
     else:
-        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
-            (tile, d), lambda i, j: (i * n_sub + j, 0), memory_space=pltpu.VMEM)
-        const = lambda shape: pl.BlockSpec(  # noqa: E731
-            shape, lambda i, j: tuple(0 for _ in shape),
-            memory_space=pltpu.VMEM)
-        smem_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                                 memory_space=pltpu.SMEM)
-        grid = (n_steps, n_sub)
         kernel = functools.partial(_value_kernel, activation, n_layers,
                                    n_sub, mb, lr, b1, b2, eps)
 
@@ -525,14 +528,7 @@ def _policy_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
 
     # mu forward on this sub-tile
     x = x_ref[:]
-    hs = []
-    h = x
-    for l in range(n_layers):
-        h = jnp.dot(h, w_refs[l][:], preferred_element_type=jnp.float32) \
-            + b_refs[l][:]
-        if l < n_layers - 1:
-            h = _act(h, activation)
-        hs.append(h)
+    hs = _fwd_refs(x, w_refs, b_refs, n_layers, activation)
     mu = hs[-1]                                  # [tile, k]
 
     a = a_ref[:]
@@ -626,33 +622,13 @@ def policy_phase_fused(cfg, policy_params, opt_policy: AdamState,
     k_act = act_seq.shape[-1]
     n_layers = len(params)
     dims = [d0] + [w.shape[1] for w, _ in params]
-    tile = mb if mb <= _MAX_TILE else max(
-        d for d in range(1, _MAX_TILE + 1) if mb % d == 0
-    )
-    n_sub = mb // tile
-    U = _pick_unroll(n_steps, mb) if n_sub == 1 else 1
-
+    U, n_sub, tile, row_spec, const, smem, grid = _phase_layout(n_steps, mb)
     if U > 1:
-        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
-            (U * mb, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        const = lambda shape: pl.BlockSpec(  # noqa: E731
-            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
-        smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-        grid = (n_steps // U,)
         kernel = functools.partial(
             _policy_kernel_unrolled, cfg.activation, n_layers, U, mb, k_act,
             cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
             cfg.clip_eps, cfg.ent_coeff)
     else:
-        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
-            (tile, d), lambda i, j: (i * n_sub + j, 0),
-            memory_space=pltpu.VMEM)
-        const = lambda shape: pl.BlockSpec(  # noqa: E731
-            shape, lambda i, j: tuple(0 for _ in shape),
-            memory_space=pltpu.VMEM)
-        smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                            memory_space=pltpu.SMEM)
-        grid = (n_steps, n_sub)
         kernel = functools.partial(
             _policy_kernel, cfg.activation, n_layers, n_sub, mb, k_act,
             cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
@@ -772,14 +748,7 @@ def _policy_kernel_cat(activation: str, n_layers: int, n_sub: int, mb: int,
     b_refs = [par[6 * l + 1] for l in range(n_layers)]
 
     x = x_ref[:]
-    hs = []
-    h = x
-    for l in range(n_layers):
-        h = jnp.dot(h, w_refs[l][:], preferred_element_type=jnp.float32) \
-            + b_refs[l][:]
-        if l < n_layers - 1:
-            h = _act(h, activation)
-        hs.append(h)
+    hs = _fwd_refs(x, w_refs, b_refs, n_layers, activation)
     logits = hs[-1]                                   # [tile, K]
 
     zmax = jnp.max(logits, axis=1, keepdims=True)
@@ -862,33 +831,13 @@ def policy_phase_fused_categorical(cfg, policy_params,
     k_act = params[-1][0].shape[1]
     n_layers = len(params)
     dims = [d0] + [w.shape[1] for w, _ in params]
-    tile = mb if mb <= _MAX_TILE else max(
-        d for d in range(1, _MAX_TILE + 1) if mb % d == 0
-    )
-    n_sub = mb // tile
-    U = _pick_unroll(n_steps, mb) if n_sub == 1 else 1
-
+    U, n_sub, tile, row_spec, const, smem, grid = _phase_layout(n_steps, mb)
     if U > 1:
-        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
-            (U * mb, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        const = lambda shape: pl.BlockSpec(  # noqa: E731
-            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
-        smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-        grid = (n_steps // U,)
         kernel = functools.partial(
             _policy_kernel_cat_unrolled, cfg.activation, n_layers, U, mb,
             k_act, cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2,
             cfg.adam_eps, cfg.clip_eps, cfg.ent_coeff)
     else:
-        row_spec = lambda d: pl.BlockSpec(  # noqa: E731
-            (tile, d), lambda i, j: (i * n_sub + j, 0),
-            memory_space=pltpu.VMEM)
-        const = lambda shape: pl.BlockSpec(  # noqa: E731
-            shape, lambda i, j: tuple(0 for _ in shape),
-            memory_space=pltpu.VMEM)
-        smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                            memory_space=pltpu.SMEM)
-        grid = (n_steps, n_sub)
         kernel = functools.partial(
             _policy_kernel_cat, cfg.activation, n_layers, n_sub, mb, k_act,
             cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,

@@ -38,7 +38,18 @@ def load_policy(path: str, deterministic: bool = True,
             f"re-save it with this version (Trainer.save) first"
         )
     cfg = ck.cfg
-    spec = envs.make(cfg.env).spec
+    try:
+        spec = envs.make(cfg.env).spec
+    except KeyError:
+        # host-bridge checkpoints (cfg.env = "gym:<id>") have no registry
+        # entry; serving only needs the dims, which the file carries
+        from ppoc_tpu.envs.core import EnvSpec
+
+        spec = EnvSpec(
+            name=cfg.env, obs_dim=ck.dims["obs_dim"],
+            action_dim=ck.dims["action_dim"], horizon=0, gamma=0.99,
+            discrete=ck.dims["discrete"],
+        )
     params = ck.state.policy_params
     key_holder = {"key": jax.random.PRNGKey(seed)}
 

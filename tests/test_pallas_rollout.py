@@ -206,7 +206,7 @@ def test_kernel_rollout_trains():
     assert h[-1]["entropy"] < 1.45  # policy updated from init entropy 1.419
 
 
-def test_vmem_gate_falls_back_for_huge_shapes():
+def test_vmem_gate_falls_back_for_huge_shapes(monkeypatch):
     """Shapes whose output planes exceed the VMEM budget must take the XLA
     scan path instead of failing at Mosaic compile time (reacher at
     4096x150 OOMs the 16 MB scoped limit on hardware)."""
@@ -216,9 +216,16 @@ def test_vmem_gate_falls_back_for_huge_shapes():
     assert pr.fits_vmem("pendulum", 200, 1024)       # tpu preset
     assert pr.fits_vmem("mountain_car_norm", 999, 512)  # MCC solve config
     assert not pr.fits_vmem("reacher", 150, 4096)    # hardware-verified OOM
-    # the gated rollout still works end to end through the scan path
-    cfg = PPOConfig(env="reacher", n_envs=4096, rollout_len=2)
-    env = envs.make("reacher")
-    ts = ppo.init_train_state(cfg, env, jax.random.PRNGKey(0))
-    # tiny length so the CPU test is fast; gate decision is shape-based
-    assert pr.fits_vmem("reacher", 2, 4096) in (True, False)
+
+    # force the budget to zero: ppo.rollout must transparently use the scan
+    # path and still produce a full trajectory under backend="pallas"
+    monkeypatch.setattr(pr, "_VMEM_PLANE_BUDGET", 0)
+    assert not pr.fits_vmem("pendulum", 32, 8)
+    traj, carry = _rollout(jax.random.PRNGKey(42))
+    assert traj.obs.shape == (32, 8, 3)
+    assert bool(jnp.all(traj.truncated[-1] | traj.terminated[-1]))
+    # scan path draws eps from jax.random, not the kernel's counter PRNG —
+    # a different stream for the same key proves the fallback really ran
+    monkeypatch.undo()
+    traj_k, _ = _rollout(jax.random.PRNGKey(42))
+    assert np.abs(np.asarray(traj.action) - np.asarray(traj_k.action)).max() > 0
