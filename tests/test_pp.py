@@ -195,3 +195,17 @@ def test_pp_rejects_bad_configs():
         Trainer(PPOConfig(**{**_TRAIN_CFG, "hidden": (16, 16)}, pp_size=2))
     with pytest.raises(ValueError, match="tp_size and pp_size"):
         Trainer(PPOConfig(**_TRAIN_CFG, pp_size=2, tp_size=2))
+
+
+def test_pp_microbatch_knob():
+    """cfg.pp_microbatches > pp_size reduces the GPipe bubble; training
+    still tracks the default-M run's learning signal."""
+    from ppoc_tpu import PPOConfig, Trainer
+
+    cfg = PPOConfig(**{**_TRAIN_CFG, "n_epochs": 2}, pp_size=2,
+                    pp_microbatches=4)
+    tr = Trainer(cfg)
+    assert tr.backend == "pp:pp:4"
+    h = tr.train(log=False)
+    assert np.isfinite(h[-1]["R"])
+    assert h[-1]["R"] > 0.3, h
