@@ -167,7 +167,7 @@ def rollout(
         # work; the kernel does the lot in <1ms (docs/RESULTS.md)
         traj, final_carry = _pr.rollout_fused(
             env.spec.name, policy_params, key, n_envs, length,
-            cfg.activation, env_carry,
+            cfg.activation, env_carry, gamma=env.spec.gamma,
         )
         if force_truncate:
             last_trunc = jnp.logical_or(
@@ -609,6 +609,26 @@ def evaluate(
     """
     n_envs = cfg.eval_envs if n_envs is None else n_envs
     key = _device_key(key, axis_name)
+    if backend in ("pallas", "bf16") and axis_name is None:
+        from ppoc_tpu.ops import pallas_rollout as _pr
+
+        if (env.spec.name in _pr.SUPPORTED
+                and _pr.fits_vmem(env.spec.name, cfg.eval_len, n_envs)):
+            # the rollout kernel accumulates completed-episode J/R/counts
+            # in-lane, so evaluation needs no post-processing scans
+            _, _, (sum_r, sum_j, n_eps) = _pr.rollout_fused(
+                env.spec.name, policy_params, key, n_envs, cfg.eval_len,
+                cfg.activation, None, gamma=env.spec.gamma,
+                return_metrics=True,
+            )
+            denom = jnp.maximum(n_eps, 1.0)
+            none = n_eps == 0.0
+            neg_inf = jnp.float32(-jnp.inf)
+            return EvalMetrics(
+                J=jnp.where(none, neg_inf, sum_j / denom),
+                R=jnp.where(none, neg_inf, sum_r / denom),
+                episodes=n_eps,
+            )
     traj, _ = rollout(
         cfg, env, policy_params, key, n_envs, cfg.eval_len, backend, axis_name,
         force_truncate=False,

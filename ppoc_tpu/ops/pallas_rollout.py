@@ -366,7 +366,7 @@ def fits_vmem(env_name: str, T: int, E: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def _kernel(T: int, E: int, n_layers: int, activation: str, fresh: bool,
-            lane: LaneEnv, seed_ref, ls_ref, *refs):
+            gamma: float, lane: LaneEnv, seed_ref, ls_ref, *refs):
     par = refs[: 2 * n_layers]
     st0_ref = refs[2 * n_layers]          # [state_dim, E]
     steps0_ref = refs[2 * n_layers + 1]   # [1, E]
@@ -377,6 +377,13 @@ def _kernel(T: int, E: int, n_layers: int, activation: str, fresh: bool,
     a_ref, lp_ref, r_ref, te_ref, tr_ref = out[2 * O: 2 * O + 5]
     stf_ref = out[2 * O + 5]              # [state_dim, E] final carry
     stepsf_ref = out[2 * O + 6]           # [1, E]
+    # eval-metric accumulators, one lane row each: completed-episode sums
+    # of undiscounted R / discounted J and the episode count — the in-kernel
+    # twin of algo.ppo.eval_metrics_from_traj (completed episodes only)
+    mR_ref, mJ_ref, mN_ref = out[2 * O + 7: 2 * O + 10]
+    # per-lane running accumulators live in scratch-free rows of the refs:
+    # r_acc / j_acc / gamma^t within the current episode
+    racc_ref, jacc_ref, gpow_ref = out[2 * O + 10: 2 * O + 13]
 
     s0 = seed_ref[0, 0].astype(jnp.uint32)
     s1 = seed_ref[0, 1].astype(jnp.uint32)
@@ -393,6 +400,13 @@ def _kernel(T: int, E: int, n_layers: int, activation: str, fresh: bool,
     else:
         stf_ref[:] = st0_ref[:]
         stepsf_ref[:] = steps0_ref[:]
+    zero = jnp.zeros((1, E), jnp.float32)
+    mR_ref[:] = zero
+    mJ_ref[:] = zero
+    mN_ref[:] = zero
+    racc_ref[:] = zero
+    jacc_ref[:] = zero
+    gpow_ref[:] = jnp.ones((1, E), jnp.float32)
 
     def body(t, _):
         st = stf_ref[:]
@@ -480,6 +494,17 @@ def _kernel(T: int, E: int, n_layers: int, activation: str, fresh: bool,
         tr_ref[pl.ds(t, 1), :] = trunc
 
         done = jnp.maximum(term, trunc)
+
+        # eval metrics: bank completed episodes, reset within-episode sums
+        racc2 = racc_ref[:] + reward
+        jacc2 = jacc_ref[:] + gpow_ref[:] * reward
+        mR_ref[:] += done * racc2
+        mJ_ref[:] += done * jacc2
+        mN_ref[:] += done
+        racc_ref[:] = (1.0 - done) * racc2
+        jacc_ref[:] = (1.0 - done) * jacc2
+        gpow_ref[:] = jnp.where(done > 0, 1.0, gpow_ref[:] * gamma)
+
         fresh_rows = lane.reset(
             lambda j: _uniform01((1, E), s0, s1, t, 50 + j))
         for d in range(D):
@@ -499,9 +524,15 @@ def rollout_fused(
     length: int,
     activation: str = "relu",
     env_carry: Optional[Tuple] = None,
+    gamma: float = 0.99,
+    return_metrics: bool = False,
 ):
     """One-kernel rollout for any registered env; returns (Transition,
-    env_carry) with the same structure as the scan path (algo/ppo.py)."""
+    env_carry) with the same structure as the scan path (algo/ppo.py).
+
+    With ``return_metrics=True`` additionally returns
+    ``(sum_R, sum_J, n_episodes)`` over COMPLETED episodes, accumulated
+    in-kernel — the evaluator needs no post-processing scans."""
     from ppoc_tpu.algo.ppo import Transition
 
     lane = LANE_ENVS[env_name]()
@@ -545,14 +576,16 @@ def rollout_fused(
 
     plane = jax.ShapeDtypeStruct((T, E), jnp.float32)
     a_plane = jax.ShapeDtypeStruct((T, act_dim * E), jnp.float32)
+    row = jax.ShapeDtypeStruct((1, E), jnp.float32)
     out_shape = ([plane] * (2 * O) + [a_plane] + [plane] * 4
-                 + [jax.ShapeDtypeStruct((D, E), jnp.float32),
-                    jax.ShapeDtypeStruct((1, E), jnp.float32)])
+                 + [jax.ShapeDtypeStruct((D, E), jnp.float32), row]
+                 + [row] * 6)   # mR, mJ, mN, r_acc, j_acc, gamma^t
     out_specs = [vmem] * len(out_shape)
 
     mlp_flops = 2 * E * sum(w.shape[0] * w.shape[1] for w, _ in params)
     outs = pl.pallas_call(
-        functools.partial(_kernel, T, E, n_layers, activation, fresh, lane),
+        functools.partial(_kernel, T, E, n_layers, activation, fresh,
+                          gamma, lane),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -568,6 +601,7 @@ def rollout_fused(
     nobs_planes = outs[O: 2 * O]
     a_flat, lp, r, te, tr = outs[2 * O: 2 * O + 5]
     stf, stepsf = outs[2 * O + 5], outs[2 * O + 6]
+    mR, mJ, mN = outs[2 * O + 7: 2 * O + 10]
 
     obs = jnp.stack(obs_planes, axis=-1)
     next_obs = jnp.stack(nobs_planes, axis=-1)
@@ -584,4 +618,7 @@ def rollout_fused(
     state = lane.unpack(stf.T, stepsf.reshape(E).astype(jnp.int32))
     obs_after_rows = lane.obs([stf[d: d + 1, :] for d in range(D)])
     obs_after = jnp.stack([x.reshape(E) for x in obs_after_rows], axis=-1)
+    if return_metrics:
+        return traj, (state, obs_after), (jnp.sum(mR), jnp.sum(mJ),
+                                          jnp.sum(mN))
     return traj, (state, obs_after)

@@ -229,3 +229,43 @@ def test_vmem_gate_falls_back_for_huge_shapes(monkeypatch):
     monkeypatch.undo()
     traj_k, _ = _rollout(jax.random.PRNGKey(42))
     assert np.abs(np.asarray(traj.action) - np.asarray(traj_k.action)).max() > 0
+
+
+@pytest.mark.parametrize("name,L", [("pendulum", 200), ("cartpole", 300),
+                                    ("simple", 40)])
+def test_in_kernel_eval_metrics_match_scan(name, L):
+    """The rollout kernel's in-lane episode accumulators must reproduce
+    eval_metrics_from_traj on the SAME trajectory exactly (completed
+    episodes only, discounted-from-episode-start J)."""
+    from ppoc_tpu.ops import pallas_rollout as pr
+
+    cfg = PPOConfig(env=name, n_envs=8, rollout_len=L)
+    env = envs.make(name)
+    ts = ppo.init_train_state(cfg, env, jax.random.PRNGKey(0))
+    traj, _, (sr, sj, ne) = jax.jit(lambda pp, k: pr.rollout_fused(
+        name, pp, k, 8, L, "relu", None, gamma=env.spec.gamma,
+        return_metrics=True))(ts.policy_params, jax.random.PRNGKey(3))
+    m = ppo.eval_metrics_from_traj(traj, env.spec.gamma)
+    assert float(ne) == float(m.episodes)
+    if float(ne) > 0:
+        assert float(sr) / float(ne) == pytest.approx(float(m.R), rel=1e-5)
+        assert float(sj) / float(ne) == pytest.approx(float(m.J), rel=1e-4)
+
+
+def test_evaluate_fast_path_matches_scan_estimator():
+    """ppo.evaluate with the pallas backend (in-kernel metrics) must agree
+    with the same rollout's scan-based estimator."""
+    cfg = PPOConfig(env="pendulum", eval_envs=16, eval_len=200)
+    ts = ppo.init_train_state(cfg, ENV, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(9)
+    m_fast = jax.jit(lambda pp, k: ppo.evaluate(
+        cfg, ENV, pp, k, backend="pallas"))(ts.policy_params, key)
+    # reference computation: same kernel rollout, scan estimator
+    from ppoc_tpu.ops import pallas_rollout as pr
+    traj, _ = jax.jit(lambda pp, k: pr.rollout_fused(
+        "pendulum", pp, jax.random.fold_in(k, 0) if False else k, 16, 200,
+        "relu", None, gamma=0.99))(ts.policy_params, key)
+    m_ref = ppo.eval_metrics_from_traj(traj, 0.99)
+    assert float(m_fast.episodes) == float(m_ref.episodes)
+    assert float(m_fast.R) == pytest.approx(float(m_ref.R), rel=1e-5)
+    assert float(m_fast.J) == pytest.approx(float(m_ref.J), rel=1e-4)
