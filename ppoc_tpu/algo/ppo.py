@@ -141,6 +141,8 @@ def rollout(
     axis_name: Optional[str] = None,
     env_carry=None,
     force_truncate: bool = True,
+    v_params=None,
+    return_values: bool = False,
 ) -> Tuple[Transition, Any]:
     """Collect [length, n_envs] transitions; returns (traj, final env carry).
 
@@ -150,6 +152,11 @@ def rollout(
     freshly reset at entry (the reference's behavior, src/ppo.cu:55);
     passing the previous rollout's carry continues the same episodes
     (cfg.reset_per_fit=False).
+
+    With ``return_values=True`` a third element is returned: ``(values,
+    next_values)`` [T, E] planes computed in-kernel by the whole-rollout
+    kernel when ``v_params`` is given and the shape fits (else ``None``),
+    letting compute_advantages skip its two whole-buffer forwards.
     """
     # the whole-rollout kernel also serves the bf16 backend (its in-kernel
     # f32 matmuls are tiny; the bf16 win is in the large-batch update
@@ -165,16 +172,28 @@ def rollout(
         # loop as ONE program — a compiled scan iteration costs ~10us of
         # loop overhead alone, so the 200-step scan pays ~2ms before any
         # work; the kernel does the lot in <1ms (docs/RESULTS.md)
-        traj, final_carry = _pr.rollout_fused(
-            env.spec.name, policy_params, key, n_envs, length,
-            cfg.activation, env_carry, gamma=env.spec.gamma,
-        )
+        want_v = (v_params is not None and backend == "pallas"
+                  and _pr.fits_vmem(env.spec.name, length, n_envs,
+                                    with_v=True))
+        if want_v:
+            traj, final_carry, vpair = _pr.rollout_fused(
+                env.spec.name, policy_params, key, n_envs, length,
+                cfg.activation, env_carry, gamma=env.spec.gamma,
+                v_params=v_params,
+            )
+        else:
+            traj, final_carry = _pr.rollout_fused(
+                env.spec.name, policy_params, key, n_envs, length,
+                cfg.activation, env_carry, gamma=env.spec.gamma,
+            )
+            vpair = None
         if force_truncate:
             last_trunc = jnp.logical_or(
                 traj.truncated[-1], jnp.logical_not(traj.terminated[-1])
             )
             traj = traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
-        return traj, final_carry
+        return (traj, final_carry, vpair) if return_values \
+            else (traj, final_carry)
 
     k_reset, k_scan = jax.random.split(key)
     if env_carry is None:
@@ -207,7 +226,7 @@ def rollout(
             traj.truncated[-1], jnp.logical_not(traj.terminated[-1])
         )
         traj = traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
-    return traj, final_carry
+    return (traj, final_carry, None) if return_values else (traj, final_carry)
 
 
 # --------------------------------------------------------------------------
@@ -221,13 +240,21 @@ def compute_advantages(
     traj: Transition,
     axis_name: Optional[str],
     backend: str,
+    values_pair=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """GAE + whole-buffer normalization (compute_gae_cuda, src/ppo.cu:261-323).
 
     Returns (normalized advantages, value targets), both [T, E].
+    ``values_pair`` supplies precomputed (V(s), V(s')) planes — the rollout
+    kernel emits them in-kernel (ppo.rollout with v_params), replacing the
+    two whole-buffer forwards below (reference: src/ppo.cu:267-274).
     """
-    values = mlp.apply(v_params, traj.obs, cfg.activation, backend)[..., 0]
-    next_values = mlp.apply(v_params, traj.next_obs, cfg.activation, backend)[..., 0]
+    if values_pair is not None:
+        values, next_values = values_pair
+    else:
+        values = mlp.apply(v_params, traj.obs, cfg.activation, backend)[..., 0]
+        next_values = mlp.apply(
+            v_params, traj.next_obs, cfg.activation, backend)[..., 0]
     if backend in ("pallas", "bf16") and axis_name is None:
         from ppoc_tpu.ops import pallas_gae
     else:
@@ -396,6 +423,7 @@ def update_step(
     axis_name: Optional[str] = None,
     mb_size: Optional[int] = None,
     backend: str = "jnp",
+    values_pair=None,
 ) -> Tuple[TrainState, FitMetrics]:
     """Learner half of a fit: GAE + advantage normalization + value/policy
     epochs on an already-collected trajectory (the work of
@@ -409,7 +437,8 @@ def update_step(
     n_mb = cfg.num_minibatches  # identical globally and per shard
     k_val, k_pol = jax.random.split(key)
 
-    adv, target = compute_advantages(cfg, env, ts.v_params, traj, axis_name, backend)
+    adv, target = compute_advantages(
+        cfg, env, ts.v_params, traj, axis_name, backend, values_pair)
     buf = buffer.from_rollout(traj, adv, target)
 
     ts, v_loss = value_phase(
@@ -447,11 +476,13 @@ def fit_step(
     n_envs = cfg.n_envs if n_envs is None else n_envs
     key = _device_key(key, axis_name)
     k_roll, k_upd = jax.random.split(key)
-    traj, env_carry = rollout(
+    traj, env_carry, vpair = rollout(
         cfg, env, ts.policy_params, k_roll, n_envs, cfg.rollout_len, backend,
-        axis_name, env_carry,
+        axis_name, env_carry, v_params=ts.v_params, return_values=True,
     )
-    ts, metrics = update_step(cfg, env, ts, traj, k_upd, axis_name, mb_size, backend)
+    ts, metrics = update_step(
+        cfg, env, ts, traj, k_upd, axis_name, mb_size, backend,
+        values_pair=vpair)
     return (ts, env_carry, metrics) if return_env_carry else (ts, metrics)
 
 

@@ -354,10 +354,12 @@ SUPPORTED = frozenset(LANE_ENVS)
 _VMEM_PLANE_BUDGET = 24 * 1024 * 1024
 
 
-def fits_vmem(env_name: str, T: int, E: int) -> bool:
+def fits_vmem(env_name: str, T: int, E: int, with_v: bool = False) -> bool:
     lane = LANE_ENVS[env_name]()
     act = 1 if lane.n_actions > 0 else lane.act_dim
     planes = 2 * lane.obs_dim + 4 + act          # obs, next_obs, a/lp/r/te/tr
+    if with_v:
+        planes += 2                              # V(s), V(s') planes
     return 4 * planes * T * E <= _VMEM_PLANE_BUDGET
 
 
@@ -365,12 +367,14 @@ def fits_vmem(env_name: str, T: int, E: int) -> bool:
 # the generic kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(T: int, E: int, n_layers: int, activation: str, fresh: bool,
-            gamma: float, lane: LaneEnv, seed_ref, ls_ref, *refs):
+def _kernel(T: int, E: int, n_layers: int, n_v_layers: int, activation: str,
+            fresh: bool, gamma: float, lane: LaneEnv, seed_ref, ls_ref, *refs):
     par = refs[: 2 * n_layers]
-    st0_ref = refs[2 * n_layers]          # [state_dim, E]
-    steps0_ref = refs[2 * n_layers + 1]   # [1, E]
-    out = refs[2 * n_layers + 2:]
+    vpar = refs[2 * n_layers: 2 * (n_layers + n_v_layers)]
+    base = 2 * (n_layers + n_v_layers)
+    st0_ref = refs[base]                  # [state_dim, E]
+    steps0_ref = refs[base + 1]           # [1, E]
+    out = refs[base + 2:]
     D, O = lane.state_dim, lane.obs_dim
     obs_refs = out[:O]
     nobs_refs = out[O: 2 * O]
@@ -384,6 +388,27 @@ def _kernel(T: int, E: int, n_layers: int, activation: str, fresh: bool,
     # per-lane running accumulators live in scratch-free rows of the refs:
     # r_acc / j_acc / gamma^t within the current episode
     racc_ref, jacc_ref, gpow_ref = out[2 * O + 10: 2 * O + 13]
+    # optional fused value-net planes: V(s_t) / V(s'_t) — per-step cost is
+    # sequencing-bound, so these two extra tiny forwards ride ~free and the
+    # GAE phase loses its two whole-buffer XLA forwards (docs/RESULTS.md)
+    with_v = n_v_layers > 0
+    if with_v:
+        v_ref, nv_ref = out[2 * O + 13: 2 * O + 15]
+
+    def fwd(h, pars, nl):
+        for l in range(nl):
+            w = pars[2 * l][:]
+            b = pars[2 * l + 1][:]
+            h = jax.lax.dot_general(
+                w, h, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b
+            if l < nl - 1:
+                if activation == "relu":
+                    h = jnp.maximum(h, 0.0)
+                elif activation == "tanh":
+                    h = jnp.tanh(h)
+        return h
 
     s0 = seed_ref[0, 0].astype(jnp.uint32)
     s1 = seed_ref[0, 1].astype(jnp.uint32)
@@ -418,19 +443,10 @@ def _kernel(T: int, E: int, n_layers: int, activation: str, fresh: bool,
             obs_refs[d][pl.ds(t, 1), :] = ob[d]
 
         # policy forward: [H, d] x [d, E]
-        h = jnp.concatenate(ob, axis=0)
-        for l in range(n_layers):
-            w = par[2 * l][:]
-            b = par[2 * l + 1][:]
-            h = jax.lax.dot_general(
-                w, h, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + b
-            if l < n_layers - 1:
-                if activation == "relu":
-                    h = jnp.maximum(h, 0.0)
-                elif activation == "tanh":
-                    h = jnp.tanh(h)
+        h_in = jnp.concatenate(ob, axis=0)
+        h = fwd(h_in, par, n_layers)
+        if with_v:
+            v_ref[pl.ds(t, 1), :] = fwd(h_in, vpar, n_v_layers)
 
         if discrete:
             # Gumbel-max sampling over K logit rows + exact log-softmax
@@ -489,6 +505,9 @@ def _kernel(T: int, E: int, n_layers: int, activation: str, fresh: bool,
         nob = lane.obs(new_rows)
         for d in range(O):
             nobs_refs[d][pl.ds(t, 1), :] = nob[d]
+        if with_v:
+            nv_ref[pl.ds(t, 1), :] = fwd(jnp.concatenate(nob, axis=0),
+                                         vpar, n_v_layers)
         r_ref[pl.ds(t, 1), :] = reward
         te_ref[pl.ds(t, 1), :] = term
         tr_ref[pl.ds(t, 1), :] = trunc
@@ -526,15 +545,23 @@ def rollout_fused(
     env_carry: Optional[Tuple] = None,
     gamma: float = 0.99,
     return_metrics: bool = False,
+    v_params=None,
 ):
     """One-kernel rollout for any registered env; returns (Transition,
     env_carry) with the same structure as the scan path (algo/ppo.py).
 
     With ``return_metrics=True`` additionally returns
     ``(sum_R, sum_J, n_episodes)`` over COMPLETED episodes, accumulated
-    in-kernel — the evaluator needs no post-processing scans."""
+    in-kernel — the evaluator needs no post-processing scans.
+
+    With ``v_params`` (an mlp.init params list) additionally returns
+    ``(values, next_values)`` [T, E] planes — the value net evaluated
+    in-kernel on every stored obs/next_obs, replacing the GAE phase's two
+    whole-buffer forwards (compute_gae_cuda's, src/ppo.cu:267-274)."""
     from ppoc_tpu.algo.ppo import Transition
 
+    if return_metrics and v_params is not None:
+        raise ValueError("return_metrics and v_params are mutually exclusive")
     lane = LANE_ENVS[env_name]()
     params = policy_params["mlp"]
     discrete = lane.n_actions > 0
@@ -571,6 +598,12 @@ def rollout_fused(
     for w, b in params:
         inputs += [w, b.reshape(-1, 1)]
         in_specs += [vmem, vmem]
+    n_v_layers = 0
+    if v_params is not None:
+        n_v_layers = len(v_params)
+        for w, b in v_params:
+            inputs += [w, b.reshape(-1, 1)]
+            in_specs += [vmem, vmem]
     inputs += [st0, steps0]
     in_specs += [vmem, vmem]
 
@@ -580,12 +613,16 @@ def rollout_fused(
     out_shape = ([plane] * (2 * O) + [a_plane] + [plane] * 4
                  + [jax.ShapeDtypeStruct((D, E), jnp.float32), row]
                  + [row] * 6)   # mR, mJ, mN, r_acc, j_acc, gamma^t
+    if v_params is not None:
+        out_shape += [plane, plane]  # V(s), V(s')
     out_specs = [vmem] * len(out_shape)
 
     mlp_flops = 2 * E * sum(w.shape[0] * w.shape[1] for w, _ in params)
+    if v_params is not None:
+        mlp_flops += 4 * E * sum(w.shape[0] * w.shape[1] for w, _ in v_params)
     outs = pl.pallas_call(
-        functools.partial(_kernel, T, E, n_layers, activation, fresh,
-                          gamma, lane),
+        functools.partial(_kernel, T, E, n_layers, n_v_layers, activation,
+                          fresh, gamma, lane),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -621,4 +658,7 @@ def rollout_fused(
     if return_metrics:
         return traj, (state, obs_after), (jnp.sum(mR), jnp.sum(mJ),
                                           jnp.sum(mN))
+    if v_params is not None:
+        v, nv = outs[2 * O + 13], outs[2 * O + 14]
+        return traj, (state, obs_after), (v, nv)
     return traj, (state, obs_after)

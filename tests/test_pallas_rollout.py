@@ -269,3 +269,49 @@ def test_evaluate_fast_path_matches_scan_estimator():
     assert float(m_fast.episodes) == float(m_ref.episodes)
     assert float(m_fast.R) == pytest.approx(float(m_ref.R), rel=1e-5)
     assert float(m_fast.J) == pytest.approx(float(m_ref.J), rel=1e-4)
+
+
+@pytest.mark.parametrize("name", ["pendulum", "cartpole", "reacher"])
+def test_in_kernel_value_planes_match_mlp_apply(name):
+    """With v_params, the rollout kernel's V(s)/V(s') planes must equal
+    mlp.apply on the trajectory's obs/next_obs (same weights, f32)."""
+    from ppoc_tpu.models import mlp
+    from ppoc_tpu.ops import pallas_rollout as pr
+
+    cfg = PPOConfig(env=name, n_envs=8, rollout_len=32)
+    env = envs.make(name)
+    ts = ppo.init_train_state(cfg, env, jax.random.PRNGKey(0))
+    traj, _, (v, nv) = jax.jit(lambda pp, vp, k: pr.rollout_fused(
+        name, pp, k, 8, 32, "relu", None, gamma=env.spec.gamma,
+        v_params=vp))(ts.policy_params, ts.v_params, jax.random.PRNGKey(7))
+    v_ref = mlp.apply(ts.v_params, traj.obs, "relu", "jnp")[..., 0]
+    nv_ref = mlp.apply(ts.v_params, traj.next_obs, "relu", "jnp")[..., 0]
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nv), np.asarray(nv_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rollout_return_values_wiring():
+    """ppo.rollout(return_values=True) returns the in-kernel V planes on the
+    pallas backend and None on the jnp fallback; fused advantages match the
+    unfused computation."""
+    ts = _TS
+    key = jax.random.PRNGKey(11)
+    traj, _, vpair = jax.jit(lambda pp, vp, k: ppo.rollout(
+        CFG, ENV, pp, k, 8, 32, "pallas", v_params=vp, return_values=True,
+    ))(ts.policy_params, ts.v_params, key)
+    assert vpair is not None
+    adv_fused, tgt_fused = ppo.compute_advantages(
+        CFG, ENV, ts.v_params, traj, None, "pallas", values_pair=vpair)
+    adv_ref, tgt_ref = ppo.compute_advantages(
+        CFG, ENV, ts.v_params, traj, None, "jnp")
+    np.testing.assert_allclose(np.asarray(adv_fused), np.asarray(adv_ref),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tgt_fused), np.asarray(tgt_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    _, _, vpair_jnp = jax.jit(lambda pp, vp, k: ppo.rollout(
+        CFG, ENV, pp, k, 8, 32, "jnp", v_params=vp, return_values=True,
+    ))(ts.policy_params, ts.v_params, key)
+    assert vpair_jnp is None
