@@ -58,10 +58,16 @@ def _fmix32(z):
     return z
 
 
-def _uniform01(shape, s0, s1, t, draw: int):
-    """U[0,1) from counters (seed, step t, draw index, lane) — 24-bit
-    mantissa construction; runs on the VPU, identical on all backends."""
+def _uniform01(shape, s0, s1, t, draw: int, lane_off=0):
+    """U[0,1) from counters (seed, step t, draw index, GLOBAL lane) — 24-bit
+    mantissa construction; runs on the VPU, identical on all backends.
+    ``lane_off`` globalizes the lane counter under the env-chunked grid so a
+    chunked rollout draws the same stream as the single-shot kernel."""
     lane = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
+    if not (isinstance(lane_off, int) and lane_off == 0):
+        # lane_off may be a traced program_id expression — asarray, not the
+        # numpy scalar constructor (which would force concretization)
+        lane = lane + jnp.asarray(lane_off, jnp.uint32)
     x = (s0
          + t.astype(jnp.uint32) * jnp.uint32(0x632BE59B)
          + jnp.uint32(draw) * jnp.uint32(0x9E3779B9)
@@ -345,30 +351,61 @@ LANE_ENVS = {
 
 SUPPORTED = frozenset(LANE_ENVS)
 
-# The kernel keeps every [T, E] output plane VMEM-resident for the whole
-# rollout; past this total the Mosaic scoped-VMEM limit trips at compile
-# time, so bigger shapes fall back to the XLA scan (which is also where
-# per-iteration overhead is amortized anyway).  Empirical on v5e: 18.4 MB
-# of planes (mountain_car at 512x999) compiles and runs; ~64 MB (reacher
-# at 4096x150) is rejected.
-_VMEM_PLANE_BUDGET = 24 * 1024 * 1024
+# The kernel keeps every [T, E-chunk] output plane VMEM-resident for the
+# whole rollout; past this per-cell total the Mosaic scoped-VMEM limit
+# trips at compile time.  Shapes whose full [T, E] planes exceed the budget
+# are CHUNKED over envs instead of falling back: the grid runs one cell per
+# aligned env slice (each cell = the full T-step loop on E/C lanes), so
+# e.g. reacher at 4096x150 (64 MB of planes) runs as 4 cells of 16 MB.
+# Only shapes that cannot be split into 128-aligned chunks fall back to the
+# XLA scan.  Empirical on v5e: 18.4 MB of planes compiles and runs single-
+# shot (no grid, no block streaming), but GRID cells are DOUBLE-BUFFERED —
+# a 13.5 MB/cell plan allocated 31 MB of scoped VMEM and tripped the 16 MB
+# limit — so chunked cells get at most 8 MB of planes (~16 MB pipelined).
+_SINGLE_VMEM_BUDGET = 24 * 1024 * 1024
+_CHUNK_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _plane_count(lane: LaneEnv, with_v: bool) -> int:
+    na = 1 if lane.n_actions > 0 else lane.act_dim
+    planes = 2 * lane.obs_dim + na + 4     # obs, next_obs, a..., lp/r/te/tr
+    if with_v:
+        planes += 2                        # V(s), V(s') planes
+    return planes
+
+
+def chunk_plan(env_name: str, T: int, E: int,
+               with_v: bool = False) -> Optional[int]:
+    """Number of env chunks (grid cells) the kernel needs for this shape,
+    or None when no 128-lane-aligned chunking fits the per-cell budget."""
+    lane = LANE_ENVS[env_name]()
+    per_env = 4 * _plane_count(lane, with_v) * T
+    if per_env * E <= _SINGLE_VMEM_BUDGET:
+        return 1
+    C = 2
+    while E % C == 0 and E // C >= 128 and (E // C) % 128 == 0:
+        if per_env * (E // C) <= _CHUNK_VMEM_BUDGET:
+            return C
+        C *= 2
+    return None
 
 
 def fits_vmem(env_name: str, T: int, E: int, with_v: bool = False) -> bool:
-    lane = LANE_ENVS[env_name]()
-    act = 1 if lane.n_actions > 0 else lane.act_dim
-    planes = 2 * lane.obs_dim + 4 + act          # obs, next_obs, a/lp/r/te/tr
-    if with_v:
-        planes += 2                              # V(s), V(s') planes
-    return 4 * planes * T * E <= _VMEM_PLANE_BUDGET
+    """True when the whole-rollout kernel can serve this shape (single-shot
+    or env-chunked)."""
+    return chunk_plan(env_name, T, E, with_v) is not None
 
 
 # ---------------------------------------------------------------------------
 # the generic kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(T: int, E: int, n_layers: int, n_v_layers: int, activation: str,
-            fresh: bool, gamma: float, lane: LaneEnv, seed_ref, ls_ref, *refs):
+def _kernel(T: int, E: int, C: int, n_layers: int, n_v_layers: int,
+            activation: str, fresh: bool, gamma: float, lane: LaneEnv,
+            seed_ref, ls_ref, *refs):
+    """Grid cell body.  ``E`` is the CHUNK width (lanes per cell); with
+    ``C`` > 1 cells the grid covers C * E envs, each cell running the full
+    T-step loop on its slice, RNG lanes globalized by the cell offset."""
     par = refs[: 2 * n_layers]
     vpar = refs[2 * n_layers: 2 * (n_layers + n_v_layers)]
     base = 2 * (n_layers + n_v_layers)
@@ -376,24 +413,30 @@ def _kernel(T: int, E: int, n_layers: int, n_v_layers: int, activation: str,
     steps0_ref = refs[base + 1]           # [1, E]
     out = refs[base + 2:]
     D, O = lane.state_dim, lane.obs_dim
+    na = 1 if lane.n_actions > 0 else lane.act_dim
     obs_refs = out[:O]
     nobs_refs = out[O: 2 * O]
-    a_ref, lp_ref, r_ref, te_ref, tr_ref = out[2 * O: 2 * O + 5]
-    stf_ref = out[2 * O + 5]              # [state_dim, E] final carry
-    stepsf_ref = out[2 * O + 6]           # [1, E]
+    a_refs = out[2 * O: 2 * O + na]       # one [T, E] plane per action dim
+    b2 = 2 * O + na
+    lp_ref, r_ref, te_ref, tr_ref = out[b2: b2 + 4]
+    stf_ref = out[b2 + 4]                 # [state_dim, E] final carry
+    stepsf_ref = out[b2 + 5]              # [1, E]
     # eval-metric accumulators, one lane row each: completed-episode sums
     # of undiscounted R / discounted J and the episode count — the in-kernel
     # twin of algo.ppo.eval_metrics_from_traj (completed episodes only)
-    mR_ref, mJ_ref, mN_ref = out[2 * O + 7: 2 * O + 10]
+    mR_ref, mJ_ref, mN_ref = out[b2 + 6: b2 + 9]
     # per-lane running accumulators live in scratch-free rows of the refs:
     # r_acc / j_acc / gamma^t within the current episode
-    racc_ref, jacc_ref, gpow_ref = out[2 * O + 10: 2 * O + 13]
+    racc_ref, jacc_ref, gpow_ref = out[b2 + 9: b2 + 12]
     # optional fused value-net planes: V(s_t) / V(s'_t) — per-step cost is
     # sequencing-bound, so these two extra tiny forwards ride ~free and the
     # GAE phase loses its two whole-buffer XLA forwards (docs/RESULTS.md)
     with_v = n_v_layers > 0
     if with_v:
-        v_ref, nv_ref = out[2 * O + 13: 2 * O + 15]
+        v_ref, nv_ref = out[b2 + 12: b2 + 14]
+    # globalize the RNG lane counter: cell c covers lanes [c*E, (c+1)*E)
+    off = 0 if C == 1 else pl.program_id(0) * E
+    rng = functools.partial(_uniform01, lane_off=off)
 
     def fwd(h, pars, nl):
         for l in range(nl):
@@ -418,7 +461,7 @@ def _kernel(T: int, E: int, n_layers: int, n_v_layers: int, activation: str,
 
     if fresh:
         t_init = jnp.uint32(0xFFFF0000)
-        rows = lane.reset(lambda j: _uniform01((1, E), s0, s1, t_init, 50 + j))
+        rows = lane.reset(lambda j: rng((1, E), s0, s1, t_init, 50 + j))
         for d in range(D):
             stf_ref[d: d + 1, :] = rows[d]
         stepsf_ref[:] = jnp.zeros((1, E), jnp.float32)
@@ -460,7 +503,7 @@ def _kernel(T: int, E: int, n_layers: int, n_v_layers: int, activation: str,
             best_val = None
             best_idx = None
             for k in range(K):
-                u = jnp.clip(_uniform01((1, E), s0, s1, t, k),
+                u = jnp.clip(rng((1, E), s0, s1, t, k),
                              1e-12, 1.0 - 1e-7)
                 y = h[k: k + 1, :] - jnp.log(-jnp.log(u))
                 if best_val is None:
@@ -480,8 +523,8 @@ def _kernel(T: int, E: int, n_layers: int, n_v_layers: int, activation: str,
             for j in range(lane.act_dim):
                 ls = ls_ref[j, 0]
                 sigma = jnp.exp(ls)
-                u1 = jnp.maximum(_uniform01((1, E), s0, s1, t, 2 * j), 1e-12)
-                u2 = _uniform01((1, E), s0, s1, t, 2 * j + 1)
+                u1 = jnp.maximum(rng((1, E), s0, s1, t, 2 * j), 1e-12)
+                u2 = rng((1, E), s0, s1, t, 2 * j + 1)
                 eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
                 mu = h[j: j + 1, :]
                 a = mu + eps * sigma
@@ -489,12 +532,10 @@ def _kernel(T: int, E: int, n_layers: int, n_v_layers: int, activation: str,
                 lp = lp - ls - 0.5 * z * z
                 a_rows.append(a)
 
-        # action plane: single row (discrete index / 1-D) or stacked rows
-        if len(a_rows) == 1:
-            a_ref[pl.ds(t, 1), :] = a_rows[0]
-        else:
-            for j, a in enumerate(a_rows):
-                a_ref[pl.ds(t, 1), pl.ds(j * E, E)] = a
+        # one [T, E] action plane per dim (keeps blocks contiguous when the
+        # grid chunks over envs)
+        for j, a in enumerate(a_rows):
+            a_refs[j][pl.ds(t, 1), :] = a
         lp_ref[pl.ds(t, 1), :] = lp
 
         new_rows, reward, term = lane.step(rows, a_rows)
@@ -525,7 +566,7 @@ def _kernel(T: int, E: int, n_layers: int, n_v_layers: int, activation: str,
         gpow_ref[:] = jnp.where(done > 0, 1.0, gpow_ref[:] * gamma)
 
         fresh_rows = lane.reset(
-            lambda j: _uniform01((1, E), s0, s1, t, 50 + j))
+            lambda j: rng((1, E), s0, s1, t, 50 + j))
         for d in range(D):
             stf_ref[d: d + 1, :] = jnp.where(done > 0, fresh_rows[d],
                                              new_rows[d])
@@ -546,6 +587,7 @@ def rollout_fused(
     gamma: float = 0.99,
     return_metrics: bool = False,
     v_params=None,
+    n_chunks: Optional[int] = None,
 ):
     """One-kernel rollout for any registered env; returns (Transition,
     env_carry) with the same structure as the scan path (algo/ppo.py).
@@ -557,7 +599,12 @@ def rollout_fused(
     With ``v_params`` (an mlp.init params list) additionally returns
     ``(values, next_values)`` [T, E] planes — the value net evaluated
     in-kernel on every stored obs/next_obs, replacing the GAE phase's two
-    whole-buffer forwards (compute_gae_cuda's, src/ppo.cu:267-274)."""
+    whole-buffer forwards (compute_gae_cuda's, src/ppo.cu:267-274).
+
+    ``n_chunks`` overrides the VMEM planner (:func:`chunk_plan`): the grid
+    runs that many cells, each covering an aligned slice of
+    ``n_envs / n_chunks`` lanes for the full T-step loop.  RNG lane
+    counters are global, so any chunking produces BIT-IDENTICAL output."""
     from ppoc_tpu.algo.ppo import Transition
 
     if return_metrics and v_params is not None:
@@ -571,6 +618,13 @@ def rollout_fused(
     T, E = length, n_envs
     D, O = lane.state_dim, lane.obs_dim
     act_dim = 1 if discrete else lane.act_dim
+    C = (chunk_plan(env_name, T, E, with_v=v_params is not None)
+         if n_chunks is None else n_chunks)
+    if C is None or E % C != 0:
+        raise ValueError(
+            f"no valid env chunking for {env_name} at T={T}, E={E} "
+            f"(n_chunks={n_chunks}); caller should gate on fits_vmem()")
+    Ec = E // C
 
     kd = jax.random.fold_in(key, 0)
     try:
@@ -593,36 +647,52 @@ def rollout_fused(
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if C == 1:
+        # single-shot: whole arrays in VMEM, no grid (any E works, even
+        # non-128-aligned — Mosaic pads full-array refs itself)
+        full, sliced_mat, sliced_row, sliced_plane = vmem, vmem, vmem, vmem
+        grid = ()
+    else:
+        # env-chunked: C grid cells, each streaming an aligned [., Ec]
+        # block of every per-env array; params/seed replicated per cell
+        full = vmem
+        sliced_mat = pl.BlockSpec((D, Ec), lambda c: (0, c))
+        sliced_row = pl.BlockSpec((1, Ec), lambda c: (0, c))
+        sliced_plane = pl.BlockSpec((T, Ec), lambda c: (0, c))
+        grid = (C,)
     inputs = [seed_arr, log_std.reshape(-1, 1)]
-    in_specs = [smem, vmem]
+    in_specs = [smem, full]
     for w, b in params:
         inputs += [w, b.reshape(-1, 1)]
-        in_specs += [vmem, vmem]
+        in_specs += [full, full]
     n_v_layers = 0
     if v_params is not None:
         n_v_layers = len(v_params)
         for w, b in v_params:
             inputs += [w, b.reshape(-1, 1)]
-            in_specs += [vmem, vmem]
+            in_specs += [full, full]
     inputs += [st0, steps0]
-    in_specs += [vmem, vmem]
+    in_specs += [sliced_mat, sliced_row]
 
     plane = jax.ShapeDtypeStruct((T, E), jnp.float32)
-    a_plane = jax.ShapeDtypeStruct((T, act_dim * E), jnp.float32)
     row = jax.ShapeDtypeStruct((1, E), jnp.float32)
-    out_shape = ([plane] * (2 * O) + [a_plane] + [plane] * 4
+    n_planes = 2 * O + act_dim + 4          # obs, nobs, a..., lp/r/te/tr
+    out_shape = ([plane] * n_planes
                  + [jax.ShapeDtypeStruct((D, E), jnp.float32), row]
                  + [row] * 6)   # mR, mJ, mN, r_acc, j_acc, gamma^t
+    out_specs = ([sliced_plane] * n_planes + [sliced_mat, sliced_row]
+                 + [sliced_row] * 6)
     if v_params is not None:
         out_shape += [plane, plane]  # V(s), V(s')
-    out_specs = [vmem] * len(out_shape)
+        out_specs += [sliced_plane, sliced_plane]
 
     mlp_flops = 2 * E * sum(w.shape[0] * w.shape[1] for w, _ in params)
     if v_params is not None:
         mlp_flops += 4 * E * sum(w.shape[0] * w.shape[1] for w, _ in v_params)
     outs = pl.pallas_call(
-        functools.partial(_kernel, T, E, n_layers, n_v_layers, activation,
-                          fresh, gamma, lane),
+        functools.partial(_kernel, T, Ec, C, n_layers, n_v_layers,
+                          activation, fresh, gamma, lane),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -634,18 +704,20 @@ def rollout_fused(
         interpret=_interpret(),
     )(*inputs)
 
+    b2 = 2 * O + act_dim
     obs_planes = outs[:O]
     nobs_planes = outs[O: 2 * O]
-    a_flat, lp, r, te, tr = outs[2 * O: 2 * O + 5]
-    stf, stepsf = outs[2 * O + 5], outs[2 * O + 6]
-    mR, mJ, mN = outs[2 * O + 7: 2 * O + 10]
+    a_planes = outs[2 * O: b2]
+    lp, r, te, tr = outs[b2: b2 + 4]
+    stf, stepsf = outs[b2 + 4], outs[b2 + 5]
+    mR, mJ, mN = outs[b2 + 6: b2 + 9]
 
     obs = jnp.stack(obs_planes, axis=-1)
     next_obs = jnp.stack(nobs_planes, axis=-1)
     if discrete:
-        action = a_flat.reshape(T, E, 1).astype(jnp.int32)
+        action = a_planes[0].reshape(T, E, 1).astype(jnp.int32)
     else:
-        action = a_flat.reshape(T, act_dim, E).transpose(0, 2, 1)
+        action = jnp.stack(a_planes, axis=-1)
     term = te > 0
     trunc = tr > 0
     traj = Transition(
@@ -659,6 +731,6 @@ def rollout_fused(
         return traj, (state, obs_after), (jnp.sum(mR), jnp.sum(mJ),
                                           jnp.sum(mN))
     if v_params is not None:
-        v, nv = outs[2 * O + 13], outs[2 * O + 14]
+        v, nv = outs[b2 + 12], outs[b2 + 13]
         return traj, (state, obs_after), (v, nv)
     return traj, (state, obs_after)

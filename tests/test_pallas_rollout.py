@@ -207,19 +207,27 @@ def test_kernel_rollout_trains():
 
 
 def test_vmem_gate_falls_back_for_huge_shapes(monkeypatch):
-    """Shapes whose output planes exceed the VMEM budget must take the XLA
-    scan path instead of failing at Mosaic compile time (reacher at
-    4096x150 OOMs the 16 MB scoped limit on hardware)."""
+    """Shapes whose output planes exceed the per-cell VMEM budget must be
+    env-chunked over a grid; only un-chunkable shapes take the XLA scan
+    (reacher at 4096x150 OOMed the 16 MB scoped limit single-shot on
+    hardware — it now runs as 4 cells of ~13.5 MB)."""
     from ppoc_tpu.ops import pallas_rollout as pr
 
-    assert pr.fits_vmem("pendulum", 200, 64)
-    assert pr.fits_vmem("pendulum", 200, 1024)       # tpu preset
-    assert pr.fits_vmem("mountain_car_norm", 999, 512)  # MCC solve config
-    assert not pr.fits_vmem("reacher", 150, 4096)    # hardware-verified OOM
+    assert pr.chunk_plan("pendulum", 200, 64) == 1
+    assert pr.chunk_plan("pendulum", 200, 1024) == 1   # tpu preset
+    # MCC solve config: 18.4 MB single-shot, hardware-verified to compile
+    assert pr.chunk_plan("mountain_car_norm", 999, 512) == 1
+    # reacher 4096x150 OOMed single-shot on hardware; 8 double-buffered
+    # cells of 6.8 MB fit the 16 MB scoped limit (hardware-verified)
+    assert pr.chunk_plan("reacher", 150, 4096) == 8
+    assert pr.fits_vmem("reacher", 150, 4096)
+    # tiny env counts cannot make 128-aligned chunks -> scan fallback
+    assert pr.chunk_plan("reacher", 4000, 64) is None
 
-    # force the budget to zero: ppo.rollout must transparently use the scan
+    # force the budgets to zero: ppo.rollout must transparently use the scan
     # path and still produce a full trajectory under backend="pallas"
-    monkeypatch.setattr(pr, "_VMEM_PLANE_BUDGET", 0)
+    monkeypatch.setattr(pr, "_SINGLE_VMEM_BUDGET", 0)
+    monkeypatch.setattr(pr, "_CHUNK_VMEM_BUDGET", 0)
     assert not pr.fits_vmem("pendulum", 32, 8)
     traj, carry = _rollout(jax.random.PRNGKey(42))
     assert traj.obs.shape == (32, 8, 3)
@@ -229,6 +237,40 @@ def test_vmem_gate_falls_back_for_huge_shapes(monkeypatch):
     monkeypatch.undo()
     traj_k, _ = _rollout(jax.random.PRNGKey(42))
     assert np.abs(np.asarray(traj.action) - np.asarray(traj_k.action)).max() > 0
+
+
+@pytest.mark.parametrize("name", ["pendulum", "cartpole"])
+def test_chunked_rollout_bit_identical(name):
+    """Env-chunking is an execution detail: C grid cells with globalized RNG
+    lane counters must produce BIT-identical trajectories, carry, and eval
+    metrics to the single-shot kernel."""
+    from ppoc_tpu.ops import pallas_rollout as pr
+
+    cfg = PPOConfig(env=name, n_envs=256, rollout_len=16)
+    env = envs.make(name)
+    ts = ppo.init_train_state(cfg, env, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(21)
+
+    def run(C):
+        return jax.jit(lambda pp, k: pr.rollout_fused(
+            name, pp, k, 256, 16, "relu", None, gamma=env.spec.gamma,
+            return_metrics=True, n_chunks=C))(ts.policy_params, key)
+
+    t1, c1, m1 = run(1)
+    t2, c2, m2 = run(2)
+    for a, b in zip(jax.tree.leaves((t1, c1, m1)),
+                    jax.tree.leaves((t2, c2, m2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # second window from the chunked carry continues identically too
+    t1b, _, _ = jax.jit(lambda pp, k, c: pr.rollout_fused(
+        name, pp, k, 256, 16, "relu", c, gamma=env.spec.gamma,
+        return_metrics=True, n_chunks=1))(ts.policy_params, key, c1)
+    t2b, _, _ = jax.jit(lambda pp, k, c: pr.rollout_fused(
+        name, pp, k, 256, 16, "relu", c, gamma=env.spec.gamma,
+        return_metrics=True, n_chunks=2))(ts.policy_params, key, c2)
+    for a, b in zip(jax.tree.leaves(t1b), jax.tree.leaves(t2b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 @pytest.mark.parametrize("name,L", [("pendulum", 200), ("cartpole", 300),
