@@ -1,16 +1,25 @@
-"""Environment wrappers: pure-function transforms over Env.
+"""Environment wrappers: observation normalization (static + running).
 
 The reference has no wrapper layer (its env vtable is consumed raw,
-include/env.h:7-15); this module adds the one transform sparse-reward
-configs need — a STATIC affine observation normalization.  It is a pure
-recomposition of the env's reset/step, so vmap/jit/scan see one fused
-function and the wrapped env trains at identical speed.
+include/env.h:7-15); this module adds the transforms sparse-reward and
+wide-scale configs need:
 
-Static (not running-statistics) normalization keeps every function pure and
-the train step replayable bit-for-bit from a checkpoint; for the in-repo
-envs the true observation bounds are known, so the affine map is exact.
+- :func:`normalize_obs` — STATIC affine observation normalization over a
+  pure-JAX Env.  A pure recomposition of the env's reset/step, so
+  vmap/jit/scan see one fused function and the wrapped env trains at
+  identical speed, and the train step stays replayable bit-for-bit from a
+  checkpoint.  For the in-repo envs the true observation bounds are known,
+  so the affine map is exact.
+- :class:`RunningObsNorm` — RUNNING-statistics normalization over a
+  host-protocol venv (envs/host.py), for Gymnasium envs whose observation
+  scale is unknown a priori (BipedalWalker's lidar vs joint-velocity
+  channels).  Statistics live on the host actor, so the jitted learner is
+  untouched; train and eval venvs share one :class:`RunningStats` so the
+  eval policy sees the same feature space it was trained in.
 """
 from __future__ import annotations
+
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

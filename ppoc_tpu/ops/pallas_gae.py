@@ -21,7 +21,7 @@ normalizing — that collective stays in XLA).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,13 +35,33 @@ def _interpret() -> bool:
 
 # Empirical Mosaic scoped-VMEM ceiling on v5e: a [200, 4096] f32 plane
 # (3.3 MB) compiles, [200, 8192] (6.6 MB) is rejected — the kernel keeps
-# several [T, E] planes live at once. Callers should fall back to the XLA
-# scan path beyond this.
+# several [T, E] planes live at once.  Bigger shapes are env-CHUNKED over a
+# grid (the recurrence is lane-local; only normalization is global, and it
+# moves to a cheap fused XLA pass).  Grid cells are double-buffered by the
+# block pipeline, so the per-cell plane limit is half the single-shot one.
 _PLANE_BYTE_LIMIT = 4 * 1024 * 1024
+# the kernel touches 9 per-cell planes (5 in + 2 out + 2 scratch); gridded
+# in/out blocks are double-buffered, so cap the per-cell plane total at
+# 8 MB (~16 MB pipelined) — same discipline as pallas_rollout.chunk_plan
+_N_PLANES = 9
+_CHUNK_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def chunk_plan(T: int, E: int) -> Optional[int]:
+    """Grid cells needed for this shape (1 = single-shot), or None when no
+    128-lane-aligned chunking fits the per-cell plane budget."""
+    if 4 * T * E <= _PLANE_BYTE_LIMIT:
+        return 1
+    C = 2
+    while E % C == 0 and E // C >= 128 and (E // C) % 128 == 0:
+        if _N_PLANES * 4 * T * (E // C) <= _CHUNK_VMEM_BUDGET:
+            return C
+        C *= 2
+    return None
 
 
 def fits_vmem(T: int, E: int) -> bool:
-    return 4 * T * E <= _PLANE_BYTE_LIMIT
+    return chunk_plan(T, E) is not None
 
 
 def _kernel(gamma: float, lam: float, do_norm: bool, T: int,
@@ -83,19 +103,39 @@ def gae_norm_fused(
     gamma: float,
     lam: float,
     normalize: bool = True,
+    n_chunks: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (advantages [normalized if requested], value targets)."""
-    T = rewards.shape[0]
+    """Returns (advantages [normalized if requested], value targets).
+
+    Shapes past the single-shot VMEM ceiling run as a grid of C env-chunks
+    (``chunk_plan``); the lane-local recurrence is unchanged, and the
+    global normalization moves to a fused XLA pass over the kernel's
+    output (identical formula, so C is an execution detail)."""
+    T, E = rewards.shape
+    C = chunk_plan(T, E) if n_chunks is None else n_chunks
+    if C is None or E % C != 0:
+        raise ValueError(
+            f"no valid env chunking for GAE at T={T}, E={E} "
+            f"(n_chunks={n_chunks}); caller should gate on fits_vmem()")
+    Ec = E // C
     term = terminated.astype(jnp.float32)
     done = jnp.logical_or(terminated, truncated).astype(jnp.float32)
-    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if C == 1:
+        spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        grid = ()
+        in_kernel_norm = normalize
+    else:
+        spec = pl.BlockSpec((T, Ec), lambda c: (0, c))
+        grid = (C,)
+        in_kernel_norm = False   # global moments span cells -> XLA pass
     adv, tgt = pl.pallas_call(
-        functools.partial(_kernel, gamma, lam, normalize, T),
+        functools.partial(_kernel, gamma, lam, in_kernel_norm, T),
+        grid=grid,
         in_specs=[spec] * 5,
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct(rewards.shape, jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM(rewards.shape, jnp.float32),
-                        pltpu.VMEM(rewards.shape, jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((T, Ec), jnp.float32),
+                        pltpu.VMEM((T, Ec), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=12 * rewards.size,
             bytes_accessed=4 * 7 * rewards.size,
@@ -103,4 +143,8 @@ def gae_norm_fused(
         ),
         interpret=_interpret(),
     )(rewards, values, next_values, term, done)
+    if normalize and not in_kernel_norm:
+        mean = jnp.mean(adv)
+        var = jnp.mean(jnp.square(adv - mean))
+        adv = (adv - mean) / (jnp.sqrt(var) + 1e-8)
     return adv, tgt
