@@ -165,11 +165,18 @@ class GymTrainer:
     """
 
     def __new__(cls, cfg: PPOConfig, env_id, backend: str = "jnp",
-                vector_mode: str = "sync", actor: str = "device"):
+                vector_mode: str = "sync", actor: str = "device",
+                obs_norm: bool = False, obs_clip: float = 10.0):
         from ppoc_tpu.envs.host import HostTrainer
+        from ppoc_tpu.envs.wrappers import RunningObsNorm
 
         venv = GymVecEnv(env_id, cfg.n_envs, seed=cfg.seed,
                          vector_mode=vector_mode)
         eval_venv = GymVecEnv(env_id, cfg.eval_envs, seed=cfg.seed + 7777,
                               vector_mode=vector_mode)
+        if obs_norm:
+            # one RunningStats shared train->eval; eval reads, never writes
+            venv = RunningObsNorm(venv, clip=obs_clip, update=True)
+            eval_venv = RunningObsNorm(eval_venv, stats=venv.stats,
+                                       clip=obs_clip, update=False)
         return HostTrainer(cfg, venv, eval_venv, backend=backend, actor=actor)

@@ -346,14 +346,25 @@ class HostTrainer:
     def save(self, path: str) -> None:
         from ppoc_tpu.utils import checkpoint
         checkpoint.save(path, self.cfg, self.env.spec, self.state, key=self.key)
+        # running obs-norm statistics (wrappers.RunningObsNorm) travel as an
+        # npz sidecar: the binary checkpoint layout is a frozen contract
+        stats = getattr(self.venv, "stats", None)
+        if stats is not None:
+            stats.save(path + ".obsnorm.npz")
 
     def load(self, path: str) -> None:
-        """Restore optimizer state + PRNG key.  NOTE: unlike the device
-        Trainer, host envs (live Gymnasium objects) are not serializable, so
-        a resumed host run continues from fresh env resets — optimization
-        state is exact, the env stream is not."""
+        """Restore optimizer state + PRNG key (+ obs-norm statistics when
+        the venv is norm-wrapped and the sidecar exists).  NOTE: unlike the
+        device Trainer, host envs (live Gymnasium objects) are not
+        serializable, so a resumed host run continues from fresh env resets —
+        optimization state is exact, the env stream is not."""
+        import os
+
         from ppoc_tpu.utils import checkpoint
         ck = checkpoint.load(path, template=self.state)
         self.state = ck.state
         if ck.key is not None:
             self.key = ck.key
+        stats = getattr(self.venv, "stats", None)
+        if stats is not None and os.path.exists(path + ".obsnorm.npz"):
+            stats.load_state_dict(np.load(path + ".obsnorm.npz"))

@@ -63,6 +63,111 @@ def normalize_obs(env: Env, low, high, name: str = None) -> Env:
     return Env(spec=spec, reset=reset, step=step)
 
 
+class RunningStats:
+    """Numerically stable running mean/variance over observation rows.
+
+    Batched Welford (Chan's parallel merge — the same algebra as the
+    device-side shard merge in ops/welford.py, kept in float64 on the host).
+    One instance is SHARED between the training and eval venv wrappers so
+    evaluation sees the training feature space.
+    """
+
+    def __init__(self, dim: int):
+        self.count = 0.0
+        self.mean = np.zeros(dim, np.float64)
+        self.m2 = np.zeros(dim, np.float64)
+
+    def update(self, batch: np.ndarray) -> None:
+        b = np.asarray(batch, np.float64).reshape(-1, self.mean.shape[0])
+        n = b.shape[0]
+        if n == 0:
+            return
+        bmean = b.mean(axis=0)
+        bm2 = np.square(b - bmean).sum(axis=0)
+        tot = self.count + n
+        delta = bmean - self.mean
+        self.mean = self.mean + delta * (n / tot)
+        self.m2 = self.m2 + bm2 + np.square(delta) * (self.count * n / tot)
+        self.count = tot
+
+    def variance(self) -> np.ndarray:
+        if self.count < 1:
+            return np.ones_like(self.m2)
+        return self.m2 / self.count
+
+    def normalize(self, x: np.ndarray, clip: float, eps: float = 1e-8
+                  ) -> np.ndarray:
+        if self.count < 2:     # no information yet: identity (initial eval)
+            return np.asarray(x, np.float32)
+        z = (np.asarray(x, np.float64) - self.mean) / np.sqrt(
+            self.variance() + eps)
+        return np.clip(z, -clip, clip).astype(np.float32)
+
+    # -- persistence (sidecar next to the binary checkpoint) ----------------
+    def state_dict(self) -> dict:
+        return {"count": np.float64(self.count), "mean": self.mean,
+                "m2": self.m2}
+
+    def load_state_dict(self, d) -> None:
+        self.count = float(d["count"])
+        self.mean = np.asarray(d["mean"], np.float64).copy()
+        self.m2 = np.asarray(d["m2"], np.float64).copy()
+
+    def save(self, path: str) -> None:
+        np.savez(path, **self.state_dict())
+
+    @classmethod
+    def load(cls, path: str) -> "RunningStats":
+        d = np.load(path)
+        out = cls(int(np.asarray(d["mean"]).shape[0]))
+        out.load_state_dict(d)
+        return out
+
+
+class RunningObsNorm:
+    """Host-protocol venv wrapper: normalize observations with RUNNING
+    mean/variance (the standard PPO practice for envs with unknown,
+    heterogeneous observation scales — BipedalWalker's hull angles vs lidar).
+
+    Wraps any host-protocol venv (envs/host.py contract).  Statistics update
+    on the actor side only; the jitted learner and the pure-JAX fast path
+    are untouched.  Pass ``update=False`` (with a shared ``stats``) for the
+    eval venv so evaluation reads the training statistics without polluting
+    them.
+    """
+
+    def __init__(self, venv, stats: Optional[RunningStats] = None,
+                 update: bool = True, clip: float = 10.0, eps: float = 1e-8):
+        self.venv = venv
+        self.spec = venv.spec
+        self.n_envs = venv.n_envs
+        self.stats = RunningStats(venv.spec.obs_dim) if stats is None else stats
+        self.update = update
+        self.clip = float(clip)
+        self.eps = float(eps)
+
+    def _norm(self, x: np.ndarray) -> np.ndarray:
+        return self.stats.normalize(x, self.clip, self.eps)
+
+    def reset(self) -> np.ndarray:
+        obs = self.venv.reset()
+        if self.update:
+            self.stats.update(obs)
+        return self._norm(obs)
+
+    def step(self, actions: np.ndarray):
+        obs_after, next_obs, reward, term, trunc = self.venv.step(actions)
+        if self.update:
+            self.stats.update(obs_after)
+        # both streams normalized with the SAME (post-update) statistics so
+        # the GAE bootstrap V(next_obs) and the policy input agree
+        return (self._norm(obs_after), self._norm(next_obs),
+                reward, term, trunc)
+
+    def close(self):
+        self.venv.close()
+
+
 @register("mountain_car_norm")
 def make_mountain_car_norm() -> Env:
     """MountainCarContinuous with observations mapped to [-1, 1].

@@ -53,6 +53,16 @@ def load_policy(path: str, deterministic: bool = True,
     params = ck.state.policy_params
     key_holder = {"key": jax.random.PRNGKey(seed)}
 
+    # a policy trained under RunningObsNorm (envs/wrappers.py) expects
+    # normalized inputs; HostTrainer.save writes the statistics as a sidecar
+    norm = None
+    import os
+    if os.path.exists(path + ".obsnorm.npz"):
+        from ppoc_tpu.envs.wrappers import RunningStats
+
+        stats = RunningStats.load(path + ".obsnorm.npz")
+        norm = lambda o: stats.normalize(o, clip=10.0)
+
     if spec.discrete:
         @jax.jit
         def _det(obs):
@@ -76,6 +86,8 @@ def load_policy(path: str, deterministic: bool = True,
             return a
 
     def act(obs, key: Optional[jax.Array] = None):
+        if norm is not None:
+            obs = norm(obs)
         obs = jnp.asarray(obs, jnp.float32)
         single = obs.ndim == 1
         if single:

@@ -165,3 +165,17 @@ def test_gym_vec_env_async_mode():
     assert obs_after.shape == (2, 3) and next_obs.shape == (2, 3)
     assert reward.shape == (2,)
     venv.close()
+
+
+def test_gym_trainer_obs_norm_end_to_end():
+    """GymTrainer(obs_norm=True): running-normalized observations feed the
+    learner; the eval venv shares (but never writes) the statistics."""
+    cfg = _cfg(eval_len=200, eval_envs=2)
+    tr = GymTrainer(cfg, "Pendulum-v1", actor="host", obs_norm=True)
+    assert tr.venv.stats is tr.eval_venv.stats
+    assert tr.venv.update and not tr.eval_venv.update
+    hist = tr.train(n_epochs=1, log=False)
+    assert np.isfinite(hist[0]["R"])
+    # statistics actually accumulated from the rollouts
+    assert tr.venv.stats.count >= cfg.n_envs * cfg.rollout_len
+    assert np.all(tr.venv.stats.variance() > 0)

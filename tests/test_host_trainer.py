@@ -100,3 +100,100 @@ def test_host_trainer_periodic_checkpoint(tmp_path):
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         jax.device_get(tr.state), jax.device_get(ck.state))
+
+
+# ---------------------------------------------------------------------------
+# Running observation normalization (envs/wrappers.RunningObsNorm)
+# ---------------------------------------------------------------------------
+
+def test_running_stats_match_numpy():
+    """Chan-merged running moments equal the flat numpy moments regardless
+    of the batch split."""
+    from ppoc_tpu.envs.wrappers import RunningStats
+
+    rng = np.random.default_rng(0)
+    data = (rng.standard_normal((1000, 5)) * [1, 10, 0.01, 100, 3]
+            + [0, -5, 2, 1000, 0.1])
+    st = RunningStats(5)
+    i = 0
+    for n in (1, 7, 13, 100, 879):
+        st.update(data[i:i + n]); i += n
+    np.testing.assert_allclose(st.mean, data.mean(axis=0), rtol=1e-10)
+    np.testing.assert_allclose(st.variance(), data.var(axis=0), rtol=1e-9)
+    # normalization whitens
+    z = st.normalize(data, clip=10.0)
+    assert abs(z.mean()) < 1e-4 and abs(z.std() - 1.0) < 1e-3
+    # round-trip through the sidecar format
+    st2 = RunningStats(5)
+    st2.load_state_dict(st.state_dict())
+    np.testing.assert_array_equal(st2.mean, st.mean)
+    assert st2.count == st.count
+
+
+def test_running_stats_empty_and_identity():
+    from ppoc_tpu.envs.wrappers import RunningStats
+
+    st = RunningStats(3)
+    st.update(np.zeros((0, 3)))            # empty batch is a no-op
+    x = np.array([[1.0, -2.0, 3.0]], np.float32)
+    np.testing.assert_array_equal(st.normalize(x, clip=10.0), x)  # count<2
+
+
+@pytest.mark.skipif(not native.available(), reason="native library unavailable")
+def test_obs_norm_wrapper_protocol_and_learning():
+    """The wrapped venv keeps the host protocol (shapes/flags untouched,
+    observations whitened) and the HostTrainer still learns through it."""
+    from ppoc_tpu.envs.wrappers import RunningObsNorm, RunningStats
+
+    cfg = _cfg()
+    shared = RunningStats(1)
+    venv = RunningObsNorm(NativeHostVecEnv("simple", cfg.n_envs, seed=0),
+                          stats=shared, update=True)
+    eval_venv = RunningObsNorm(
+        NativeHostVecEnv("simple", cfg.eval_envs, seed=99),
+        stats=shared, update=False)
+    obs = venv.reset()
+    assert obs.shape == (cfg.n_envs, 1) and obs.dtype == np.float32
+    c0 = shared.count
+    eval_venv.reset()
+    assert shared.count == c0              # eval side never writes
+    tr = HostTrainer(cfg, venv, eval_venv)
+    hist = tr.train(log=False)
+    assert hist[-1]["R"] > 0.4, hist
+
+
+@pytest.mark.skipif(not native.available(), reason="native library unavailable")
+def test_obs_norm_checkpoint_sidecar(tmp_path):
+    """save() writes the obs-norm sidecar; load() restores it; serving
+    applies it."""
+    from ppoc_tpu import serve
+    from ppoc_tpu.envs.wrappers import RunningObsNorm
+
+    cfg = _cfg(n_epochs=1)
+    venv = RunningObsNorm(NativeHostVecEnv("simple", cfg.n_envs, seed=0))
+    eval_venv = RunningObsNorm(
+        NativeHostVecEnv("simple", cfg.eval_envs, seed=99),
+        stats=venv.stats, update=False)
+    tr = HostTrainer(cfg, venv, eval_venv)
+    tr.train(log=False)
+    path = str(tmp_path / "m.bin")
+    tr.save(path)
+    assert (tmp_path / "m.bin.obsnorm.npz").exists()
+    mean_saved = venv.stats.mean.copy()
+
+    # a fresh trainer restores the statistics alongside the weights
+    venv2 = RunningObsNorm(NativeHostVecEnv("simple", cfg.n_envs, seed=0))
+    tr2 = HostTrainer(cfg, venv2, RunningObsNorm(
+        NativeHostVecEnv("simple", cfg.eval_envs, seed=99),
+        stats=venv2.stats, update=False))
+    tr2.load(path)
+    np.testing.assert_array_equal(venv2.stats.mean, mean_saved)
+
+    # serving normalizes raw observations with the sidecar stats
+    act = serve.load_policy(path)
+    raw = np.array([[3.0]], np.float32)
+    a_raw_space = act(raw)
+    act_plain = serve.load_policy(path)   # same policy; sanity: deterministic
+    np.testing.assert_array_equal(np.asarray(a_raw_space),
+                                  np.asarray(act_plain(raw)))
+    assert np.isfinite(np.asarray(a_raw_space)).all()
