@@ -6,7 +6,7 @@ synced once per fit — the reference's policy_to_host pattern,
 src/ppo.cu:536-538), Box2D physics in gymnasium.vector workers, jitted
 device learner.  Swap in any Gymnasium id.
 
-Usage: python examples/gym_bipedal.py [n_epochs] [seed]
+Usage: python examples/gym_bipedal.py [n_epochs] [seed] [obs_norm(0|1)]
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -19,13 +19,15 @@ from ppoc_tpu.envs.gym_bridge import GymTrainer
 
 n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
 seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+obs_norm = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
 
 cfg = PPOConfig(n_envs=16, rollout_len=256, minibatch_size=256,
                 fits_per_epoch=4, n_epochs=n_epochs, eval_envs=8,
                 eval_len=1600, seed=seed,
                 reset_per_fit=False,      # 1600-step horizon >> rollout window
                 ent_coeff=0.001, kernel_backend="jnp")
-tr = GymTrainer(cfg, "BipedalWalker-v3", actor="host", vector_mode="sync")
+tr = GymTrainer(cfg, "BipedalWalker-v3", actor="host", vector_mode="sync",
+                obs_norm=obs_norm)
 hist = tr.train()
 print(json.dumps([
     {k: (round(float(v), 2) if math.isfinite(float(v)) else None)

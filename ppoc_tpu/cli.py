@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "transports); 'device': batched device sampling")
     p.add_argument("--vector-mode", choices=["sync", "async"], default="sync",
                    help="gym:* envs only — gymnasium.vector stepping mode")
+    p.add_argument("--obs-norm", action="store_true",
+                   help="gym:* envs only — running observation normalization "
+                        "(envs/wrappers.RunningObsNorm); statistics are "
+                        "checkpointed as an .obsnorm.npz sidecar")
 
     # every config field becomes a flag
     for f in dataclasses.fields(PPOConfig):
@@ -150,9 +154,12 @@ def main(argv=None) -> int:
         from ppoc_tpu.envs.gym_bridge import GymTrainer
 
         trainer = GymTrainer(cfg, cfg.env[4:], vector_mode=args.vector_mode,
-                             actor=args.actor)
+                             actor=args.actor, obs_norm=args.obs_norm)
         if args.load:
             trainer.load(args.load)
+    elif args.obs_norm:
+        parser.error("--obs-norm applies to gym:* host-bridge envs; on-device "
+                     "envs use the static wrappers (e.g. mountain_car_norm)")
     elif args.resume:
         from ppoc_tpu.utils import checkpoint as _ck
 

@@ -71,3 +71,26 @@ def test_cli_gym_env_rejects_device_only_flags():
 
     with pytest.raises(SystemExit):
         cli.main(["--env", "gym:Pendulum-v1", "--solve-R", "-200"])
+
+
+def test_cli_obs_norm_routing(capsys, tmp_path):
+    """--obs-norm trains through RunningObsNorm and writes the sidecar on
+    --save; it is rejected for on-device envs."""
+    import pytest
+    pytest.importorskip("gymnasium")
+
+    from ppoc_tpu import cli
+
+    ckpt = str(tmp_path / "m.bin")
+    rc = cli.main([
+        "--env", "gym:Pendulum-v1", "--n-envs", "2", "--rollout-len", "32",
+        "--minibatch-size", "16", "--fits-per-epoch", "1", "--n-epochs", "1",
+        "--eval-envs", "2", "--eval-len", "200", "--hidden", "16", "16",
+        "--actor", "host", "--jsonl", "--obs-norm", "--save", ckpt,
+    ])
+    assert rc == 0
+    import os
+    assert os.path.exists(ckpt + ".obsnorm.npz")
+
+    with pytest.raises(SystemExit):
+        cli.main(["--env", "pendulum", "--obs-norm"])
