@@ -345,12 +345,15 @@ class HostTrainer:
 
     def save(self, path: str) -> None:
         from ppoc_tpu.utils import checkpoint
+        # checkpoint.save clears any stale obs-norm sidecar at this path;
+        # re-write it when this trainer's venv is norm-wrapped (the binary
+        # checkpoint layout is a frozen contract, so stats ride alongside)
         checkpoint.save(path, self.cfg, self.env.spec, self.state, key=self.key)
-        # running obs-norm statistics (wrappers.RunningObsNorm) travel as an
-        # npz sidecar: the binary checkpoint layout is a frozen contract
         stats = getattr(self.venv, "stats", None)
         if stats is not None:
-            stats.save(path + ".obsnorm.npz")
+            stats.save(path + ".obsnorm.npz",
+                       clip=np.float64(getattr(self.venv, "clip", 10.0)),
+                       eps=np.float64(getattr(self.venv, "eps", 1e-8)))
 
     def load(self, path: str) -> None:
         """Restore optimizer state + PRNG key (+ obs-norm statistics when
@@ -359,6 +362,7 @@ class HostTrainer:
         serializable, so a resumed host run continues from fresh env resets —
         optimization state is exact, the env stream is not."""
         import os
+        import warnings
 
         from ppoc_tpu.utils import checkpoint
         ck = checkpoint.load(path, template=self.state)
@@ -366,5 +370,23 @@ class HostTrainer:
         if ck.key is not None:
             self.key = ck.key
         stats = getattr(self.venv, "stats", None)
-        if stats is not None and os.path.exists(path + ".obsnorm.npz"):
-            stats.load_state_dict(np.load(path + ".obsnorm.npz"))
+        sidecar = path + ".obsnorm.npz"
+        if os.path.exists(sidecar):
+            if stats is None:
+                warnings.warn(
+                    f"{path} was trained with running obs normalization "
+                    f"({sidecar} exists) but this trainer's venv is not "
+                    f"norm-wrapped (obs_norm=False?) — the restored policy "
+                    f"would see RAW observations and misbehave")
+            else:
+                stats.load_state_dict(np.load(sidecar))
+                # an eval venv with its OWN stats object (not shared with
+                # the train venv) must be restored too
+                estats = getattr(self.eval_venv, "stats", None)
+                if estats is not None and estats is not stats:
+                    estats.load_state_dict(np.load(sidecar))
+        elif stats is not None:
+            warnings.warn(
+                f"{path} has no obs-norm sidecar but this trainer's venv is "
+                f"norm-wrapped — the checkpoint was trained on raw "
+                f"observations; statistics start from scratch")

@@ -113,8 +113,16 @@ class RunningStats:
         self.mean = np.asarray(d["mean"], np.float64).copy()
         self.m2 = np.asarray(d["m2"], np.float64).copy()
 
-    def save(self, path: str) -> None:
-        np.savez(path, **self.state_dict())
+    def save(self, path: str, **extra) -> None:
+        """Atomic write (tmp + rename): a crash mid-save leaves either the
+        old valid sidecar or the new one, never a truncated zip.  ``extra``
+        scalars (clip/eps) ride along so serving replays the exact
+        normalization."""
+        import os
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **self.state_dict(), **extra)
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "RunningStats":
@@ -160,9 +168,17 @@ class RunningObsNorm:
         if self.update:
             self.stats.update(obs_after)
         # both streams normalized with the SAME (post-update) statistics so
-        # the GAE bootstrap V(next_obs) and the policy input agree
-        return (self._norm(obs_after), self._norm(next_obs),
-                reward, term, trunc)
+        # the GAE bootstrap V(next_obs) and the policy input agree;
+        # next_obs differs from obs_after only at done rows, so normalize
+        # once and patch those rows rather than paying a second full pass
+        n_after = self._norm(obs_after)
+        done = np.nonzero(np.asarray(term) | np.asarray(trunc))[0]
+        if done.size == 0:
+            n_next = n_after
+        else:
+            n_next = n_after.copy()
+            n_next[done] = self._norm(next_obs[done])
+        return n_after, n_next, reward, term, trunc
 
     def close(self):
         self.venv.close()

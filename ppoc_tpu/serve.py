@@ -58,10 +58,17 @@ def load_policy(path: str, deterministic: bool = True,
     norm = None
     import os
     if os.path.exists(path + ".obsnorm.npz"):
+        import numpy as np
+
         from ppoc_tpu.envs.wrappers import RunningStats
 
+        sidecar = np.load(path + ".obsnorm.npz")
         stats = RunningStats.load(path + ".obsnorm.npz")
-        norm = lambda o: stats.normalize(o, clip=10.0)
+        # replay the exact training-time normalization (clip/eps ride in
+        # the sidecar; older sidecars fall back to the wrapper defaults)
+        clip = float(sidecar["clip"]) if "clip" in sidecar else 10.0
+        eps = float(sidecar["eps"]) if "eps" in sidecar else 1e-8
+        norm = lambda o: stats.normalize(o, clip=clip, eps=eps)
 
     if spec.discrete:
         @jax.jit

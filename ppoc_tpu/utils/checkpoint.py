@@ -118,8 +118,18 @@ def save(path: str, cfg, spec, state, key=None) -> None:
     its checksummed blob container (CRC32 verified on load; the reference's
     raw fwrite dump, src/ppo.cu:585-607, had no integrity check); otherwise
     a plain file with identical payload bytes.
+
+    A stale obs-norm sidecar (``<path>.obsnorm.npz``, written by
+    HostTrainer.save for RunningObsNorm-wrapped venvs) is removed here so a
+    re-save at the same path by a non-normalizing trainer can never leave
+    foreign statistics for serve.load_policy to apply; a norm-wrapped saver
+    re-writes the sidecar right after this call.
     """
     import io
+    import os
+
+    if os.path.exists(path + ".obsnorm.npz"):
+        os.remove(path + ".obsnorm.npz")
 
     buf = io.BytesIO()
     _save_stream(buf, cfg, spec, state, key)

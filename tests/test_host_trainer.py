@@ -189,11 +189,29 @@ def test_obs_norm_checkpoint_sidecar(tmp_path):
     tr2.load(path)
     np.testing.assert_array_equal(venv2.stats.mean, mean_saved)
 
-    # serving normalizes raw observations with the sidecar stats
+    # serving normalizes raw observations with the sidecar stats: the same
+    # checkpoint WITHOUT its sidecar must act differently on a raw obs whose
+    # z-score differs from its value (simple-env states are non-whitened)
+    import shutil
+    bare = str(tmp_path / "bare.bin")
+    shutil.copy(path, bare)
     act = serve.load_policy(path)
+    act_bare = serve.load_policy(bare)
     raw = np.array([[3.0]], np.float32)
-    a_raw_space = act(raw)
-    act_plain = serve.load_policy(path)   # same policy; sanity: deterministic
-    np.testing.assert_array_equal(np.asarray(a_raw_space),
-                                  np.asarray(act_plain(raw)))
-    assert np.isfinite(np.asarray(a_raw_space)).all()
+    a_norm = np.asarray(act(raw))
+    a_bare = np.asarray(act_bare(raw))
+    assert np.isfinite(a_norm).all()
+    assert not np.allclose(a_norm, a_bare), (
+        "sidecar had no effect on served actions")
+    # and the normalized-path action equals the policy applied to the
+    # manually whitened observation
+    np.testing.assert_allclose(
+        a_norm, np.asarray(act_bare(venv.stats.normalize(raw, clip=10.0))),
+        rtol=1e-6)
+
+    # re-saving at the same path from a NON-normalizing trainer clears the
+    # stale sidecar so serving can't whiten with foreign stats
+    tr3 = HostTrainer(cfg, NativeHostVecEnv("simple", cfg.n_envs, seed=0),
+                      NativeHostVecEnv("simple", cfg.eval_envs, seed=99))
+    tr3.save(path)
+    assert not (tmp_path / "m.bin.obsnorm.npz").exists()
