@@ -143,6 +143,7 @@ def rollout(
     force_truncate: bool = True,
     v_params=None,
     return_values: bool = False,
+    deterministic: bool = False,
 ) -> Tuple[Transition, Any]:
     """Collect [length, n_envs] transitions; returns (traj, final env carry).
 
@@ -160,8 +161,9 @@ def rollout(
     """
     # the whole-rollout kernel also serves the bf16 backend (its in-kernel
     # f32 matmuls are tiny; the bf16 win is in the large-batch update
-    # phases, which stay on XLA)
-    if backend in ("pallas", "bf16") and axis_name is None:
+    # phases, which stay on XLA); it always samples stochastically, so
+    # deterministic (mean-policy) rollouts take the generic scan path
+    if backend in ("pallas", "bf16") and axis_name is None and not deterministic:
         from ppoc_tpu.ops import pallas_rollout as _pr
     else:
         _pr = None
@@ -204,9 +206,15 @@ def rollout(
     def step_fn(carry, key_t):
         env_state, obs = carry
         k_act, k_env = jax.random.split(key_t)
-        action, log_prob = policy_mod.sample(
-            policy_params, obs, k_act, cfg.activation, backend, env.spec.discrete
-        )
+        if deterministic:
+            action, log_prob = policy_mod.mode(
+                policy_params, obs, cfg.activation, backend, env.spec.discrete
+            )
+        else:
+            action, log_prob = policy_mod.sample(
+                policy_params, obs, k_act, cfg.activation, backend,
+                env.spec.discrete
+            )
         env_state2, obs2, next_obs, reward, term, trunc = vector_autoreset_step(
             env, env_state, action, k_env
         )
@@ -631,8 +639,11 @@ def evaluate(
     backend: str = "jnp",
     n_envs: Optional[int] = None,
     axis_name: Optional[str] = None,
+    deterministic: bool = False,
 ) -> EvalMetrics:
-    """Stochastic-policy evaluation (eval_ppo, src/ppo.cu:560-583).
+    """Stochastic-policy evaluation (eval_ppo, src/ppo.cu:560-583) by
+    default; ``deterministic=True`` rolls out the distribution mode (the
+    mean-policy protocol benchmark scores use).
 
     Reports mean discounted return J, mean undiscounted return R and the
     completed-episode count (see eval_metrics_from_traj).  For meaningful
@@ -640,7 +651,7 @@ def evaluate(
     """
     n_envs = cfg.eval_envs if n_envs is None else n_envs
     key = _device_key(key, axis_name)
-    if backend in ("pallas", "bf16") and axis_name is None:
+    if backend in ("pallas", "bf16") and axis_name is None and not deterministic:
         from ppoc_tpu.ops import pallas_rollout as _pr
 
         if (env.spec.name in _pr.SUPPORTED
@@ -662,6 +673,6 @@ def evaluate(
             )
     traj, _ = rollout(
         cfg, env, policy_params, key, n_envs, cfg.eval_len, backend, axis_name,
-        force_truncate=False,
+        force_truncate=False, deterministic=deterministic,
     )
     return eval_metrics_from_traj(traj, env.spec.gamma, axis_name)

@@ -131,18 +131,22 @@ class Trainer:
                 mb_size=cfg.minibatch_size // n_dev,
                 backend=self.backend,
             )
-            eval_local = functools.partial(
-                ppo.evaluate, cfg, self.env,
-                backend=self.backend,
-                n_envs=cfg.eval_envs // n_dev,
-                axis_name=cfg.mesh_axis,
-            )
+            def make_eval(det):
+                return jax.jit(_shard_map(
+                    functools.partial(
+                        ppo.evaluate, cfg, self.env,
+                        backend=self.backend,
+                        n_envs=cfg.eval_envs // n_dev,
+                        axis_name=cfg.mesh_axis,
+                        deterministic=det,
+                    ),
+                    mesh, in_specs=(P(), P()), out_specs=P()))
+
             self._train_epoch = jax.jit(
                 _shard_map(epoch_local, mesh, in_specs=(P(), P()), out_specs=(P(), P()))
             )
-            self._evaluate = jax.jit(
-                _shard_map(eval_local, mesh, in_specs=(P(), P()), out_specs=P())
-            )
+            self._evaluate = make_eval(False)
+            self._evaluate_det = make_eval(True)
         else:
             self._train_epoch = jax.jit(
                 functools.partial(ppo.train_epoch, cfg, self.env, backend=self.backend)
@@ -150,6 +154,9 @@ class Trainer:
             self._evaluate = jax.jit(
                 functools.partial(ppo.evaluate, cfg, self.env, backend=self.backend)
             )
+            self._evaluate_det = jax.jit(functools.partial(
+                ppo.evaluate, cfg, self.env, backend=self.backend,
+                deterministic=True))
 
         self.state = full_state
         self._solve_fn = None
@@ -237,25 +244,30 @@ class Trainer:
             metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "tp"), metrics)
             return repack_local(ts2), metrics
 
-        def eval_local(pol_packed, key):
-            pol = dict(pol_packed)
-            pol["mlp"] = tp_mod.unpack_mlp_local(pol_packed["mlp"])
-            m = ppo.evaluate(
-                cfg, self.env, pol, key, backend=tp_backend,
-                n_envs=cfg.eval_envs // dp_size, axis_name=cfg.mesh_axis,
-            )
-            return jax.tree.map(lambda v: jax.lax.pmean(v, "tp"), m)
+        def make_eval(det):
+            def eval_local(pol_packed, key):
+                pol = dict(pol_packed)
+                pol["mlp"] = tp_mod.unpack_mlp_local(pol_packed["mlp"])
+                m = ppo.evaluate(
+                    cfg, self.env, pol, key, backend=tp_backend,
+                    n_envs=cfg.eval_envs // dp_size, axis_name=cfg.mesh_axis,
+                    deterministic=det,
+                )
+                return jax.tree.map(lambda v: jax.lax.pmean(v, "tp"), m)
+
+            return jax.jit(_shard_map(
+                eval_local, mesh,
+                in_specs=(self._state_spec.policy_params, P()),
+                out_specs=P(),
+            ))
 
         self._train_epoch = jax.jit(_shard_map(
             epoch_local, mesh,
             in_specs=(self._state_spec, P()),
             out_specs=(self._state_spec, P()),
         ))
-        self._evaluate = jax.jit(_shard_map(
-            eval_local, mesh,
-            in_specs=(self._state_spec.policy_params, P()),
-            out_specs=P(),
-        ))
+        self._evaluate = make_eval(False)
+        self._evaluate_det = make_eval(True)
         self.backend = tp_backend
         self.state = pack_state(full_state)
 
@@ -373,33 +385,42 @@ class Trainer:
             metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "pp"), metrics)
             return repack_local(ts2), metrics
 
-        def eval_local(pol_packed, key):
-            pol = dict(pol_packed)
-            pol["mlp"] = pp_mod.unpack_pp_local(pol_packed["mlp"])
-            m = ppo.evaluate(
-                cfg, self.env, pol, key, backend=pp_backend,
-                n_envs=cfg.eval_envs // dp_size, axis_name=cfg.mesh_axis,
-            )
-            return jax.tree.map(lambda v: jax.lax.pmean(v, "pp"), m)
+        def make_eval(det):
+            def eval_local(pol_packed, key):
+                pol = dict(pol_packed)
+                pol["mlp"] = pp_mod.unpack_pp_local(pol_packed["mlp"])
+                m = ppo.evaluate(
+                    cfg, self.env, pol, key, backend=pp_backend,
+                    n_envs=cfg.eval_envs // dp_size, axis_name=cfg.mesh_axis,
+                    deterministic=det,
+                )
+                return jax.tree.map(lambda v: jax.lax.pmean(v, "pp"), m)
+
+            return jax.jit(_shard_map(
+                eval_local, mesh,
+                in_specs=(self._state_spec.policy_params, P()),
+                out_specs=P(),
+            ))
 
         self._train_epoch = jax.jit(_shard_map(
             epoch_local, mesh,
             in_specs=(self._state_spec, P()),
             out_specs=(self._state_spec, P()),
         ))
-        self._evaluate = jax.jit(_shard_map(
-            eval_local, mesh,
-            in_specs=(self._state_spec.policy_params, P()),
-            out_specs=P(),
-        ))
+        self._evaluate = make_eval(False)
+        self._evaluate_det = make_eval(True)
         self.backend = pp_backend
         self.state = pack_state(full_state)
 
     # -- public API ---------------------------------------------------------
 
-    def evaluate(self) -> ppo.EvalMetrics:
+    def evaluate(self, deterministic: bool = False) -> ppo.EvalMetrics:
+        """Stochastic eval by default (reference parity, src/ppo.cu:560-583);
+        ``deterministic=True`` rolls out the policy mode — the mean-policy
+        protocol benchmark scores use (compiled lazily on first use)."""
         k, self.key = jax.random.split(self.key)
-        m = self._evaluate(self.state.policy_params, k)
+        fn = self._evaluate_det if deterministic else self._evaluate
+        m = fn(self.state.policy_params, k)
         return jax.tree.map(float, jax.device_get(m))
 
     def train_epoch(self) -> ppo.FitMetrics:

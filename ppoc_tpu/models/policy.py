@@ -125,6 +125,22 @@ def sample(params, obs, key, activation, backend, discrete):
     return gaussian_sample(params, obs, key, activation, backend)
 
 
+def mode(params, obs, activation, backend, discrete):
+    """(action, log_prob) of the distribution MODE — Gaussian mean /
+    categorical argmax.  The reference has no deterministic acting path
+    (its evaluator is stochastic, src/ppo.cu:560-583); this serves the
+    standard mean-policy evaluation protocol.  The log_prob is that of the
+    returned action under the stochastic policy."""
+    out = mlp.apply(params["mlp"], obs, activation, backend)
+    if discrete:
+        action = jnp.argmax(out, axis=-1)
+        logp = jnp.take_along_axis(
+            jax.nn.log_softmax(out, axis=-1), action[..., None], axis=-1
+        )[..., 0]
+        return action[..., None].astype(jnp.int32), logp
+    return out, gaussian_log_prob_from_mean(out, params["log_std"], out)
+
+
 def log_prob(params, obs, action, activation, backend, discrete):
     if discrete:
         return categorical_log_prob(params, obs, action, activation, backend)

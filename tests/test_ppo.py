@@ -190,3 +190,59 @@ def test_eval_metrics_zero_completed_episodes():
     assert float(m.episodes) == 0.0
     assert float(m.R) == -np.inf and float(m.J) == -np.inf
     assert not np.isnan(float(m.R)) and not np.isnan(float(m.J))
+
+
+def test_deterministic_evaluate():
+    """evaluate(deterministic=True) rolls out the policy MODE: for a fixed
+    key the trajectory is reproducible and actions equal the MLP forward
+    (Gaussian) / argmax (categorical); works on single device and mesh."""
+    import jax.numpy as jnp
+
+    from ppoc_tpu import envs
+    from ppoc_tpu.algo import ppo as ppo_mod
+    from ppoc_tpu.algo.trainer import Trainer
+    from ppoc_tpu.models import mlp, policy as policy_mod
+
+    cfg = PPOConfig(env="pendulum", n_envs=8, rollout_len=32,
+                    minibatch_size=32, fits_per_epoch=1, eval_envs=8,
+                    eval_len=200, hidden=(16, 16), kernel_backend="jnp",
+                    seed=0)
+    env = envs.make("pendulum")
+    params = policy_mod.init(jax.random.PRNGKey(0), 3, 1, (16, 16), 1.0, False)
+
+    # mode == forward mean for Gaussian
+    obs = jax.random.normal(jax.random.PRNGKey(1), (5, 3))
+    a, lp = policy_mod.mode(params, obs, "relu", "jnp", False)
+    np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(mlp.apply(params["mlp"], obs, "relu", "jnp")))
+    assert np.isfinite(np.asarray(lp)).all()
+
+    # deterministic rollout: same key -> identical trajectory; the action
+    # stream has zero sampling noise (same obs -> same action)
+    traj1, _ = ppo_mod.rollout(cfg, env, params, jax.random.PRNGKey(2), 8, 32,
+                               "jnp", deterministic=True, force_truncate=False)
+    traj2, _ = ppo_mod.rollout(cfg, env, params, jax.random.PRNGKey(2), 8, 32,
+                               "jnp", deterministic=True, force_truncate=False)
+    np.testing.assert_array_equal(np.asarray(traj1.action),
+                                  np.asarray(traj2.action))
+
+    # Trainer surface, single device and dp mesh
+    tr = Trainer(cfg)
+    m = tr.evaluate(deterministic=True)
+    assert np.isfinite(m.R) and m.episodes > 0
+
+    from ppoc_tpu.parallel import make_mesh
+    tr8 = Trainer(PPOConfig(env="pendulum", n_envs=16, rollout_len=32,
+                            minibatch_size=32, fits_per_epoch=1,
+                            eval_envs=16, eval_len=200, hidden=(16, 16),
+                            kernel_backend="jnp", seed=0), mesh=make_mesh())
+    m8 = tr8.evaluate(deterministic=True)
+    assert np.isfinite(m8.R) and m8.episodes > 0
+
+    # categorical mode = argmax
+    cparams = policy_mod.init(jax.random.PRNGKey(3), 4, 3, (16,), 1.0, True)
+    cobs = jax.random.normal(jax.random.PRNGKey(4), (6, 4))
+    ca, clp = policy_mod.mode(cparams, cobs, "relu", "jnp", True)
+    logits = mlp.apply(cparams["mlp"], cobs, "relu", "jnp")
+    np.testing.assert_array_equal(
+        np.asarray(ca)[:, 0], np.asarray(jnp.argmax(logits, axis=-1)))
