@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gym:* envs only — running observation normalization "
                         "(envs/wrappers.RunningObsNorm); statistics are "
                         "checkpointed as an .obsnorm.npz sidecar")
+    p.add_argument("--reward-norm", action="store_true",
+                   help="gym:* envs only — scale training rewards by the "
+                        "running std of the discounted return "
+                        "(envs/wrappers.RunningRewardNorm); eval reports "
+                        "raw-reward J/R")
 
     # every config field becomes a flag
     for f in dataclasses.fields(PPOConfig):
@@ -154,12 +159,14 @@ def main(argv=None) -> int:
         from ppoc_tpu.envs.gym_bridge import GymTrainer
 
         trainer = GymTrainer(cfg, cfg.env[4:], vector_mode=args.vector_mode,
-                             actor=args.actor, obs_norm=args.obs_norm)
+                             actor=args.actor, obs_norm=args.obs_norm,
+                             reward_norm=args.reward_norm)
         if args.load:
             trainer.load(args.load)
-    elif args.obs_norm:
-        parser.error("--obs-norm applies to gym:* host-bridge envs; on-device "
-                     "envs use the static wrappers (e.g. mountain_car_norm)")
+    elif args.obs_norm or args.reward_norm:
+        parser.error("--obs-norm/--reward-norm apply to gym:* host-bridge "
+                     "envs; on-device envs use the static wrappers "
+                     "(e.g. mountain_car_norm)")
     elif args.resume:
         from ppoc_tpu.utils import checkpoint as _ck
 

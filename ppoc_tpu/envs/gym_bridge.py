@@ -166,9 +166,10 @@ class GymTrainer:
 
     def __new__(cls, cfg: PPOConfig, env_id, backend: str = "jnp",
                 vector_mode: str = "sync", actor: str = "device",
-                obs_norm: bool = False, obs_clip: float = 10.0):
+                obs_norm: bool = False, obs_clip: float = 10.0,
+                reward_norm: bool = False):
         from ppoc_tpu.envs.host import HostTrainer
-        from ppoc_tpu.envs.wrappers import RunningObsNorm
+        from ppoc_tpu.envs.wrappers import RunningObsNorm, RunningRewardNorm
 
         venv = GymVecEnv(env_id, cfg.n_envs, seed=cfg.seed,
                          vector_mode=vector_mode)
@@ -179,4 +180,7 @@ class GymTrainer:
             venv = RunningObsNorm(venv, clip=obs_clip, update=True)
             eval_venv = RunningObsNorm(eval_venv, stats=venv.stats,
                                        clip=obs_clip, update=False)
+        if reward_norm:
+            # TRAIN side only — evaluation must report raw-reward J/R
+            venv = RunningRewardNorm(venv, gamma=venv.spec.gamma)
         return HostTrainer(cfg, venv, eval_venv, backend=backend, actor=actor)

@@ -373,9 +373,19 @@ class HostTrainer:
         checkpoint.save(path, self.cfg, self.env.spec, self.state, key=self.key)
         stats = getattr(self.venv, "stats", None)
         if stats is not None:
+            # clip/eps live on the wrapper that OWNS the obs stats (stored
+            # in its instance dict; stacked wrappers re-expose them via a
+            # pass-through property) — walk the chain to it
+            owner = self.venv
+            while owner is not None and owner.__dict__.get("stats") is not stats:
+                owner = getattr(owner, "venv", None)
+            owner = owner if owner is not None else self.venv
             stats.save(path + ".obsnorm.npz",
-                       clip=np.float64(getattr(self.venv, "clip", 10.0)),
-                       eps=np.float64(getattr(self.venv, "eps", 1e-8)))
+                       clip=np.float64(getattr(owner, "clip", 10.0)),
+                       eps=np.float64(getattr(owner, "eps", 1e-8)))
+        rstats = getattr(self.venv, "ret_stats", None)
+        if rstats is not None:
+            rstats.save(path + ".retnorm.npz")
 
     def load(self, path: str) -> None:
         """Restore optimizer state + PRNG key (+ obs-norm statistics when
@@ -412,3 +422,6 @@ class HostTrainer:
                 f"{path} has no obs-norm sidecar but this trainer's venv is "
                 f"norm-wrapped — the checkpoint was trained on raw "
                 f"observations; statistics start from scratch")
+        rstats = getattr(self.venv, "ret_stats", None)
+        if rstats is not None and os.path.exists(path + ".retnorm.npz"):
+            rstats.load_state_dict(np.load(path + ".retnorm.npz"))

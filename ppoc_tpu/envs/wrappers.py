@@ -184,6 +184,58 @@ class RunningObsNorm:
         self.venv.close()
 
 
+class RunningRewardNorm:
+    """Host-protocol venv wrapper: scale rewards by the running standard
+    deviation of the DISCOUNTED RETURN (the VecNormalize recipe) so the
+    value-loss scale is O(1) regardless of the env's reward magnitude.
+
+    Rewards are divided (not centered — centering would change optimal
+    behavior) by ``std(G_t)`` where ``G_t = gamma * G_{t-1} + r_t`` per env,
+    reset at episode ends.  Train-venv only: evaluation must see RAW rewards
+    or reported J/R become meaningless.  Stacks outside/inside
+    :class:`RunningObsNorm` (the obs ``stats`` attribute passes through).
+    """
+
+    def __init__(self, venv, gamma: float, clip: float = 10.0,
+                 eps: float = 1e-8, update: bool = True,
+                 ret_stats: Optional[RunningStats] = None):
+        self.venv = venv
+        self.spec = venv.spec
+        self.n_envs = venv.n_envs
+        self.gamma = float(gamma)
+        self.clip = float(clip)
+        self.eps = float(eps)
+        self.update = update
+        self.ret_stats = RunningStats(1) if ret_stats is None else ret_stats
+        self._ret = np.zeros(venv.n_envs, np.float64)
+
+    # obs-norm statistics (if any inner wrapper has them) pass through so
+    # HostTrainer.save/load and serving keep working when stacked
+    @property
+    def stats(self):
+        return getattr(self.venv, "stats", None)
+
+    def reset(self) -> np.ndarray:
+        self._ret[:] = 0.0
+        return self.venv.reset()
+
+    def step(self, actions: np.ndarray):
+        obs_after, next_obs, reward, term, trunc = self.venv.step(actions)
+        r = np.asarray(reward, np.float64)
+        self._ret = self.gamma * self._ret + r
+        if self.update:
+            self.ret_stats.update(self._ret[:, None])
+        done = np.asarray(term) | np.asarray(trunc)
+        self._ret[done] = 0.0
+        if self.ret_stats.count >= 2:
+            scale = np.sqrt(self.ret_stats.variance()[0] + self.eps)
+            r = np.clip(r / scale, -self.clip, self.clip)
+        return obs_after, next_obs, r.astype(np.float32), term, trunc
+
+    def close(self):
+        self.venv.close()
+
+
 @register("mountain_car_norm")
 def make_mountain_car_norm() -> Env:
     """MountainCarContinuous with observations mapped to [-1, 1].

@@ -128,8 +128,9 @@ def save(path: str, cfg, spec, state, key=None) -> None:
     import io
     import os
 
-    if os.path.exists(path + ".obsnorm.npz"):
-        os.remove(path + ".obsnorm.npz")
+    for sidecar in (".obsnorm.npz", ".retnorm.npz"):
+        if os.path.exists(path + sidecar):
+            os.remove(path + sidecar)
 
     buf = io.BytesIO()
     _save_stream(buf, cfg, spec, state, key)
