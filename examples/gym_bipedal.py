@@ -6,7 +6,7 @@ synced once per fit — the reference's policy_to_host pattern,
 src/ppo.cu:536-538), Box2D physics in gymnasium.vector workers, jitted
 device learner.  Swap in any Gymnasium id.
 
-Usage: python examples/gym_bipedal.py [n_epochs] [seed] [obs_norm(0|1)] [save_path]
+Usage: python examples/gym_bipedal.py [n_epochs] [seed] [obs_norm(0|1)] [save_path] [reward_norm(0|1)]
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -27,9 +27,10 @@ cfg = PPOConfig(n_envs=16, rollout_len=256, minibatch_size=256,
                 reset_per_fit=False,      # 1600-step horizon >> rollout window
                 ent_coeff=0.001, kernel_backend="jnp")
 save_path = sys.argv[4] if len(sys.argv) > 4 else None
+reward_norm = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
 
 tr = GymTrainer(cfg, "BipedalWalker-v3", actor="host", vector_mode="sync",
-                obs_norm=obs_norm)
+                obs_norm=obs_norm, reward_norm=reward_norm)
 hist = tr.train(checkpoint_path=save_path,
                 checkpoint_every=25 if save_path else 1)
 if save_path:
