@@ -124,28 +124,24 @@ class HostPolicy:
         log_probs are still those of the returned action under the
         stochastic policy)."""
         out = self.forward(obs)
-        if deterministic:
-            if self.discrete:
-                a = np.argmax(out, axis=-1)
-                logits = out - out.max(axis=-1, keepdims=True)
-                logp_all = logits - np.log(
-                    np.sum(np.exp(logits), axis=-1, keepdims=True))
-                lp = np.take_along_axis(logp_all, a[:, None], axis=-1)[:, 0]
-                return a[:, None].astype(np.int32), lp.astype(np.float32)
-            k = out.shape[-1]
-            lp = (-0.5 * k * np.log(2.0 * np.pi)
-                  - np.sum(self.log_std, axis=-1)) * np.ones(out.shape[0])
-            return out.astype(np.float32), lp.astype(np.float32)
         if self.discrete:
             logits = out - out.max(axis=-1, keepdims=True)
             logp_all = logits - np.log(
                 np.sum(np.exp(logits), axis=-1, keepdims=True)
             )
-            # Gumbel-max sampling (the numpy twin of jax.random.categorical)
-            g = rng.gumbel(size=logits.shape).astype(np.float32)
-            a = np.argmax(logits + g, axis=-1)
+            if deterministic:
+                a = np.argmax(logits, axis=-1)
+            else:
+                # Gumbel-max sampling (numpy twin of jax.random.categorical)
+                g = rng.gumbel(size=logits.shape).astype(np.float32)
+                a = np.argmax(logits + g, axis=-1)
             lp = np.take_along_axis(logp_all, a[:, None], axis=-1)[:, 0]
             return a[:, None].astype(np.int32), lp.astype(np.float32)
+        if deterministic:
+            k = out.shape[-1]
+            lp = (-0.5 * k * np.log(2.0 * np.pi)
+                  - np.sum(self.log_std, axis=-1)) * np.ones(out.shape[0])
+            return out.astype(np.float32), lp.astype(np.float32)
         mu = out
         eps = rng.standard_normal(mu.shape).astype(np.float32)
         action = mu + eps * np.exp(self.log_std)
@@ -411,12 +407,13 @@ class HostTrainer:
                     f"norm-wrapped (obs_norm=False?) — the restored policy "
                     f"would see RAW observations and misbehave")
             else:
-                stats.load_state_dict(np.load(sidecar))
+                loaded = np.load(sidecar)
+                stats.load_state_dict(loaded)
                 # an eval venv with its OWN stats object (not shared with
                 # the train venv) must be restored too
                 estats = getattr(self.eval_venv, "stats", None)
                 if estats is not None and estats is not stats:
-                    estats.load_state_dict(np.load(sidecar))
+                    estats.load_state_dict(loaded)
         elif stats is not None:
             warnings.warn(
                 f"{path} has no obs-norm sidecar but this trainer's venv is "

@@ -63,7 +63,8 @@ def load_policy(path: str, deterministic: bool = True,
         from ppoc_tpu.envs.wrappers import RunningStats
 
         sidecar = np.load(path + ".obsnorm.npz")
-        stats = RunningStats.load(path + ".obsnorm.npz")
+        stats = RunningStats(int(np.asarray(sidecar["mean"]).shape[0]))
+        stats.load_state_dict(sidecar)
         # replay the exact training-time normalization (clip/eps ride in
         # the sidecar; older sidecars fall back to the wrapper defaults)
         clip = float(sidecar["clip"]) if "clip" in sidecar else 10.0
