@@ -42,9 +42,12 @@ history = []
 for block in range((n_epochs + det_every - 1) // det_every):
     tr.train(n_epochs=det_every, log=True)
     # canonical scoring: mean policy, 3 eval rounds of 8 envs x 1600 steps
-    rounds = [tr.evaluate(deterministic=True) for _ in range(3)]
+    # rounds with zero completed episodes carry the R=-inf sentinel — skip
+    # them instead of poisoning the episode-weighted mean
+    rounds = [m for m in (tr.evaluate(deterministic=True) for _ in range(3))
+              if int(m.episodes) > 0]
     n_eps = sum(int(m.episodes) for m in rounds)
-    det_R = (sum(m.R * m.episodes for m in rounds) / max(n_eps, 1)
+    det_R = (sum(m.R * m.episodes for m in rounds) / n_eps
              if n_eps else float("-inf"))
     epoch = (block + 1) * det_every
     history.append({"epoch": epoch, "det_R": round(float(det_R), 2),

@@ -362,24 +362,31 @@ class HostTrainer:
         return history
 
     def save(self, path: str) -> None:
+        from ppoc_tpu.envs.wrappers import RunningObsNorm
         from ppoc_tpu.utils import checkpoint
-        # checkpoint.save clears any stale obs-norm sidecar at this path;
-        # re-write it when this trainer's venv is norm-wrapped (the binary
-        # checkpoint layout is a frozen contract, so stats ride alongside)
-        checkpoint.save(path, self.cfg, self.env.spec, self.state, key=self.key)
+        # checkpoint.save clears any stale normalization sidecars at this
+        # path EXCEPT the ones this trainer owns and re-writes (atomically,
+        # via rename) right below — the binary checkpoint layout is a frozen
+        # contract, so stats ride alongside
         stats = getattr(self.venv, "stats", None)
+        rstats = getattr(self.venv, "ret_stats", None)
+        keep = tuple(
+            s for s, present in ((".obsnorm.npz", stats is not None),
+                                 (".retnorm.npz", rstats is not None))
+            if present)
+        checkpoint.save(path, self.cfg, self.env.spec, self.state,
+                        key=self.key, keep_sidecars=keep)
         if stats is not None:
-            # clip/eps live on the wrapper that OWNS the obs stats (stored
-            # in its instance dict; stacked wrappers re-expose them via a
-            # pass-through property) — walk the chain to it
+            # clip/eps live on the RunningObsNorm wrapper that OWNS the obs
+            # stats (stacked wrappers re-expose them via a pass-through
+            # property) — walk the chain to it
             owner = self.venv
-            while owner is not None and owner.__dict__.get("stats") is not stats:
+            while owner is not None and not isinstance(owner, RunningObsNorm):
                 owner = getattr(owner, "venv", None)
             owner = owner if owner is not None else self.venv
             stats.save(path + ".obsnorm.npz",
                        clip=np.float64(getattr(owner, "clip", 10.0)),
                        eps=np.float64(getattr(owner, "eps", 1e-8)))
-        rstats = getattr(self.venv, "ret_stats", None)
         if rstats is not None:
             rstats.save(path + ".retnorm.npz")
 

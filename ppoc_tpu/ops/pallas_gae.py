@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ppoc_tpu.ops import vmem
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -52,12 +54,9 @@ def chunk_plan(T: int, E: int) -> Optional[int]:
     128-lane-aligned chunking fits the per-cell plane budget."""
     if 4 * T * E <= _PLANE_BYTE_LIMIT:
         return 1
-    C = 2
-    while E % C == 0 and E // C >= 128 and (E // C) % 128 == 0:
-        if _N_PLANES * 4 * T * (E // C) <= _CHUNK_VMEM_BUDGET:
-            return C
-        C *= 2
-    return None
+    return vmem.search_chunks(
+        E, lambda Ec: _N_PLANES * 4 * T * Ec <= _CHUNK_VMEM_BUDGET
+    )
 
 
 def fits_vmem(T: int, E: int) -> bool:

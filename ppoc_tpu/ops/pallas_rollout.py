@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ppoc_tpu.ops import vmem
+
 _TWO_PI = 2.0 * math.pi
 
 
@@ -382,12 +384,7 @@ def chunk_plan(env_name: str, T: int, E: int,
     per_env = 4 * _plane_count(lane, with_v) * T
     if per_env * E <= _SINGLE_VMEM_BUDGET:
         return 1
-    C = 2
-    while E % C == 0 and E // C >= 128 and (E // C) % 128 == 0:
-        if per_env * (E // C) <= _CHUNK_VMEM_BUDGET:
-            return C
-        C *= 2
-    return None
+    return vmem.search_chunks(E, lambda Ec: per_env * Ec <= _CHUNK_VMEM_BUDGET)
 
 
 def fits_vmem(env_name: str, T: int, E: int, with_v: bool = False) -> bool:
@@ -457,7 +454,6 @@ def _kernel(T: int, E: int, C: int, n_layers: int, n_v_layers: int,
     s1 = seed_ref[0, 1].astype(jnp.uint32)
     K = lane.n_actions
     discrete = K > 0
-    k_out = K if discrete else lane.act_dim
 
     if fresh:
         t_init = jnp.uint32(0xFFFF0000)

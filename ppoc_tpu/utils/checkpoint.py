@@ -110,7 +110,8 @@ def _unflat_adam(m: np.ndarray, v: np.ndarray, t: int, params):
     )
 
 
-def save(path: str, cfg, spec, state, key=None) -> None:
+def save(path: str, cfg, spec, state, key=None,
+         keep_sidecars: tuple = ()) -> None:
     """Serialize cfg (full config JSON) + env dims + TrainState + trainer
     PRNG ``key`` to ``path``.
 
@@ -119,27 +120,27 @@ def save(path: str, cfg, spec, state, key=None) -> None:
     raw fwrite dump, src/ppo.cu:585-607, had no integrity check); otherwise
     a plain file with identical payload bytes.
 
-    A stale obs-norm sidecar (``<path>.obsnorm.npz``, written by
-    HostTrainer.save for RunningObsNorm-wrapped venvs) is removed here so a
-    re-save at the same path by a non-normalizing trainer can never leave
-    foreign statistics for serve.load_policy to apply; a norm-wrapped saver
-    re-writes the sidecar right after this call.
+    Stale normalization sidecars (``<path>.obsnorm.npz`` / ``.retnorm.npz``,
+    written by HostTrainer.save for norm-wrapped venvs) are removed AFTER a
+    successful write so a re-save at the same path by a non-normalizing
+    trainer can never leave foreign statistics for serve.load_policy to
+    apply.  A norm-wrapped saver passes the suffixes it owns in
+    ``keep_sidecars`` and overwrites them atomically itself right after this
+    call — deleting those here would open a crash window with a valid
+    checkpoint and no statistics.
     """
     import io
     import os
 
-    for sidecar in (".obsnorm.npz", ".retnorm.npz"):
-        if os.path.exists(path + sidecar):
-            os.remove(path + sidecar)
-
     buf = io.BytesIO()
     _save_stream(buf, cfg, spec, state, key)
     data = buf.getvalue()
+    written = False
     try:
         from ppoc_tpu import native
         if native.available():
             native.write_blob(path, data)
-            return
+            written = True
     except (ImportError, OSError) as e:
         # plain-format fallback is legitimate when the C++ lib is absent or
         # its write fails, but must be VISIBLE so container regressions
@@ -151,8 +152,12 @@ def save(path: str, cfg, spec, state, key=None) -> None:
             f"writing plain format",
             stacklevel=2,
         )
-    with open(path, "wb") as f:
-        f.write(data)
+    if not written:
+        with open(path, "wb") as f:
+            f.write(data)
+    for sidecar in (".obsnorm.npz", ".retnorm.npz"):
+        if sidecar not in keep_sidecars and os.path.exists(path + sidecar):
+            os.remove(path + sidecar)
 
 
 def _key_data(key) -> np.ndarray:
