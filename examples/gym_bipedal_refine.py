@@ -7,7 +7,7 @@ policy (deterministic eval — the canonical BipedalWalker protocol) every
 few epochs, keeping the best-scoring checkpoint.
 
 Usage: python examples/gym_bipedal_refine.py <in_ckpt> <out_ckpt>
-           [n_epochs] [seed] [det_every] [lr]
+           [n_epochs] [seed] [det_every] [lr] [stop_R]
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -25,6 +25,7 @@ n_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 200
 seed = int(sys.argv[4]) if len(sys.argv) > 4 else 7
 det_every = int(sys.argv[5]) if len(sys.argv) > 5 else 10
 lr = float(sys.argv[6]) if len(sys.argv) > 6 else 3e-4
+stop_R = float(sys.argv[7]) if len(sys.argv) > 7 else 300.0
 
 cfg = PPOConfig(n_envs=16, rollout_len=256, minibatch_size=256,
                 fits_per_epoch=4, n_epochs=n_epochs, eval_envs=8,
@@ -59,6 +60,9 @@ for block in range((n_epochs + det_every - 1) // det_every):
         best = det_R
         tr.save(out_ckpt)
         print(f"[det] new best {best:.2f} -> {out_ckpt}", flush=True)
-    if best >= 300.0:
+    if best >= stop_R:
         break
-print(json.dumps({"best_det_R": round(float(best), 2), "history": history}))
+print(json.dumps({
+    "best_det_R": round(float(best), 2) if np.isfinite(best) else None,
+    "history": history,
+}))
