@@ -35,6 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(config + state + RNG position, "
                         "Trainer.from_checkpoint) and continue training "
                         "bit-exactly; other config flags are ignored")
+    p.add_argument("--import-ref", metavar="PATH", default=None,
+                   help="build the trainer from a REFERENCE-format "
+                        "checkpoint (ppo.c's save_ppo binary, "
+                        "src/ppo.cu:585-648): net shapes, weights, log_std "
+                        "and all three Adam states come from the file; "
+                        "rollout schedule from the flags (utils/ref_interop)")
+    p.add_argument("--export-ref", metavar="PATH", default=None,
+                   help="after training, also write the model in the "
+                        "reference's load_ppo binary format (Gaussian "
+                        "policies only)")
     p.add_argument("--eval-only", action="store_true",
                    help="evaluate (optionally after --load) and exit")
     p.add_argument("--stop-at-R", type=float, default=None,
@@ -153,9 +163,11 @@ def main(argv=None) -> int:
     if cfg.env.startswith("gym:"):
         # host-bridge training on any Gymnasium env (the reference driver's
         # create_gym_env path, src/main.c:25): --env gym:BipedalWalker-v3
-        if args.solve_R is not None or args.resume or mesh is not None:
+        if args.solve_R is not None or args.resume or args.import_ref \
+                or mesh is not None:
             parser.error("gym:* envs use the host bridge; --solve-R, "
-                         "--resume and --mesh apply to on-device envs only")
+                         "--resume, --import-ref and --mesh apply to "
+                         "on-device envs only")
         from ppoc_tpu.envs.gym_bridge import GymTrainer
 
         trainer = GymTrainer(cfg, cfg.env[4:], vector_mode=args.vector_mode,
@@ -167,6 +179,27 @@ def main(argv=None) -> int:
         parser.error("--obs-norm/--reward-norm apply to gym:* host-bridge "
                      "envs; on-device envs use the static wrappers "
                      "(e.g. mountain_car_norm)")
+    elif args.import_ref:
+        if args.load or args.resume:
+            parser.error("--import-ref replaces --load/--resume")
+        from ppoc_tpu.utils import ref_interop
+        # hyperparameters the reference file carries win unless the matching
+        # flag was passed explicitly; the rollout schedule (which the file
+        # does not carry) always comes from the flags/preset
+        file_fields = ("hidden", "activation", "lam", "clip_eps", "ent_coeff",
+                       "lr_policy", "lr_v", "adam_beta1", "adam_beta2")
+        overrides = {}
+        for f in dataclasses.fields(PPOConfig):
+            if f.name == "env":
+                continue
+            explicit = (args.hidden is not None if f.name == "hidden"
+                        else getattr(args, f.name, None) is not None)
+            if f.name in file_fields and not explicit:
+                continue
+            overrides[f.name] = getattr(cfg, f.name)
+        trainer = ref_interop.load_trainer(args.import_ref, cfg.env,
+                                           mesh=mesh, **overrides)
+        cfg = trainer.cfg
     elif args.resume:
         from ppoc_tpu.utils import checkpoint as _ck
 
@@ -202,6 +235,9 @@ def main(argv=None) -> int:
                   f"R={res['R']:f}")
         if args.save and is_main:
             trainer.save(args.save)
+        if args.export_ref and is_main:
+            from ppoc_tpu.utils import ref_interop
+            ref_interop.export_trainer(trainer, args.export_ref)
         return 0
 
     ckpt_kw = {}
@@ -224,6 +260,11 @@ def main(argv=None) -> int:
     if args.save and is_main:
         trainer.save(args.save)
         print(f"saved checkpoint to {args.save}", file=sys.stderr)
+    if args.export_ref and is_main:
+        from ppoc_tpu.utils import ref_interop
+        ref_interop.export_trainer(trainer, args.export_ref)
+        print(f"exported reference-format model to {args.export_ref}",
+              file=sys.stderr)
     return 0
 
 
