@@ -1,13 +1,14 @@
-"""Refine a trained BipedalWalker-v3 checkpoint toward the canonical bar.
+"""Refine a trained host-bridge checkpoint toward an env's canonical bar.
 
-Loads a checkpoint produced by examples/gym_bipedal.py (with its obs/reward
-normalization sidecars), continues training with ent_coeff=0 so the policy
-can shed the exploration noise it no longer needs, and scores the MEAN
-policy (deterministic eval — the canonical BipedalWalker protocol) every
-few epochs, keeping the best-scoring checkpoint.
+Loads a checkpoint produced by examples/gym_bipedal.py or the CLI (with its
+obs/reward normalization sidecars), continues training with ent_coeff=0 so
+the policy can shed the exploration noise it no longer needs, and scores
+the MEAN policy (deterministic eval — the canonical benchmark protocol)
+every few epochs, keeping the best-scoring checkpoint.  This is the stage
+that took BipedalWalker-v3 from det R ~272 to 300+ (docs/RESULTS.md).
 
 Usage: python examples/gym_bipedal_refine.py <in_ckpt> <out_ckpt>
-           [n_epochs] [seed] [det_every] [lr] [stop_R]
+           [n_epochs] [seed] [det_every] [lr] [stop_R] [env_id] [eval_len]
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -26,14 +27,16 @@ seed = int(sys.argv[4]) if len(sys.argv) > 4 else 7
 det_every = int(sys.argv[5]) if len(sys.argv) > 5 else 10
 lr = float(sys.argv[6]) if len(sys.argv) > 6 else 3e-4
 stop_R = float(sys.argv[7]) if len(sys.argv) > 7 else 300.0
+env_id = sys.argv[8] if len(sys.argv) > 8 else "BipedalWalker-v3"
+eval_len = int(sys.argv[9]) if len(sys.argv) > 9 else 1600
 
 cfg = PPOConfig(n_envs=16, rollout_len=256, minibatch_size=256,
                 fits_per_epoch=4, n_epochs=n_epochs, eval_envs=8,
-                eval_len=1600, seed=seed, reset_per_fit=False,
+                eval_len=eval_len, seed=seed, reset_per_fit=False,
                 ent_coeff=0.0, lr_policy=lr, lr_v=lr,
                 kernel_backend="jnp")
 
-tr = GymTrainer(cfg, "BipedalWalker-v3", actor="host", vector_mode="sync",
+tr = GymTrainer(cfg, env_id, actor="host", vector_mode="sync",
                 obs_norm=os.path.exists(in_ckpt + ".obsnorm.npz"),
                 reward_norm=os.path.exists(in_ckpt + ".retnorm.npz"))
 tr.load(in_ckpt)
