@@ -436,11 +436,15 @@ class Trainer:
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 1,
         initial_eval: bool = True,
+        eval_deterministic: bool = False,
     ) -> List[Dict[str, Any]]:
         """Full training run; returns per-epoch metric dicts.
 
         ``stop_at_R`` stops early once the mean undiscounted eval return
         reaches the threshold (used by the solve-time benchmark).
+        ``eval_deterministic`` scores each epoch with the mean policy (the
+        canonical benchmark protocol) instead of the reference's stochastic
+        evaluator — stop_at_R then gates on the deterministic R too.
         ``checkpoint_path`` enables a mid-training checkpoint every
         ``checkpoint_every`` epochs (full optimization state incl. Adam
         m/v/t AND the trainer PRNG key; the reference only saves at the
@@ -454,7 +458,7 @@ class Trainer:
         n_epochs = self.cfg.n_epochs if n_epochs is None else n_epochs
         history: List[Dict[str, Any]] = []
         if initial_eval:
-            m0 = self.evaluate()
+            m0 = self.evaluate(deterministic=eval_deterministic)
             if log:
                 print(f"J: {m0.J:f} R: {m0.R:f} Episodes: {int(m0.episodes)}",
                       flush=True)
@@ -463,7 +467,7 @@ class Trainer:
             fit_metrics = self.train_epoch()
             fit_metrics = jax.tree.map(float, jax.device_get(fit_metrics))
             toc = time.perf_counter()
-            ev = self.evaluate()
+            ev = self.evaluate(deterministic=eval_deterministic)
             row = {
                 "epoch": i,
                 "entropy": fit_metrics.entropy,

@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host: this process's rank in [0, N)")
     p.add_argument("--jsonl", action="store_true",
                    help="emit per-epoch metrics as JSON lines instead of text")
+    p.add_argument("--det-eval", action="store_true",
+                   help="evaluate with the MEAN policy (canonical benchmark "
+                        "protocol) instead of the reference's stochastic "
+                        "evaluator; applies to per-epoch metrics, "
+                        "--stop-at-R and --eval-only")
     p.add_argument("--hidden", type=int, nargs="+", default=None, metavar="W",
                    help="hidden layer widths (reference CLI arg, src/main.c:21-23)")
     p.add_argument("--actor", choices=["host", "device"], default="host",
@@ -223,12 +228,16 @@ def main(argv=None) -> int:
         is_main = jax.process_index() == 0
 
     if args.eval_only:
-        m = trainer.evaluate()
+        m = trainer.evaluate(deterministic=args.det_eval)
         if is_main:
             print(f"J: {m.J:f} R: {m.R:f} Episodes: {int(m.episodes)}")
         return 0
 
     if args.solve_R is not None:
+        if args.det_eval:
+            print("warning: --det-eval has no effect with --solve-R (the "
+                  "solve loop evaluates stochastically inside one device "
+                  "program)", file=sys.stderr)
         res = trainer.solve(target_R=args.solve_R, max_epochs=cfg.n_epochs)
         if is_main:
             print(f"solved={res['R'] >= args.solve_R} epochs={res['epochs']} "
@@ -253,7 +262,8 @@ def main(argv=None) -> int:
     init_eval = not args.resume and not cfg.env.startswith("gym:")
     history = trainer.train(log=not args.jsonl and is_main,
                             stop_at_R=args.stop_at_R,
-                            initial_eval=init_eval, **ckpt_kw)
+                            initial_eval=init_eval,
+                            eval_deterministic=args.det_eval, **ckpt_kw)
     if args.jsonl and is_main:
         for row in history:
             print(json.dumps(_json_safe(row)), flush=True)

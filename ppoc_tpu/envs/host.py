@@ -327,16 +327,19 @@ class HostTrainer:
               stop_at_R: Optional[float] = None,
               checkpoint_path: Optional[str] = None,
               checkpoint_every: int = 1,
-              initial_eval: bool = False) -> List[dict]:
+              initial_eval: bool = False,
+              eval_deterministic: bool = False) -> List[dict]:
         """Epoch loop; same signature as Trainer.train (periodic checkpoints
         included — NOTE host env objects are not serializable, so a resumed
         host run restores optimization state + RNG but starts from fresh env
         resets).  ``initial_eval`` defaults False here: a host eval costs a
-        full eval_len rollout of real env stepping."""
+        full eval_len rollout of real env stepping.  ``eval_deterministic``
+        scores epochs (and stop_at_R) with the mean policy — the canonical
+        benchmark protocol."""
         n_epochs = self.cfg.n_epochs if n_epochs is None else n_epochs
         history: List[dict] = []
         if initial_eval:
-            m0 = self.evaluate()
+            m0 = self.evaluate(deterministic=eval_deterministic)
             if log:
                 print(f"J: {m0.J:f} R: {m0.R:f} Episodes: {int(m0.episodes)}",
                       flush=True)
@@ -345,7 +348,7 @@ class HostTrainer:
             fm = self.train_epoch()
             fm = jax.tree.map(float, jax.device_get(fm))
             toc = time.perf_counter()  # train time only, like Trainer.train
-            ev = self.evaluate()
+            ev = self.evaluate(deterministic=eval_deterministic)
             row = {"epoch": i, "entropy": fm.entropy,
                    "time_s": toc - tic,
                    "J": ev.J, "R": ev.R, "episodes": int(ev.episodes)}

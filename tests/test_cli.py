@@ -94,3 +94,19 @@ def test_cli_obs_norm_routing(capsys, tmp_path):
 
     with pytest.raises(SystemExit):
         cli.main(["--env", "pendulum", "--obs-norm"])
+
+
+def test_det_eval_flag(capsys):
+    """--det-eval routes the mean-policy evaluator through train and
+    eval-only (Trainer.train(eval_deterministic=), HostTrainer ditto)."""
+    from ppoc_tpu import cli
+
+    base = ["--env", "simple", "--hidden", "8", "8", "--n-envs", "16",
+            "--rollout-len", "15", "--minibatch-size", "32",
+            "--fits-per-epoch", "2", "--eval-envs", "16", "--eval-len", "15",
+            "--kernel-backend", "jnp", "--det-eval"]
+    assert cli.main(base + ["--n-epochs", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "Epoch: 0" in out and "R:" in out
+    assert cli.main(base + ["--eval-only"]) == 0
+    assert "R:" in capsys.readouterr().out
