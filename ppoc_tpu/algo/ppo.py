@@ -108,9 +108,38 @@ def _pvary(tree, axis_name: Optional[str]):
 # --------------------------------------------------------------------------
 
 def init_train_state(cfg: PPOConfig, env: Env, key: jax.Array) -> TrainState:
-    """Build params + optimizer states (mirrors create_ppo, src/ppo.cu:6-35)."""
+    """Build params + optimizer states (mirrors create_ppo, src/ppo.cu:6-35).
+
+    With cfg.n_experts > 1 both trunks are mixture-of-experts
+    (models/moe.py) instead of dense MLPs; every downstream consumer
+    dispatches on the params structure (mlp.apply), so the rest of the
+    algorithm is unchanged.
+    """
+    import math
+
     k_pi, k_v = jax.random.split(key)
     spec = env.spec
+    if cfg.n_experts > 1:
+        from ppoc_tpu.models import moe
+
+        policy_params = {
+            "mlp": moe.init(
+                k_pi, (spec.obs_dim, *cfg.hidden, spec.action_dim), cfg.n_experts
+            )
+        }
+        if not spec.discrete:
+            policy_params["log_std"] = jnp.full(
+                (spec.action_dim,), math.log(cfg.init_std), jnp.float32
+            )
+        v_params = moe.init(k_v, (spec.obs_dim, *cfg.hidden, 1), cfg.n_experts)
+        log_std_tree = policy_params.get("log_std", jnp.zeros((0,), jnp.float32))
+        return TrainState(
+            policy_params=policy_params,
+            v_params=v_params,
+            opt_policy=adam.init(policy_params["mlp"]),
+            opt_v=adam.init(v_params),
+            opt_log_std=adam.init(log_std_tree),
+        )
     policy_params = policy_mod.init(
         k_pi, spec.obs_dim, spec.action_dim, cfg.hidden, cfg.init_std, spec.discrete
     )
@@ -163,7 +192,10 @@ def rollout(
     # f32 matmuls are tiny; the bf16 win is in the large-batch update
     # phases, which stay on XLA); it always samples stochastically, so
     # deterministic (mean-policy) rollouts take the generic scan path
-    if backend in ("pallas", "bf16") and axis_name is None and not deterministic:
+    from ppoc_tpu.models import moe as _moe
+
+    if (backend in ("pallas", "bf16") and axis_name is None
+            and not deterministic and not _moe.is_moe(policy_params["mlp"])):
         from ppoc_tpu.ops import pallas_rollout as _pr
     else:
         _pr = None
@@ -651,7 +683,10 @@ def evaluate(
     """
     n_envs = cfg.eval_envs if n_envs is None else n_envs
     key = _device_key(key, axis_name)
-    if backend in ("pallas", "bf16") and axis_name is None and not deterministic:
+    from ppoc_tpu.models import moe as _moe
+
+    if (backend in ("pallas", "bf16") and axis_name is None
+            and not deterministic and not _moe.is_moe(policy_params["mlp"])):
         from ppoc_tpu.ops import pallas_rollout as _pr
 
         if (env.spec.name in _pr.SUPPORTED

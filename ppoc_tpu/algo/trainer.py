@@ -100,6 +100,37 @@ class Trainer:
                 "tp_size and pp_size cannot both exceed 1: pick tensor OR "
                 "pipeline sharding for the model axis"
             )
+        if cfg.ep_size > 1:
+            if cfg.tp_size > 1 or cfg.pp_size > 1:
+                raise ValueError(
+                    "ep_size cannot combine with tp_size/pp_size: the model "
+                    "axis is experts OR tensor OR pipeline"
+                )
+            if cfg.n_experts <= 1:
+                raise ValueError("ep_size > 1 requires n_experts > 1")
+            if cfg.n_experts % cfg.ep_size:
+                raise ValueError(
+                    f"n_experts ({cfg.n_experts}) must be divisible by "
+                    f"ep_size ({cfg.ep_size})"
+                )
+            self._init_ep(full_state, mesh)
+            self._solve_fn = None
+            self._solve_args = None
+            return
+        if cfg.n_experts > 1:
+            if cfg.tp_size > 1 or cfg.pp_size > 1:
+                raise ValueError(
+                    "n_experts > 1 (MoE trunks) cannot combine with "
+                    "tp_size/pp_size; shard experts with ep_size instead"
+                )
+            # single-device / pure-dp MoE: encode gating options into the
+            # backend string (mlp.apply dispatches on the params structure);
+            # the fused dense-MLP pallas kernels don't apply to MoE trunks,
+            # so "pallas" degrades to the XLA path
+            from ppoc_tpu.models import mlp as mlp_mod
+
+            base = "bf16" if self.backend == "bf16" else "jnp"
+            self.backend = mlp_mod.moe_backend(base, cfg.moe_topk)
         if cfg.tp_size > 1:
             self._init_tp(full_state, mesh)
             self._solve_fn = None
@@ -412,6 +443,108 @@ class Trainer:
         self.backend = pp_backend
         self.state = pack_state(full_state)
 
+    # -- expert-parallel mode (2-D dp x ep mesh) ----------------------------
+
+    def _init_ep(self, full_state: ppo.TrainState, mesh: Optional[Mesh]):
+        """Build the (dp, ep) mesh and wrap train/eval in shard_map with the
+        MoE trunk's expert leaves placed P("ep") (parallel/ep.py).
+
+        Unlike TP/PP there is no pack/unpack: the stacked expert layout
+        ([E, ...] leading dim) IS the sharded layout, so the live state stays
+        logical, shard_map's in_specs slice E -> E/ep on entry, and
+        checkpoints are interchangeable with single-device MoE runs as-is.
+        Inside the mesh, rollouts and minibatches shard over 'dp' exactly as
+        in pure data parallelism; every trunk forward computes the rank's
+        local experts on the replicated batch and psums the mixture over
+        'ep' (models/moe.apply), with router gradients psum'd over 'ep' in
+        backward (ep.psum_router_grads).
+        """
+        import numpy as np
+
+        from ppoc_tpu.models import mlp as mlp_mod
+        from ppoc_tpu.parallel import ep as ep_mod
+
+        cfg = self.cfg
+        S = cfg.ep_size
+        if mesh is None:
+            devices = jax.devices()
+            if len(devices) % S:
+                raise ValueError(
+                    f"{len(devices)} devices not divisible by ep_size {S}"
+                )
+            dp_size = len(devices) // S
+            mesh = Mesh(np.asarray(devices).reshape(dp_size, S),
+                        (cfg.mesh_axis, "ep"))
+        else:
+            if mesh.axis_names != (cfg.mesh_axis, "ep"):
+                raise ValueError(
+                    f"ep mode needs a ({cfg.mesh_axis!r}, 'ep') mesh, got "
+                    f"{mesh.axis_names}"
+                )
+            if mesh.shape["ep"] != S:
+                raise ValueError(
+                    f"mesh 'ep' axis has {mesh.shape['ep']} devices but "
+                    f"cfg.ep_size is {S}"
+                )
+            dp_size = mesh.shape[cfg.mesh_axis]
+        self.mesh = mesh
+        if cfg.n_envs % dp_size or cfg.minibatch_size % dp_size or cfg.eval_envs % dp_size:
+            raise ValueError("n_envs, minibatch_size, eval_envs must divide dp size")
+
+        base = "bf16" if self.backend == "bf16" else "jnp"
+        ep_backend = mlp_mod.moe_backend(base, cfg.moe_topk, ep_axis="ep")
+
+        trunk_spec_pi = ep_mod.trunk_spec(full_state.policy_params["mlp"], "ep")
+        trunk_spec_v = ep_mod.trunk_spec(full_state.v_params, "ep")
+        pol_spec = {k: P() for k in full_state.policy_params}
+        pol_spec["mlp"] = trunk_spec_pi
+        self._state_spec = ppo.TrainState(
+            policy_params=pol_spec,
+            v_params=trunk_spec_v,
+            opt_policy=full_state.opt_policy._replace(
+                m=trunk_spec_pi, v=trunk_spec_pi, t=P()),
+            opt_v=full_state.opt_v._replace(
+                m=trunk_spec_v, v=trunk_spec_v, t=P()),
+            opt_log_std=jax.tree.map(lambda _: P(), full_state.opt_log_std),
+        )
+        self._ep_dp = dp_size
+
+        def epoch_local(ts, key):
+            ts2, metrics = ppo.train_epoch(
+                cfg, self.env, ts, key,
+                axis_name=cfg.mesh_axis,
+                n_envs=cfg.n_envs // dp_size,
+                mb_size=cfg.minibatch_size // dp_size,
+                backend=ep_backend,
+            )
+            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "ep"), metrics)
+            return ts2, metrics
+
+        def make_eval(det):
+            def eval_local(pol, key):
+                m = ppo.evaluate(
+                    cfg, self.env, pol, key, backend=ep_backend,
+                    n_envs=cfg.eval_envs // dp_size, axis_name=cfg.mesh_axis,
+                    deterministic=det,
+                )
+                return jax.tree.map(lambda v: jax.lax.pmean(v, "ep"), m)
+
+            return jax.jit(_shard_map(
+                eval_local, mesh,
+                in_specs=(self._state_spec.policy_params, P()),
+                out_specs=P(),
+            ))
+
+        self._train_epoch = jax.jit(_shard_map(
+            epoch_local, mesh,
+            in_specs=(self._state_spec, P()),
+            out_specs=(self._state_spec, P()),
+        ))
+        self._evaluate = make_eval(False)
+        self._evaluate_det = make_eval(True)
+        self.backend = ep_backend
+        self.state = full_state
+
     # -- public API ---------------------------------------------------------
 
     def evaluate(self, deterministic: bool = False) -> ppo.EvalMetrics:
@@ -518,6 +651,29 @@ class Trainer:
                     n = jax.lax.pmax(n, "tp")
                     R = jax.lax.pmean(R, "tp")
                     return repack_local(ts), n, R
+
+                self._solve_fn = jax.jit(_shard_map(
+                    solve_local, self.mesh,
+                    in_specs=(self._state_spec, P()),
+                    out_specs=(self._state_spec, P(), P()),
+                ))
+            elif self.cfg.ep_size > 1:
+                dp_size = self._ep_dp
+                cfg = self.cfg
+
+                def solve_local(ts, key):
+                    ts, n, R = ppo.train_until(
+                        cfg, self.env, ts, key,
+                        target_R=target_R, max_epochs=max_epochs,
+                        axis_name=cfg.mesh_axis,
+                        n_envs=cfg.n_envs // dp_size,
+                        mb_size=cfg.minibatch_size // dp_size,
+                        backend=self.backend,
+                        eval_envs=cfg.eval_envs // dp_size,
+                    )
+                    n = jax.lax.pmax(n, "ep")
+                    R = jax.lax.pmean(R, "ep")
+                    return ts, n, R
 
                 self._solve_fn = jax.jit(_shard_map(
                     solve_local, self.mesh,

@@ -68,6 +68,15 @@ class PPOConfig:
                                   # the layer count (len(hidden)+1)
     pp_microbatches: int = 0      # GPipe microbatches per forward; 0 =
                                   # pp_size (bubble fraction (S-1)/(M+S-1))
+    n_experts: int = 1            # >1 swaps BOTH trunks (policy mean-net and
+                                  # value net) for a gated mixture of that
+                                  # many expert MLPs (models/moe.py) — the
+                                  # framework's second model family
+    moe_topk: int = 0             # experts kept per input by the gate
+                                  # (renormalized); 0 = dense softmax mixture
+    ep_size: int = 1              # expert-parallel degree: shard the experts
+                                  # over a mesh axis "ep" (parallel/ep.py);
+                                  # must divide n_experts
     norm_adv_global: bool = True  # normalize advantages over the whole buffer
                                   # (reference: src/ppo.cu:355-368)
     reset_per_fit: bool = True    # reference resets env at every collection

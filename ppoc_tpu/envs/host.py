@@ -91,10 +91,24 @@ class HostPolicy:
     ratio).
     """
 
-    def __init__(self, policy_params, activation: str, discrete: bool):
+    def __init__(self, policy_params, activation: str, discrete: bool,
+                 moe_topk: int = 0):
         host = jax.device_get(policy_params)
-        self.layers = [(np.asarray(w, np.float32), np.asarray(b, np.float32))
-                       for w, b in host["mlp"]]
+        trunk = host["mlp"]
+        if isinstance(trunk, dict) and "experts" in trunk:
+            # mixture-of-experts trunk (models/moe.py): numpy twin of
+            # moe.apply with dense compute + optional top-k gating
+            self.router = tuple(np.asarray(a, np.float32)
+                                for a in trunk["router"])
+            self.experts = [
+                (np.asarray(w, np.float32), np.asarray(b, np.float32))
+                for w, b in trunk["experts"]
+            ]
+            self.layers = None
+            self.moe_topk = moe_topk
+        else:
+            self.layers = [(np.asarray(w, np.float32), np.asarray(b, np.float32))
+                           for w, b in trunk]
         self.log_std = (None if discrete
                         else np.asarray(host["log_std"], np.float32))
         self.discrete = discrete
@@ -109,12 +123,36 @@ class HostPolicy:
 
     def forward(self, obs: np.ndarray) -> np.ndarray:
         h = np.asarray(obs, np.float32)
+        if self.layers is None:
+            return self._forward_moe(h)
         n = len(self.layers)
         for i, (w, b) in enumerate(self.layers):
             h = h @ w + b
             if i < n - 1:
                 h = self.act(h)
         return h
+
+    def _forward_moe(self, x: np.ndarray) -> np.ndarray:
+        """Numpy twin of models/moe.apply (dense gating, f32)."""
+        wr, br = self.router
+        logits = x @ wr + br
+        logits = logits - logits.max(axis=-1, keepdims=True)
+        g = np.exp(logits)
+        g /= g.sum(axis=-1, keepdims=True)
+        e = g.shape[-1]
+        if 0 < self.moe_topk < e:
+            idx = np.argsort(-g, axis=-1)[..., : self.moe_topk]
+            mask = np.zeros_like(g)
+            np.put_along_axis(mask, idx, 1.0, axis=-1)
+            g = g * mask
+            g /= np.maximum(g.sum(axis=-1, keepdims=True), 1e-9)
+        w0, b0 = self.experts[0]
+        h = np.einsum("bi,eio->beo", x, w0) + b0
+        for l in range(1, len(self.experts)):
+            h = self.act(h)
+            w, b = self.experts[l]
+            h = np.einsum("beo,eoh->beh", h, w) + b
+        return np.einsum("be,beo->bo", g, h).astype(np.float32)
 
     def sample(self, obs: np.ndarray, rng: np.random.Generator,
                deterministic: bool = False):
@@ -281,7 +319,8 @@ class HostTrainer:
         obs0 = None if self.cfg.reset_per_fit else self._obs
         if self.actor == "host":
             pol = HostPolicy(self.state.policy_params, self.cfg.activation,
-                             self.env.spec.discrete)
+                             self.env.spec.discrete,
+                             moe_topk=self.cfg.moe_topk)
             traj, last_obs = collect_host_np(
                 self.cfg, self.venv, pol, self._host_rng(k_roll),
                 self.cfg.rollout_len, obs0=obs0,
@@ -309,7 +348,8 @@ class HostTrainer:
         k, self.key = jax.random.split(self.key)
         if self.actor == "host" or deterministic:
             pol = HostPolicy(self.state.policy_params, self.cfg.activation,
-                             self.env.spec.discrete)
+                             self.env.spec.discrete,
+                             moe_topk=self.cfg.moe_topk)
             traj, _ = collect_host_np(
                 self.cfg, self.eval_venv, pol, self._host_rng(k),
                 self.cfg.eval_len, force_truncate=False,

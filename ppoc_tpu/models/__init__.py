@@ -1,2 +1,3 @@
-"""Models: dense MLP and stochastic policy heads (reference L3 layer)."""
-from . import mlp, policy
+"""Models: dense MLP, mixture-of-experts trunk, and stochastic policy
+heads (reference L3 layer; moe extends beyond the reference scope)."""
+from . import mlp, moe, policy

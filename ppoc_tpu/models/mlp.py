@@ -54,15 +54,46 @@ def init(key: jax.Array, sizes: Sequence[int]) -> Params:
     return params
 
 
+def moe_backend(base: str, topk: int, ep_axis: str | None = None) -> str:
+    """Encode MoE execution options as a backend string (parsed below)."""
+    suffix = ":bf16" if base == "bf16" else ""
+    if ep_axis is not None:
+        return f"ep:{ep_axis}:{topk}{suffix}"
+    return f"moe:{topk}{suffix}"
+
+
+def _parse_moe_backend(backend: str):
+    """-> (ep_axis, topk, bf16) for a MoE params tree under any backend."""
+    parts = backend.split(":")
+    if parts[0] == "ep":
+        return parts[1], int(parts[2]), len(parts) > 3 and parts[3] == "bf16"
+    if parts[0] == "moe":
+        return None, int(parts[1]), len(parts) > 2 and parts[2] == "bf16"
+    # generic backend string on a MoE tree: dense gating; bf16 if asked
+    return None, 0, backend == "bf16"
+
+
 def apply(params: Params, x: jax.Array, activation: str = "relu", backend: str = "jnp") -> jax.Array:
     """Forward pass on a batch ``x`` of shape [..., fan_in].
 
     Backends: "jnp" (XLA-fused), "pallas" (fused TPU kernels,
     ops/pallas_mlp.py), "tp:<axis>" (tensor-parallel forward on tp-local
-    param shards inside shard_map, parallel/tp.py), or "pp:<axis>[:M]"
+    param shards inside shard_map, parallel/tp.py), "pp:<axis>[:M]"
     (GPipe pipeline forward on the local StageParams inside shard_map,
-    parallel/pp.py).
+    parallel/pp.py), "moe:<topk>[:bf16]" (mixture-of-experts trunk,
+    models/moe.py), or "ep:<axis>:<topk>[:bf16]" (expert-parallel MoE
+    inside shard_map, parallel/ep.py).
+
+    A mixture-of-experts params pytree (models/moe.is_moe) dispatches to
+    moe.apply structurally, so generic callers passing "jnp"/"bf16" (e.g.
+    serve.load_policy) work on MoE checkpoints — with dense (topk=0)
+    gating unless the backend string carries the configured top-k.
     """
+    from ppoc_tpu.models import moe
+
+    if moe.is_moe(params):
+        ep_axis, topk, bf16 = _parse_moe_backend(backend)
+        return moe.apply(params, x, activation, ep_axis, topk, bf16)
     if backend == "pallas":
         from ppoc_tpu.ops import pallas_mlp
 

@@ -51,6 +51,10 @@ def load_policy(path: str, deterministic: bool = True,
             discrete=ck.dims["discrete"],
         )
     params = ck.state.policy_params
+    # MoE checkpoints serve through the same structural dispatch in
+    # mlp.apply; the backend string carries the trained gating top-k
+    backend = (mlp.moe_backend("jnp", cfg.moe_topk)
+               if getattr(cfg, "n_experts", 1) > 1 else "jnp")
     key_holder = {"key": jax.random.PRNGKey(seed)}
 
     # a policy trained under RunningObsNorm (envs/wrappers.py) expects
@@ -74,23 +78,23 @@ def load_policy(path: str, deterministic: bool = True,
     if spec.discrete:
         @jax.jit
         def _det(obs):
-            logits = mlp.apply(params["mlp"], obs, cfg.activation, "jnp")
+            logits = mlp.apply(params["mlp"], obs, cfg.activation, backend)
             return jnp.argmax(logits, axis=-1)[..., None].astype(jnp.int32)
 
         @jax.jit
         def _sto(obs, key):
             a, _ = policy_mod.categorical_sample(
-                params, obs, key, cfg.activation, "jnp")
+                params, obs, key, cfg.activation, backend)
             return a
     else:
         @jax.jit
         def _det(obs):
-            return policy_mod.gaussian_mean(params, obs, cfg.activation, "jnp")
+            return policy_mod.gaussian_mean(params, obs, cfg.activation, backend)
 
         @jax.jit
         def _sto(obs, key):
             a, _ = policy_mod.gaussian_sample(
-                params, obs, key, cfg.activation, "jnp")
+                params, obs, key, cfg.activation, backend)
             return a
 
     def act(obs, key: Optional[jax.Array] = None):

@@ -15,6 +15,13 @@ rebuilds env, nets, optimizers and RNG position from the file alone — parity
 with load_ppo reconstructing the whole PPO struct (src/ppo.cu:610-648) —
 and an interrupted run resumes bit-for-bit (see tests/test_resume.py).
 Version 2 files (no config/key) still load via the template path.
+
+Version 4 extends the layout with a kind tag per trunk so the
+mixture-of-experts model family (models/moe.py: router + stacked expert
+MLPs) serializes alongside dense MLPs; plain-MLP states keep writing
+byte-identical version-3 files.  MoE checkpoints always hold the logical
+(full-expert) layout, so they are interchangeable between single-device and
+expert-parallel (ep_size > 1) trainers.
 """
 from __future__ import annotations
 
@@ -26,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 MAGIC = b"PPOC"
-VERSION = 3
+VERSION = 3       # plain dense-MLP trunks
+MOE_VERSION = 4   # kind-tagged trunks (dense MLP or mixture-of-experts)
 
 
 class Checkpoint(NamedTuple):
@@ -79,6 +87,49 @@ def _read_mlp(f) -> List[Tuple[np.ndarray, np.ndarray]]:
         b = _read_arr(f, (fan_out,))
         layers.append((w, b))
     return layers
+
+
+def _write_trunk(f, trunk):
+    """Version-4 kind-tagged trunk: 0 = dense MLP, 1 = mixture of experts
+    (router layer + stacked [E, fan_in, fan_out] expert layers)."""
+    from ppoc_tpu.models.moe import is_moe
+
+    if not is_moe(trunk):
+        _w(f, "i", 0)
+        _write_mlp(f, trunk)
+        return
+    _w(f, "i", 1)
+    wr, br = trunk["router"]
+    wr = np.asarray(wr)
+    _w(f, "ii", wr.shape[0], wr.shape[1])
+    _write_arr(f, wr)
+    _write_arr(f, np.asarray(br))
+    experts = trunk["experts"]
+    _w(f, "i", len(experts))
+    for w, b in experts:
+        w = np.asarray(w)
+        _w(f, "iii", w.shape[0], w.shape[1], w.shape[2])
+        _write_arr(f, w)
+        _write_arr(f, np.asarray(b))
+
+
+def _read_trunk(f):
+    kind = _r(f, "i")
+    if kind == 0:
+        return [(jnp.asarray(w), jnp.asarray(b)) for w, b in _read_mlp(f)]
+    if kind != 1:
+        raise ValueError(f"unknown trunk kind {kind}")
+    d_in, e = _r(f, "ii")
+    wr = jnp.asarray(_read_arr(f, (d_in, e)))
+    br = jnp.asarray(_read_arr(f, (e,)))
+    n = _r(f, "i")
+    experts = []
+    for _ in range(n):
+        ne, fan_in, fan_out = _r(f, "iii")
+        w = jnp.asarray(_read_arr(f, (ne, fan_in, fan_out)))
+        b = jnp.asarray(_read_arr(f, (ne, fan_out)))
+        experts.append((w, b))
+    return {"router": (wr, br), "experts": experts}
 
 
 def _flat_adam(state, params) -> Tuple[np.ndarray, np.ndarray, int]:
@@ -171,11 +222,18 @@ def _key_data(key) -> np.ndarray:
     return np.asarray(jax.device_get(key), np.uint32).reshape(-1)
 
 
-def _save_stream(f, cfg, spec, state, key=None, version: int = VERSION) -> None:
+def _save_stream(f, cfg, spec, state, key=None, version: Optional[int] = None) -> None:
     import dataclasses
     import json
 
+    from ppoc_tpu.models.moe import is_moe
+
     state = jax.device_get(state)
+    if version is None:
+        # plain states keep the byte-identical v3 layout; MoE trunks need
+        # the kind-tagged v4 sections
+        moe_state = is_moe(state.policy_params["mlp"]) or is_moe(state.v_params)
+        version = MOE_VERSION if moe_state else VERSION
     f.write(MAGIC)
     _w(f, "i", version)
     if version >= 3:
@@ -196,9 +254,13 @@ def _save_stream(f, cfg, spec, state, key=None, version: int = VERSION) -> None:
     # policy: log_std then mean net (save_policy, src/policy.cu:201-205)
     log_std = np.asarray(state.policy_params.get("log_std", np.zeros(0, np.float32)))
     _write_arr(f, log_std)
-    _write_mlp(f, state.policy_params["mlp"])
-    # value net
-    _write_mlp(f, state.v_params)
+    if version >= MOE_VERSION:
+        _write_trunk(f, state.policy_params["mlp"])
+        _write_trunk(f, state.v_params)
+    else:
+        _write_mlp(f, state.policy_params["mlp"])
+        # value net
+        _write_mlp(f, state.v_params)
     # three Adam states (save order: policy, V, log_std; src/ppo.cu:602-604)
     for st, ps in (
         (state.opt_policy, state.policy_params["mlp"]),
@@ -283,7 +345,7 @@ def _load_stream(f, template=None) -> Checkpoint:
     if magic != MAGIC:
         raise ValueError(f"not a ppoc_tpu checkpoint: bad magic {magic!r}")
     version = _r(f, "i")
-    if version not in (2, VERSION):
+    if version not in (2, VERSION, MOE_VERSION):
         raise ValueError(f"unsupported checkpoint version {version}")
     cfg = key = None
     if version >= 3:
@@ -302,8 +364,12 @@ def _load_stream(f, template=None) -> Checkpoint:
     obs_dim, action_dim, capacity = _r(f, "iii")
     discrete = bool(_r(f, "i"))
     log_std = _read_arr(f)
-    mu_layers = [(jnp.asarray(w), jnp.asarray(b)) for w, b in _read_mlp(f)]
-    v_layers = [(jnp.asarray(w), jnp.asarray(b)) for w, b in _read_mlp(f)]
+    if version >= MOE_VERSION:
+        mu_layers = _read_trunk(f)
+        v_layers = _read_trunk(f)
+    else:
+        mu_layers = [(jnp.asarray(w), jnp.asarray(b)) for w, b in _read_mlp(f)]
+        v_layers = [(jnp.asarray(w), jnp.asarray(b)) for w, b in _read_mlp(f)]
     policy_params: Dict[str, Any] = {"mlp": mu_layers}
     if not discrete:
         policy_params["log_std"] = jnp.asarray(log_std)

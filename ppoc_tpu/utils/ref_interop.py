@@ -299,6 +299,11 @@ def export_trainer(trainer, path: str) -> None:
     if spec.discrete or "log_std" not in state.policy_params:
         raise ValueError(
             "reference checkpoints only represent Gaussian policies")
+    if getattr(cfg, "n_experts", 1) > 1:
+        raise ValueError(
+            "reference checkpoints only represent dense MLP trunks; "
+            "a mixture-of-experts state (n_experts > 1) has no "
+            "load_ppo-compatible layout")
     get = lambda t: jax.tree.map(lambda x: np.asarray(jax.device_get(x)), t)
     pol = get(state.policy_params["mlp"])
     vnet = get(state.v_params)
