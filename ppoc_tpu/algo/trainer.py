@@ -570,6 +570,8 @@ class Trainer:
         checkpoint_every: int = 1,
         initial_eval: bool = True,
         eval_deterministic: bool = False,
+        on_epoch_end=None,
+        epoch_offset: int = 0,
     ) -> List[Dict[str, Any]]:
         """Full training run; returns per-epoch metric dicts.
 
@@ -586,7 +588,14 @@ class Trainer:
         ``Trainer.from_checkpoint(path).train(..., initial_eval=False)``
         replays the remaining epochs bit-for-bit (tests/test_resume.py) —
         ``initial_eval=False`` skips the pre-training evaluation (and its
-        PRNG split) that the interrupted run already consumed.
+        PRNG split) that the interrupted run already consumed.  Periodic
+        checkpoints record ``epochs_done`` in the file metadata so a
+        crash-restarted run (utils/supervisor.py, CLI --supervise) finishes
+        exactly the ORIGINAL schedule.  ``on_epoch_end(i, row)`` is called
+        after each epoch's metrics/checkpoint; returning truthy stops
+        training cleanly (the CLI's graceful-preemption hook).
+        ``epoch_offset`` shifts the recorded epochs_done on a resumed run so
+        the counter stays cumulative across restarts.
         """
         n_epochs = self.cfg.n_epochs if n_epochs is None else n_epochs
         history: List[Dict[str, Any]] = []
@@ -621,8 +630,11 @@ class Trainer:
                 )
             if (checkpoint_path is not None and checkpoint_every > 0
                     and (i + 1) % checkpoint_every == 0):
-                self.save(checkpoint_path)
+                self.save(checkpoint_path,
+                          meta={"epochs_done": epoch_offset + i + 1})
             if stop_at_R is not None and ev.R >= stop_at_R:
+                break
+            if on_epoch_end is not None and on_epoch_end(i, row):
                 break
         return history
 
@@ -728,13 +740,14 @@ class Trainer:
         n, R = jax.device_get((n, R))
         return {"epochs": int(n), "R": float(R)}
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, meta: Optional[Dict[str, Any]] = None) -> None:
         from ppoc_tpu.utils import checkpoint
 
         # always serialize the logical (unsharded) layout, so tp/pp/plain
         # checkpoints are interchangeable across trainer modes
         state = self._unshard_state(jax.device_get(self.state))
-        checkpoint.save(path, self.cfg, self.env.spec, state, key=self.key)
+        checkpoint.save(path, self.cfg, self.env.spec, state, key=self.key,
+                        meta=meta)
 
     def load(self, path: str) -> None:
         from ppoc_tpu.utils import checkpoint

@@ -68,6 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host: total process count")
     p.add_argument("--process-id", type=int, default=None, metavar="I",
                    help="multi-host: this process's rank in [0, N)")
+    p.add_argument("--supervise", type=int, default=0, metavar="N",
+                   help="elastic recovery: run training in a supervised "
+                        "subprocess and restart it from the --save "
+                        "checkpoint on crash or preemption, up to N times "
+                        "(utils/supervisor.py); requires --save and "
+                        "--checkpoint-every.  The child checkpoints and "
+                        "exits cleanly on SIGTERM (graceful preemption); "
+                        "PPOC_FAULT_EPOCH=k injects a hard crash after "
+                        "epoch k for drills")
     p.add_argument("--jsonl", action="store_true",
                    help="emit per-epoch metrics as JSON lines instead of text")
     p.add_argument("--det-eval", action="store_true",
@@ -135,7 +144,23 @@ def _json_safe(row: dict) -> dict:
 
 
 def main(argv=None) -> int:
+    import os
+
+    # PPOC_PLATFORM / PPOC_CPU_DEVICES: force the JAX platform before
+    # backend init.  Needed because plain JAX_PLATFORMS=cpu does not
+    # override an ambient platform plugin — only the config API does; this
+    # is how supervised/elastic child processes (utils/supervisor.py) and
+    # tests pin themselves to CPU.
+    plat = os.environ.get("PPOC_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+        n_cpu = os.environ.get("PPOC_CPU_DEVICES")
+        if n_cpu:
+            jax.config.update("jax_num_cpu_devices", int(n_cpu))
     parser = build_parser()
+    raw_argv = list(sys.argv[1:] if argv is None else argv)
     args = parser.parse_args(argv)
     if args.checkpoint_every > 0 and not args.save:
         parser.error("--checkpoint-every requires --save PATH (the "
@@ -145,6 +170,25 @@ def main(argv=None) -> int:
               "(the solve loop is one device program; a checkpoint is "
               "written at the end when --save is given)", file=sys.stderr)
     cfg = config_from_args(args)
+
+    if args.supervise:
+        # elastic mode: this process becomes the supervisor; training runs
+        # in child processes restarted from the checkpoint on failure
+        if not (args.save and args.checkpoint_every > 0):
+            parser.error("--supervise requires --save PATH and "
+                         "--checkpoint-every N (the restart source)")
+        if args.solve_R is not None or args.eval_only:
+            parser.error("--supervise applies to epoch-loop training, not "
+                         "--solve-R/--eval-only")
+        from ppoc_tpu.utils import supervisor
+
+        first = [a for i, a in enumerate(raw_argv)
+                 if a != "--supervise" and not a.startswith("--supervise=")
+                 and not (i > 0 and raw_argv[i - 1] == "--supervise")]
+        restart = supervisor.build_restart_argv(
+            raw_argv, args.save, gym_env=cfg.env.startswith("gym:"))
+        return supervisor.supervise(first, restart, args.save,
+                                    max_restarts=args.supervise)
 
     distributed = (args.coordinator is not None or args.num_processes is not None
                    or args.process_id is not None)
@@ -160,6 +204,7 @@ def main(argv=None) -> int:
 
     from ppoc_tpu.algo.trainer import Trainer  # deferred: imports jax
 
+    epoch_offset = 0  # cumulative epochs_done carried across restarts
     mesh = None
     if args.mesh or distributed:
         from ppoc_tpu.parallel import make_mesh
@@ -208,7 +253,8 @@ def main(argv=None) -> int:
     elif args.resume:
         from ppoc_tpu.utils import checkpoint as _ck
 
-        saved_cfg = _ck.load(args.resume).cfg
+        _saved = _ck.load(args.resume)
+        saved_cfg = _saved.cfg
         if saved_cfg is not None and saved_cfg.env.startswith("gym:"):
             parser.error(
                 f"{args.resume} was trained on the host bridge "
@@ -217,6 +263,16 @@ def main(argv=None) -> int:
             )
         trainer = Trainer.from_checkpoint(args.resume, mesh=mesh)
         cfg = trainer.cfg
+        epoch_offset = int(_saved.meta.get("epochs_done", 0))
+        if args.n_epochs is None and epoch_offset:
+            # mid-run checkpoint (elastic restart): finish the ORIGINAL
+            # schedule rather than training cfg.n_epochs more
+            remaining = cfg.n_epochs - epoch_offset
+            if remaining <= 0:
+                print(f"{args.resume}: all {cfg.n_epochs} epochs already "
+                      f"done; nothing to resume", file=sys.stderr)
+                return 0
+            args.n_epochs = remaining
     else:
         trainer = Trainer(cfg, mesh=mesh)
         if args.load:
@@ -252,23 +308,62 @@ def main(argv=None) -> int:
     ckpt_kw = {}
     if args.save and args.checkpoint_every > 0:
         ckpt_kw = dict(checkpoint_path=args.save,
-                       checkpoint_every=args.checkpoint_every)
+                       checkpoint_every=args.checkpoint_every,
+                       epoch_offset=epoch_offset)
     if args.resume and args.n_epochs is not None:
         # config flags are otherwise ignored on --resume, but an explicit
         # --n-epochs means "train this many MORE epochs"
         ckpt_kw["n_epochs"] = args.n_epochs
+    # graceful preemption: finish the epoch, checkpoint, exit restartable
+    # (utils/supervisor.py relaunches on PREEMPTED_EXIT); PPOC_FAULT_EPOCH=k
+    # hard-kills right after epoch k's checkpoint (elastic-recovery drills)
+    import os as _os
+    import signal as _signal
+
+    preempted = {"flag": False}
+    fault_epoch = int(_os.environ.get("PPOC_FAULT_EPOCH", "0"))
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    try:
+        prev_handler = _signal.signal(_signal.SIGTERM, _on_sigterm)
+    except ValueError:  # non-main thread (embedding); skip the handler
+        prev_handler = None
+
+    def on_epoch_end(i, row):
+        if fault_epoch and i + 1 == fault_epoch:
+            _os._exit(98)  # simulated hard crash (no cleanup, no save)
+        return preempted["flag"]
+
     # gym envs skip the pre-training eval: it costs a full host rollout
     # (HostTrainer.train defaults it off for the same reason)
     init_eval = not args.resume and not cfg.env.startswith("gym:")
     history = trainer.train(log=not args.jsonl and is_main,
                             stop_at_R=args.stop_at_R,
                             initial_eval=init_eval,
-                            eval_deterministic=args.det_eval, **ckpt_kw)
+                            eval_deterministic=args.det_eval,
+                            on_epoch_end=on_epoch_end, **ckpt_kw)
+    if prev_handler is not None:
+        _signal.signal(_signal.SIGTERM, prev_handler)
+    if preempted["flag"]:
+        from ppoc_tpu.utils.supervisor import PREEMPTED_EXIT
+
+        if args.save and is_main:
+            n_done = epoch_offset + len(history)
+            trainer.save(args.save, meta={"epochs_done": n_done})
+            print(f"preempted: checkpointed {n_done} epoch(s) to "
+                  f"{args.save}", file=sys.stderr)
+        return PREEMPTED_EXIT
     if args.jsonl and is_main:
         for row in history:
             print(json.dumps(_json_safe(row)), flush=True)
     if args.save and is_main:
-        trainer.save(args.save)
+        # record cumulative epochs_done so a --resume of a finished run (or
+        # an elastic restart after the final epoch) knows there is nothing
+        # left of the original schedule
+        trainer.save(args.save,
+                     meta={"epochs_done": epoch_offset + len(history)})
         print(f"saved checkpoint to {args.save}", file=sys.stderr)
     if args.export_ref and is_main:
         from ppoc_tpu.utils import ref_interop

@@ -368,14 +368,18 @@ class HostTrainer:
               checkpoint_path: Optional[str] = None,
               checkpoint_every: int = 1,
               initial_eval: bool = False,
-              eval_deterministic: bool = False) -> List[dict]:
+              eval_deterministic: bool = False,
+              on_epoch_end=None,
+              epoch_offset: int = 0) -> List[dict]:
         """Epoch loop; same signature as Trainer.train (periodic checkpoints
         included — NOTE host env objects are not serializable, so a resumed
         host run restores optimization state + RNG but starts from fresh env
         resets).  ``initial_eval`` defaults False here: a host eval costs a
         full eval_len rollout of real env stepping.  ``eval_deterministic``
         scores epochs (and stop_at_R) with the mean policy — the canonical
-        benchmark protocol."""
+        benchmark protocol.  ``on_epoch_end(i, row)`` is called after each
+        epoch's checkpoint; truthy return stops training cleanly (the CLI's
+        graceful-preemption hook, same contract as Trainer.train)."""
         n_epochs = self.cfg.n_epochs if n_epochs is None else n_epochs
         history: List[dict] = []
         if initial_eval:
@@ -399,12 +403,15 @@ class HostTrainer:
                       f"Episodes: {row['episodes']}", flush=True)
             if (checkpoint_path is not None and checkpoint_every > 0
                     and (i + 1) % checkpoint_every == 0):
-                self.save(checkpoint_path)
+                self.save(checkpoint_path,
+                          meta={"epochs_done": epoch_offset + i + 1})
             if stop_at_R is not None and ev.R >= stop_at_R:
+                break
+            if on_epoch_end is not None and on_epoch_end(i, row):
                 break
         return history
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, meta=None) -> None:
         from ppoc_tpu.envs.wrappers import RunningObsNorm
         from ppoc_tpu.utils import checkpoint
         # checkpoint.save clears any stale normalization sidecars at this
@@ -418,7 +425,7 @@ class HostTrainer:
                                  (".retnorm.npz", rstats is not None))
             if present)
         checkpoint.save(path, self.cfg, self.env.spec, self.state,
-                        key=self.key, keep_sidecars=keep)
+                        key=self.key, keep_sidecars=keep, meta=meta)
         if stats is not None:
             # clip/eps live on the RunningObsNorm wrapper that OWNS the obs
             # stats (stacked wrappers re-expose them via a pass-through

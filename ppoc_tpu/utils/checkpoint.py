@@ -45,6 +45,9 @@ class Checkpoint(NamedTuple):
     state: Any               # algo.ppo.TrainState
     cfg: Optional[Any]       # ppoc_tpu.config.PPOConfig
     key: Optional[jax.Array] # trainer PRNG key at save time
+    meta: Dict[str, Any] = {}  # run metadata (e.g. epochs_done for elastic
+                               # resume); rides in the config JSON blob under
+                               # the reserved "_meta" key, so no format bump
 
 
 def _w(f, fmt, *vals):
@@ -162,7 +165,7 @@ def _unflat_adam(m: np.ndarray, v: np.ndarray, t: int, params):
 
 
 def save(path: str, cfg, spec, state, key=None,
-         keep_sidecars: tuple = ()) -> None:
+         keep_sidecars: tuple = (), meta: Optional[Dict[str, Any]] = None) -> None:
     """Serialize cfg (full config JSON) + env dims + TrainState + trainer
     PRNG ``key`` to ``path``.
 
@@ -184,7 +187,7 @@ def save(path: str, cfg, spec, state, key=None,
     import os
 
     buf = io.BytesIO()
-    _save_stream(buf, cfg, spec, state, key)
+    _save_stream(buf, cfg, spec, state, key, meta=meta)
     data = buf.getvalue()
     written = False
     try:
@@ -222,7 +225,8 @@ def _key_data(key) -> np.ndarray:
     return np.asarray(jax.device_get(key), np.uint32).reshape(-1)
 
 
-def _save_stream(f, cfg, spec, state, key=None, version: Optional[int] = None) -> None:
+def _save_stream(f, cfg, spec, state, key=None, version: Optional[int] = None,
+                 meta: Optional[Dict[str, Any]] = None) -> None:
     import dataclasses
     import json
 
@@ -240,7 +244,12 @@ def _save_stream(f, cfg, spec, state, key=None, version: Optional[int] = None) -
         # self-description: the FULL config as JSON + the trainer PRNG key,
         # so Trainer.from_checkpoint needs nothing but the file (parity with
         # load_ppo rebuilding the whole PPO, src/ppo.cu:610-648)
-        blob = json.dumps(dataclasses.asdict(cfg)).encode("utf-8")
+        d = dataclasses.asdict(cfg)
+        if meta:
+            # run metadata (epochs_done, ...) under a reserved key the
+            # loader pops back out — the blob stays a valid PPOConfig dict
+            d["_meta"] = dict(meta)
+        blob = json.dumps(d).encode("utf-8")
         _w(f, "i", len(blob))
         f.write(blob)
         kd = _key_data(key) if key is not None else np.zeros(0, np.uint32)
@@ -348,12 +357,14 @@ def _load_stream(f, template=None) -> Checkpoint:
     if version not in (2, VERSION, MOE_VERSION):
         raise ValueError(f"unsupported checkpoint version {version}")
     cfg = key = None
+    meta: Dict[str, Any] = {}
     if version >= 3:
         from ppoc_tpu.config import PPOConfig
 
         blob = f.read(_r(f, "i"))
         d = json.loads(blob.decode("utf-8"))
         d["hidden"] = tuple(d["hidden"])
+        meta = d.pop("_meta", {})
         cfg = PPOConfig(**d)
         nk = _r(f, "i")
         if nk:
@@ -392,4 +403,4 @@ def _load_stream(f, template=None) -> Checkpoint:
                 discrete=discrete)
     if template is not None:
         _check_template(state, template)
-    return Checkpoint(hp, dims, state, cfg, key)
+    return Checkpoint(hp, dims, state, cfg, key, meta)
