@@ -19,8 +19,46 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+
+def _start_watchdog():
+    """Emit the JSON line and exit if no result lands within the budget.
+
+    The remote-TPU transport can wedge indefinitely at backend init (device
+    enumeration never returns); without a watchdog the bench then produces
+    NO output at all.  The budget must cover the legitimate first-sync
+    stall (up to ~475 s observed) plus compiles — default 40 min,
+    override with PPOC_BENCH_TIMEOUT (seconds).  Runs as a daemon thread,
+    so a normal bench completion just exits past it.
+    """
+    import threading
+
+    budget = float(os.environ.get("PPOC_BENCH_TIMEOUT", "2400"))
+
+    def fire():
+        time.sleep(budget)
+        print(json.dumps({
+            "metric": "pendulum_solve_seconds",
+            "value": 0.0,
+            "unit": "s",
+            "vs_baseline": 0.0,
+            "solved": False,
+            "error": f"watchdog: no result within {budget:.0f}s — TPU "
+                     f"transport unavailable or wedged at backend init",
+        }), flush=True)
+        os._exit(1)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
+if __name__ == "__main__":
+    # must arm BEFORE the imports below: the env registry builds jnp
+    # constants at import time, which initializes the backend — the step
+    # that hangs when the transport is down
+    _start_watchdog()
 
 import jax
 
