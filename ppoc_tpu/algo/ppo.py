@@ -132,19 +132,13 @@ def init_train_state(cfg: PPOConfig, env: Env, key: jax.Array) -> TrainState:
                 (spec.action_dim,), math.log(cfg.init_std), jnp.float32
             )
         v_params = moe.init(k_v, (spec.obs_dim, *cfg.hidden, 1), cfg.n_experts)
-        log_std_tree = policy_params.get("log_std", jnp.zeros((0,), jnp.float32))
-        return TrainState(
-            policy_params=policy_params,
-            v_params=v_params,
-            opt_policy=adam.init(policy_params["mlp"]),
-            opt_v=adam.init(v_params),
-            opt_log_std=adam.init(log_std_tree),
+    else:
+        policy_params = policy_mod.init(
+            k_pi, spec.obs_dim, spec.action_dim, cfg.hidden, cfg.init_std,
+            spec.discrete,
         )
-    policy_params = policy_mod.init(
-        k_pi, spec.obs_dim, spec.action_dim, cfg.hidden, cfg.init_std, spec.discrete
-    )
-    # value net: same trunk, scalar head (src/ppo.cu:12-16)
-    v_params = mlp.init(k_v, (spec.obs_dim, *cfg.hidden, 1))
+        # value net: same trunk, scalar head (src/ppo.cu:12-16)
+        v_params = mlp.init(k_v, (spec.obs_dim, *cfg.hidden, 1))
     log_std_tree = policy_params.get("log_std", jnp.zeros((0,), jnp.float32))
     return TrainState(
         policy_params=policy_params,
@@ -295,7 +289,13 @@ def compute_advantages(
         values = mlp.apply(v_params, traj.obs, cfg.activation, backend)[..., 0]
         next_values = mlp.apply(
             v_params, traj.next_obs, cfg.activation, backend)[..., 0]
-    if backend in ("pallas", "bf16") and axis_name is None:
+    # the fused GAE kernel operates on reward/value PLANES, so it is
+    # trunk-agnostic: MoE-with-bf16 runs ("moe:<k>:bf16") keep it; pure-jnp
+    # bases (incl. "moe:<k>") keep the XLA scan by design, and sharded runs
+    # need the scan so the Welford triple can psum across shards
+    _fused_gae = (backend in ("pallas", "bf16")
+                  or (backend.startswith("moe:") and backend.endswith(":bf16")))
+    if _fused_gae and axis_name is None:
         from ppoc_tpu.ops import pallas_gae
     else:
         pallas_gae = None
@@ -342,7 +342,10 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
     hence the size gate (docs/RESULTS.md perf X-ray).  Sharded runs keep
     the scan (gradient pmean must cross shards before Adam).
     """
-    if backend == "pallas" and axis_name is None:
+    from ppoc_tpu.models import moe as _moe
+
+    if (backend == "pallas" and axis_name is None
+            and not _moe.is_moe(ts.v_params)):
         from ppoc_tpu.ops import pallas_update as _pu
 
         if (mb_size <= _pu._MAX_TILE
@@ -389,7 +392,10 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
     """
     n_rows = buf.obs.shape[0]
     discrete = env.spec.discrete
-    if backend == "pallas" and axis_name is None:
+    from ppoc_tpu.models import moe as _moe
+
+    if (backend == "pallas" and axis_name is None
+            and not _moe.is_moe(ts.policy_params["mlp"])):
         from ppoc_tpu.ops import pallas_update as _pu
 
         if (mb_size <= _pu._MAX_TILE

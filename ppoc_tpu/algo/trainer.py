@@ -456,8 +456,9 @@ class Trainer:
         Inside the mesh, rollouts and minibatches shard over 'dp' exactly as
         in pure data parallelism; every trunk forward computes the rank's
         local experts on the replicated batch and psums the mixture over
-        'ep' (models/moe.apply), with router gradients psum'd over 'ep' in
-        backward (ep.psum_router_grads).
+        'ep' (models/moe.apply); the replicated router's partial gradients
+        are summed over 'ep' by shard_map's own pvary transpose (see
+        parallel/ep.py module docstring).
         """
         import numpy as np
 

@@ -326,13 +326,20 @@ def main(argv=None) -> int:
     def _on_sigterm(signum, frame):
         preempted["flag"] = True
 
-    try:
-        prev_handler = _signal.signal(_signal.SIGTERM, _on_sigterm)
-    except ValueError:  # non-main thread (embedding); skip the handler
-        prev_handler = None
+    prev_handler = None
+    if args.save:
+        # only trap SIGTERM when there is something to checkpoint: a run
+        # without --save must keep dying immediately on kill (default
+        # disposition), not linger to the epoch boundary and exit 75
+        try:
+            prev_handler = _signal.signal(_signal.SIGTERM, _on_sigterm)
+        except ValueError:  # non-main thread (embedding); skip the handler
+            pass
 
     def on_epoch_end(i, row):
-        if fault_epoch and i + 1 == fault_epoch:
+        # fault injection counts GLOBAL epochs (epoch_offset + local), so
+        # the drill crash fires exactly once across supervised restarts
+        if fault_epoch and epoch_offset + i + 1 == fault_epoch:
             _os._exit(98)  # simulated hard crash (no cleanup, no save)
         return preempted["flag"]
 

@@ -296,6 +296,17 @@ class HostTrainer:
         self.eval_venv = eval_venv
         # spec-only Env shell for the learner (reset/step never called)
         self.env = Env(spec=venv.spec, reset=None, step=None)
+        if cfg.n_experts > 1:
+            # MoE trunks: the learner must compute log-probs under the SAME
+            # gating the actor samples with — encode moe_topk into the
+            # backend string (mlp.apply would otherwise parse a plain "jnp"
+            # as dense topk=0 gating while HostPolicy uses top-k, corrupting
+            # the PPO ratios); the fused dense-MLP pallas kernels don't
+            # apply to MoE trunks, so "pallas" degrades to the XLA path
+            from ppoc_tpu.models import mlp as mlp_mod
+
+            backend = mlp_mod.moe_backend(
+                "bf16" if backend == "bf16" else "jnp", cfg.moe_topk)
         self.backend = backend
         # "host": numpy policy on the host, weights fetched once per fit
         # (the reference's actor/learner split, src/ppo.cu:479-539);
@@ -305,7 +316,7 @@ class HostTrainer:
         k_init, self.key = jax.random.split(self.key)
         self.state = ppo.init_train_state(cfg, self.env, k_init)
         self._update = jax.jit(functools.partial(
-            ppo.update_step, cfg, self.env, backend=backend
+            ppo.update_step, cfg, self.env, backend=self.backend
         ))
         self._obs = None  # persistent rollout obs when reset_per_fit=False
 

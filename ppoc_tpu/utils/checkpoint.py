@@ -45,9 +45,12 @@ class Checkpoint(NamedTuple):
     state: Any               # algo.ppo.TrainState
     cfg: Optional[Any]       # ppoc_tpu.config.PPOConfig
     key: Optional[jax.Array] # trainer PRNG key at save time
-    meta: Dict[str, Any] = {}  # run metadata (e.g. epochs_done for elastic
-                               # resume); rides in the config JSON blob under
-                               # the reserved "_meta" key, so no format bump
+    meta: Optional[Dict[str, Any]] = None  # run metadata (e.g. epochs_done
+                               # for elastic resume); rides in the config
+                               # JSON blob under the reserved "_meta" key,
+                               # so no format bump.  load() always supplies
+                               # a fresh dict (None only on hand-built
+                               # instances — no shared mutable default)
 
 
 def _w(f, fmt, *vals):

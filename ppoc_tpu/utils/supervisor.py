@@ -65,6 +65,17 @@ def supervise(
     """
     runner = _default_runner if runner is None else runner
     argv: List[str] = list(first_argv)
+    # only trust checkpoints written DURING this supervision: a stale file
+    # left at the same path by an earlier experiment must not hijack the
+    # restart (on --resume the config comes entirely from the file)
+    started = time.time()
+
+    def _fresh_checkpoint() -> bool:
+        try:
+            return os.path.getmtime(checkpoint_path) >= started
+        except OSError:
+            return False
+
     for attempt in range(max_restarts + 1):
         rc = runner(argv)
         if rc == 0:
@@ -75,12 +86,12 @@ def supervise(
             log(f"supervisor: giving up after {max_restarts} restarts "
                 f"(last exit code {rc})")
             return rc
-        if os.path.exists(checkpoint_path):
+        if _fresh_checkpoint():
             argv = list(restart_argv)
             why = "resuming from checkpoint"
         else:
             argv = list(first_argv)
-            why = "no checkpoint yet, retrying from scratch"
+            why = "no checkpoint from this run yet, retrying from scratch"
         kind = "preempted" if rc == PREEMPTED_EXIT else f"exit code {rc}"
         log(f"supervisor: run {kind}; restart {attempt + 1}/{max_restarts} "
             f"({why})")

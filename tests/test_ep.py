@@ -3,8 +3,9 @@
 The MoE forward (models/moe.py) must equal the hand-computed mixture of its
 expert MLPs; the ep-sharded forward (experts split over an 'ep' mesh axis,
 parallel/ep.py) must reproduce the single-device MoE bit-for-bit up to f32
-reduction order, INCLUDING router gradients (which each rank only sees a
-slice of — psum_router_grads completes them).  Full EP training through the
+reduction order, INCLUDING router gradients (each rank's backward covers
+only its gate slice; shard_map's pvary transpose psums them to the full
+gradient).  Full EP training through the
 Trainer must track single-device MoE training, and MoE checkpoints must
 round-trip and interchange between single-device and EP trainers
 (the version-4 kind-tagged layout, utils/checkpoint.py).
@@ -230,6 +231,36 @@ def test_ep_config_validation():
         Trainer(PPOConfig(**_cfg_kw(ep_size=2, tp_size=2)))
     with pytest.raises(ValueError, match="tp_size/pp_size"):
         Trainer(PPOConfig(**_cfg_kw(tp_size=2)))
+
+
+def test_host_trainer_rewrites_moe_backend():
+    """The host-bridge learner must score log-probs under the SAME gating
+    the host actor samples with: HostTrainer encodes moe_topk into its
+    backend string (a plain "jnp" would silently parse as dense topk=0
+    gating while HostPolicy samples top-k — mismatched PPO ratios)."""
+    from ppoc_tpu import native
+    from ppoc_tpu.envs.host import HostPolicy, HostTrainer, NativeHostVecEnv
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from ppoc_tpu import PPOConfig
+
+    cfg = PPOConfig(env="simple", n_envs=8, rollout_len=15, minibatch_size=32,
+                    fits_per_epoch=1, eval_envs=8, eval_len=15, hidden=(8, 8),
+                    kernel_backend="jnp", seed=0, n_experts=4, moe_topk=2)
+    tr = HostTrainer(cfg, NativeHostVecEnv("simple", 8, seed=0),
+                     NativeHostVecEnv("simple", 8, seed=9))
+    assert tr.backend == "moe:2", tr.backend
+    # actor and learner now agree on the policy mean
+    hp = HostPolicy(tr.state.policy_params, cfg.activation, discrete=False,
+                    moe_topk=cfg.moe_topk)
+    obs = np.random.default_rng(1).standard_normal((16, 1)).astype(np.float32)
+    mu_learner = mlp.apply(tr.state.policy_params["mlp"], jnp.asarray(obs),
+                           cfg.activation, tr.backend)
+    np.testing.assert_allclose(hp.forward(obs), np.asarray(mu_learner),
+                               rtol=1e-5, atol=1e-6)
+    # and one full fit runs through the jitted update with the moe backend
+    tr.train_fit()
 
 
 def test_host_policy_moe_matches_device():

@@ -162,6 +162,25 @@ def test_supervise_cli_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_fault_epoch_counts_global_epochs(tmp_path):
+    """PPOC_FAULT_EPOCH fires ONCE at the global epoch, not again in every
+    restarted child: a restart at epoch_offset >= fault_epoch must run
+    clean even though it inherits the env var."""
+    ck = str(tmp_path / "once.bin")
+    args = BASE_ARGS + ["--save", ck, "--checkpoint-every", "1"]
+    r = _run_cli(args, PPOC_FAULT_EPOCH="2")
+    assert r.returncode == 98
+    restart = supervisor.build_restart_argv(args, ck, gym_env=False)
+    # restarted child inherits the fault var; local epoch 2 == global 4,
+    # so the drill must NOT re-fire at global epoch 4 != 2... and
+    # certainly not at local epoch 2 (the round-1 bug): the run completes
+    r2 = _run_cli(restart, PPOC_FAULT_EPOCH="2")
+    assert r2.returncode == 0, (r2.stdout, r2.stderr)
+    from ppoc_tpu.utils import checkpoint
+    assert checkpoint.load(ck).meta["epochs_done"] == 4
+
+
+@pytest.mark.slow
 def test_sigterm_graceful_preemption(tmp_path):
     """SIGTERM mid-run: the child finishes the epoch, checkpoints with a
     cumulative epochs_done, and exits PREEMPTED_EXIT (restartable)."""
