@@ -71,6 +71,32 @@ def main() -> int:
         jax.distributed.shutdown()
         return 0
 
+    if mode == "ep":
+        # expert parallelism across PROCESSES: the MoE trunk's experts
+        # shard over an 'ep' mesh axis that spans both hosts' devices
+        # (the model-axis-over-DCN leg of SURVEY §2a), full Trainer API
+        from ppoc_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(coord, n_proc, pid)
+
+        from ppoc_tpu import PPOConfig
+        from ppoc_tpu.algo.trainer import Trainer
+        n_dev = len(jax.devices())
+        assert n_dev == 4 * n_proc, f"expected {4 * n_proc} devices, got {n_dev}"
+        cfg = PPOConfig(env="simple", n_envs=2 * n_dev, rollout_len=15,
+                        minibatch_size=2 * n_dev, fits_per_epoch=2,
+                        eval_envs=2 * n_dev, eval_len=15,
+                        hidden=(16, 16), kernel_backend="jnp",
+                        n_experts=4, moe_topk=2, ep_size=4)
+        tr = Trainer(cfg)  # builds the (dp, ep) mesh over global devices
+        assert dict(tr.mesh.shape) == {"dp": n_dev // 4, "ep": 4}
+        hist = tr.train(n_epochs=2, log=False)
+        r = hist[-1]["R"]
+        v = hist[-1]["value_loss"]
+        print(f"RESULT pid={pid} R={r:.6f} value_loss={v:.6f}", flush=True)
+        jax.distributed.shutdown()
+        return 0
+
     jax.distributed.initialize(
         coordinator_address=coord, num_processes=n_proc, process_id=pid
     )

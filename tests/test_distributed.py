@@ -77,6 +77,18 @@ def test_two_process_trainer():
     assert vs[0] == pytest.approx(vs[1], rel=1e-6)
 
 
+def test_two_process_expert_parallel():
+    """MoE training with the experts sharded over an 'ep' axis that SPANS
+    the two processes (model parallelism over DCN): replicated metrics must
+    agree, i.e. the cross-process mixture psum and router-gradient
+    reduction are consistent."""
+    lines = _run_workers("ep")
+    rs = [float(l.split("R=")[1].split()[0]) for l in lines]
+    vs = [float(l.split("value_loss=")[1]) for l in lines]
+    assert rs[0] == pytest.approx(rs[1], rel=1e-6)
+    assert vs[0] == pytest.approx(vs[1], rel=1e-6)
+
+
 def test_two_process_cli():
     """The CLI's --coordinator/--num-processes/--process-id flags run the
     whole trainer multi-process; only rank 0 emits output."""
