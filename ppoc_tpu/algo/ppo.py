@@ -356,10 +356,16 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
             )
             return ts._replace(v_params=v2, opt_v=opt2), loss
     n_rows = buf.obs.shape[0]
+    aux_coeff = cfg.moe_aux_coeff if _moe.is_moe(ts.v_params) else 0.0
+    moe_topk = mlp._parse_moe_backend(backend)[1] if aux_coeff else 0
 
     def loss_fn(v_params, o, t):
         v = mlp.apply(v_params, o, cfg.activation, backend)[..., 0]
-        return losses.value_loss(v, t)
+        loss = losses.value_loss(v, t)
+        if aux_coeff:
+            loss = loss + aux_coeff * _moe.load_balance_loss(
+                v_params, o, moe_topk)
+        return loss
 
     def mb_step(carry, idx):
         v_params, opt_v = carry
@@ -413,11 +419,19 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
             return ts._replace(policy_params=pol2, opt_policy=opt_p2,
                                opt_log_std=opt_ls2), loss, ent
 
+    aux_coeff = (cfg.moe_aux_coeff
+                 if _moe.is_moe(ts.policy_params["mlp"]) else 0.0)
+    moe_topk = mlp._parse_moe_backend(backend)[1] if aux_coeff else 0
+
     def loss_fn(policy_params, o, a, lp_old, adv):
         logp = policy_mod.log_prob(policy_params, o, a, cfg.activation, backend, discrete)
         surrogate = losses.clipped_surrogate_loss(logp, lp_old, adv, cfg.clip_eps)
         ent = policy_mod.entropy(policy_params, o, cfg.activation, backend, discrete)
-        return surrogate - cfg.ent_coeff * ent, ent
+        loss = surrogate - cfg.ent_coeff * ent
+        if aux_coeff:
+            loss = loss + aux_coeff * _moe.load_balance_loss(
+                policy_params["mlp"], o, moe_topk)
+        return loss, ent
 
     def mb_step(carry, idx):
         policy_params, opt_policy, opt_log_std = carry

@@ -77,6 +77,11 @@ class PPOConfig:
     ep_size: int = 1              # expert-parallel degree: shard the experts
                                   # over a mesh axis "ep" (parallel/ep.py);
                                   # must divide n_experts
+    moe_aux_coeff: float = 0.0    # weight of the Switch-style load-balance
+                                  # auxiliary loss on both trunks' routers
+                                  # (models/moe.load_balance_loss); use with
+                                  # moe_topk > 0 to keep experts from
+                                  # starving
     norm_adv_global: bool = True  # normalize advantages over the whole buffer
                                   # (reference: src/ppo.cu:355-368)
     reset_per_fit: bool = True    # reference resets env at every collection

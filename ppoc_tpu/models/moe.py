@@ -98,6 +98,29 @@ def gate_weights(params: MoEParams, x: jax.Array, topk: int = 0) -> jax.Array:
     return g
 
 
+def load_balance_loss(params: MoEParams, x: jax.Array, topk: int = 0) -> jax.Array:
+    """Switch-style load-balancing auxiliary loss: E * sum_e f_e * P_e.
+
+    ``f_e`` is the fraction of inputs routed to expert e (their top-k set;
+    argmax for dense gating) and ``P_e`` the mean softmax router
+    probability.  Equals 1.0 under perfect balance, grows as the router
+    collapses onto few experts; gradients flow through ``P_e`` only (the
+    routing fractions are counts).  Weighted into the value/policy losses
+    by ``PPOConfig.moe_aux_coeff`` (algo/ppo.py) — relevant mainly for
+    top-k gating, where an unregularized router can starve experts; the
+    dense softmax mixture degrades gracefully without it.
+    """
+    wr, br = params["router"]
+    p = jax.nn.softmax(x @ wr + br, axis=-1)
+    e = p.shape[-1]
+    k = topk if 0 < topk < e else 1
+    _, idx = jax.lax.top_k(p, k)
+    sel = jnp.sum(jax.nn.one_hot(idx, e, dtype=p.dtype), axis=-2)
+    f = jnp.mean(sel.reshape(-1, e), axis=0) / k
+    mean_p = jnp.mean(p.reshape(-1, e), axis=0)
+    return e * jnp.sum(jax.lax.stop_gradient(f) * mean_p)
+
+
 def _expert_forward(
     experts: List[Tuple[jax.Array, jax.Array]],
     x: jax.Array,

@@ -174,6 +174,50 @@ def test_ep_training_matches_single_device_moe():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_load_balance_loss_values():
+    """~1.0 at a near-uniform router; larger when the router collapses;
+    gradients push the collapsed router toward balance."""
+    params = moe.init(jax.random.PRNGKey(12), (4, 8, 1), n_experts=4)
+    x = jax.random.normal(jax.random.PRNGKey(13), (256, 4), jnp.float32)
+    wr, br = params["router"]
+
+    # an exactly-uniform router (zero logits) scores exactly E*E*(1/E^2)=1
+    uniform = dict(params)
+    uniform["router"] = (jnp.zeros_like(wr), jnp.zeros_like(br))
+    assert float(moe.load_balance_loss(uniform, x, topk=2)) == pytest.approx(
+        1.0, rel=1e-5)
+
+    # collapse the router onto expert 0
+    collapsed = dict(params)
+    collapsed["router"] = (wr, br + jnp.array([10.0, 0, 0, 0]))
+    worse = float(moe.load_balance_loss(collapsed, x, topk=2))
+    assert worse > 1.9, worse  # ~2: f0=1/2 of top-2 slots, P0~1
+    g = jax.grad(lambda p: moe.load_balance_loss(p, x, topk=2))(collapsed)
+    # gradient on the dominating expert's bias is the largest positive
+    # (descending it un-collapses the router)
+    gb = np.asarray(g["router"][1])
+    assert gb[0] == gb.max() and gb[0] > 0, gb
+
+
+def test_ep_training_matches_single_device_with_aux_loss():
+    """The aux loss reaches the replicated router through an invariant-only
+    path under ep sharding; EP training must still track single-device MoE
+    exactly (would catch a double/missing cross-rank reduction)."""
+    from ppoc_tpu import PPOConfig, Trainer
+    from ppoc_tpu.parallel import make_mesh
+
+    kw = _cfg_kw(moe_topk=2, moe_aux_coeff=0.01, n_epochs=1)
+    tr_ep = Trainer(PPOConfig(**kw, ep_size=4))
+    tr_1 = Trainer(PPOConfig(**kw), mesh=make_mesh(2))
+    h_ep = tr_ep.train(log=False)
+    h_1 = tr_1.train(log=False)
+    assert abs(h_ep[-1]["value_loss"] - h_1[-1]["value_loss"]) < 1e-4
+    ra = jax.device_get(tr_ep.state.policy_params["mlp"]["router"][0])
+    rb = jax.device_get(tr_1.state.policy_params["mlp"]["router"][0])
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rb),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_moe_learns_simple_env():
     """Single-device MoE policy+value trunks solve the toy integrator."""
     from ppoc_tpu import PPOConfig, Trainer
