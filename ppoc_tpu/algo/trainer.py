@@ -90,10 +90,12 @@ class Trainer:
         k_init, self.key = jax.random.split(self.key)
         full_state = ppo.init_train_state(cfg, self.env, k_init)
 
-        # state <-> checkpoint converters; tp/pp modes override these with
-        # their shard packers so save/load always sees the logical layout
+        # state <-> checkpoint converters; model-parallel modes override
+        # these with their shard packers so save/load always sees the
+        # logical layout
         self._pack_state = lambda s: s
         self._unshard_state = lambda s: s
+        self._mp_ctx = None  # set by _finalize_mp in tp/pp/ep modes
 
         if cfg.tp_size > 1 and cfg.pp_size > 1:
             raise ValueError(
@@ -193,56 +195,140 @@ class Trainer:
         self._solve_fn = None
         self._solve_args = None
 
-    # -- tensor-parallel mode (2-D dp x tp mesh) ----------------------------
+    # -- model-parallel modes (2-D dp x {tp|pp|ep} meshes) -------------------
+    #
+    # The three modes differ only in how parameters shard along the model
+    # axis (Megatron column/row slices, GPipe stage stacks, stacked expert
+    # leaves); the mesh construction, shard_map wrapping of train/eval, the
+    # checkpoint converters and the solve() context are shared below.
 
-    def _init_tp(self, full_state: ppo.TrainState, mesh: Optional[Mesh]):
-        """Build the (dp, tp) mesh, pack the state into tp shards, and wrap
-        train/eval in shard_map with per-leaf PartitionSpecs.
-
-        Inside the mesh, rollouts and minibatches shard over 'dp' exactly as
-        in pure data parallelism; every MLP forward/backward runs tensor-
-        parallel over 'tp' (parallel/tp.py) — activations are replicated
-        within a tp group, weights are not.
-        """
+    def _build_mp_mesh(self, mesh: Optional[Mesh], axis: str, size: int) -> int:
+        """Install a 2-D (dp, ``axis``) mesh (building one over all local
+        devices when none is given) and return the dp size."""
         import numpy as np
 
+        cfg = self.cfg
+        if mesh is None:
+            devices = jax.devices()
+            if len(devices) % size:
+                raise ValueError(
+                    f"{len(devices)} devices not divisible by "
+                    f"{axis}_size {size}"
+                )
+            dp_size = len(devices) // size
+            mesh = Mesh(np.asarray(devices).reshape(dp_size, size),
+                        (cfg.mesh_axis, axis))
+        else:
+            if mesh.axis_names != (cfg.mesh_axis, axis):
+                raise ValueError(
+                    f"{axis} mode needs a ({cfg.mesh_axis!r}, {axis!r}) "
+                    f"mesh, got {mesh.axis_names}"
+                )
+            if mesh.shape[axis] != size:
+                raise ValueError(
+                    f"mesh {axis!r} axis has {mesh.shape[axis]} devices but "
+                    f"cfg.{axis}_size is {size}"
+                )
+            dp_size = mesh.shape[cfg.mesh_axis]
+        self.mesh = mesh
+        return dp_size
+
+    def _finalize_mp(self, state, dp_size: int, model_axis: str,
+                     backend: str, state_spec,
+                     unpack_local=None, repack_local=None,
+                     unpack_policy=None, pack_state=None, unshard=None):
+        """Common tail of every model-parallel mode: wrap train/eval in
+        shard_map over the (dp, model) mesh, register the checkpoint
+        converters, and store the context solve() compiles from.
+
+        ``state`` is the PACKED (placed) training state; ``unpack_local`` /
+        ``repack_local`` convert a TrainState between its packed and
+        shard-local layouts inside shard_map (identity when the packed
+        layout IS the local layout, as for expert parallelism);
+        ``unpack_policy`` does the same for the policy-params dict alone
+        (evaluation); ``pack_state`` / ``unshard`` convert between the
+        logical (checkpoint) and packed layouts on the host.
+        """
+        cfg = self.cfg
+        ident = lambda s: s
+        unpack_local = unpack_local or ident
+        repack_local = repack_local or ident
+        unpack_policy = unpack_policy or ident
+        self._pack_state = pack_state or ident
+        self._unshard_state = unshard or ident
+        self._state_spec = state_spec
+        self._mp_ctx = (dp_size, model_axis, unpack_local, repack_local)
+
+        def epoch_local(ts_packed, key):
+            ts2, metrics = ppo.train_epoch(
+                cfg, self.env, unpack_local(ts_packed), key,
+                axis_name=cfg.mesh_axis,
+                n_envs=cfg.n_envs // dp_size,
+                mb_size=cfg.minibatch_size // dp_size,
+                backend=backend,
+            )
+            metrics = jax.tree.map(
+                lambda m: jax.lax.pmean(m, model_axis), metrics)
+            return repack_local(ts2), metrics
+
+        def make_eval(det):
+            def eval_local(pol_packed, key):
+                m = ppo.evaluate(
+                    cfg, self.env, unpack_policy(pol_packed), key,
+                    backend=backend,
+                    n_envs=cfg.eval_envs // dp_size,
+                    axis_name=cfg.mesh_axis,
+                    deterministic=det,
+                )
+                return jax.tree.map(
+                    lambda v: jax.lax.pmean(v, model_axis), m)
+
+            return jax.jit(_shard_map(
+                eval_local, self.mesh,
+                in_specs=(state_spec.policy_params, P()),
+                out_specs=P(),
+            ))
+
+        self._train_epoch = jax.jit(_shard_map(
+            epoch_local, self.mesh,
+            in_specs=(state_spec, P()),
+            out_specs=(state_spec, P()),
+        ))
+        self._evaluate = make_eval(False)
+        self._evaluate_det = make_eval(True)
+        self.backend = backend
+        self.state = state
+
+    def _check_dp_divisibility(self, dp_size: int):
+        cfg = self.cfg
+        if cfg.n_envs % dp_size or cfg.minibatch_size % dp_size \
+                or cfg.eval_envs % dp_size:
+            raise ValueError(
+                "n_envs, minibatch_size, eval_envs must divide dp size")
+
+    # -- tensor parallelism (parallel/tp.py) ---------------------------------
+
+    def _init_tp(self, full_state: ppo.TrainState, mesh: Optional[Mesh]):
+        """Megatron column/row sharding of both MLPs over a 'tp' axis:
+        rollouts and minibatches shard over 'dp' exactly as in pure data
+        parallelism; every MLP forward/backward runs tensor-parallel
+        (activations replicated within a tp group, weights not)."""
         from ppoc_tpu.parallel import tp as tp_mod
 
         cfg = self.cfg
         tp_size = cfg.tp_size
-        if mesh is None:
-            devices = jax.devices()
-            if len(devices) % tp_size:
-                raise ValueError(f"{len(devices)} devices not divisible by tp_size {tp_size}")
-            dp_size = len(devices) // tp_size
-            mesh = Mesh(np.asarray(devices).reshape(dp_size, tp_size),
-                        (cfg.mesh_axis, "tp"))
-        else:
-            if mesh.axis_names != (cfg.mesh_axis, "tp"):
-                raise ValueError(f"tp mode needs a ({cfg.mesh_axis!r}, 'tp') mesh, got {mesh.axis_names}")
-            if mesh.shape["tp"] != tp_size:
-                raise ValueError(
-                    f"mesh 'tp' axis has {mesh.shape['tp']} devices but "
-                    f"cfg.tp_size is {tp_size}"
-                )
-            dp_size = mesh.shape[cfg.mesh_axis]
-        self.mesh = mesh
-        if cfg.n_envs % dp_size or cfg.minibatch_size % dp_size or cfg.eval_envs % dp_size:
-            raise ValueError("n_envs, minibatch_size, eval_envs must divide dp size")
-
-        tp_backend = "tp:tp"
-
-        def pack_list(lst):
-            return tp_mod.pack_mlp(lst, tp_size)[0]
+        dp_size = self._build_mp_mesh(mesh, "tp", tp_size)
+        self._check_dp_divisibility(dp_size)
 
         def pack_state(ts: ppo.TrainState):
-            return _map_train_state(ts, pack_list)
+            return _map_train_state(
+                ts, lambda lst: tp_mod.pack_mlp(lst, tp_size)[0])
 
         mlp_specs = tp_mod.pack_mlp(full_state.policy_params["mlp"], tp_size)[1]
         v_specs = tp_mod.pack_mlp(full_state.v_params, tp_size)[1]
-        pol_spec = dict({k: P() for k in full_state.policy_params})
+        pol_spec = {k: P() for k in full_state.policy_params}
         pol_spec["mlp"] = mlp_specs
-        self._state_spec = ppo.TrainState(
+        state_spec = ppo.TrainState(
             policy_params=pol_spec,
             v_params=v_specs,
             opt_policy=full_state.opt_policy._replace(
@@ -251,73 +337,29 @@ class Trainer:
             opt_log_std=jax.tree.map(lambda _: P(), full_state.opt_log_std),
         )
 
-        def unpack_local(ts: ppo.TrainState) -> ppo.TrainState:
-            return _map_train_state(ts, tp_mod.unpack_mlp_local)
+        def unpack_policy(pol_packed):
+            pol = dict(pol_packed)
+            pol["mlp"] = tp_mod.unpack_mlp_local(pol_packed["mlp"])
+            return pol
 
-        def repack_local(ts: ppo.TrainState) -> ppo.TrainState:
-            return _map_train_state(ts, tp_mod.repack_mlp_local)
+        self._finalize_mp(
+            pack_state(full_state), dp_size, "tp", "tp:tp", state_spec,
+            unpack_local=lambda ts: _map_train_state(ts, tp_mod.unpack_mlp_local),
+            repack_local=lambda ts: _map_train_state(ts, tp_mod.repack_mlp_local),
+            unpack_policy=unpack_policy,
+            pack_state=pack_state,
+            unshard=lambda packed: _map_train_state(packed, tp_mod.unshard_packed),
+        )
 
-        self._tp_unshard = lambda packed: _map_train_state(
-            packed, tp_mod.unshard_packed)
-        self._tp_pack = pack_state
-        self._tp_ctx = (dp_size, unpack_local, repack_local)
-        self._pack_state = pack_state
-        self._unshard_state = lambda s: self._tp_unshard(s)
-
-        def epoch_local(ts_packed, key):
-            ts2, metrics = ppo.train_epoch(
-                cfg, self.env, unpack_local(ts_packed), key,
-                axis_name=cfg.mesh_axis,
-                n_envs=cfg.n_envs // dp_size,
-                mb_size=cfg.minibatch_size // dp_size,
-                backend=tp_backend,
-            )
-            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "tp"), metrics)
-            return repack_local(ts2), metrics
-
-        def make_eval(det):
-            def eval_local(pol_packed, key):
-                pol = dict(pol_packed)
-                pol["mlp"] = tp_mod.unpack_mlp_local(pol_packed["mlp"])
-                m = ppo.evaluate(
-                    cfg, self.env, pol, key, backend=tp_backend,
-                    n_envs=cfg.eval_envs // dp_size, axis_name=cfg.mesh_axis,
-                    deterministic=det,
-                )
-                return jax.tree.map(lambda v: jax.lax.pmean(v, "tp"), m)
-
-            return jax.jit(_shard_map(
-                eval_local, mesh,
-                in_specs=(self._state_spec.policy_params, P()),
-                out_specs=P(),
-            ))
-
-        self._train_epoch = jax.jit(_shard_map(
-            epoch_local, mesh,
-            in_specs=(self._state_spec, P()),
-            out_specs=(self._state_spec, P()),
-        ))
-        self._evaluate = make_eval(False)
-        self._evaluate_det = make_eval(True)
-        self.backend = tp_backend
-        self.state = pack_state(full_state)
-
-    # -- pipeline-parallel mode (2-D dp x pp mesh) --------------------------
+    # -- pipeline parallelism (parallel/pp.py) -------------------------------
 
     def _init_pp(self, full_state: ppo.TrainState, mesh: Optional[Mesh]):
-        """Build the (dp, pp) mesh, pack both MLPs into per-stage padded
-        layer stacks (parallel/pp.py StageParams, placed P("pp")), and wrap
-        train/eval in shard_map.
-
-        Inside the mesh, rollouts and minibatches shard over 'dp' exactly as
-        in pure data parallelism; every MLP forward/backward runs the GPipe
-        microbatch pipeline over 'pp' — activations ride ppermute between
-        stages, gradients arrive per-stage, and the three Adam states update
-        stage-locally (padded-lane gradients are identically zero).
-        Integration standard mirrors _init_tp (VERDICT r1 next #1).
-        """
-        import numpy as np
-
+        """GPipe pipeline over a 'pp' axis: both MLPs pack into per-stage
+        padded layer stacks (StageParams, placed P("pp")); activations ride
+        ppermute between stages, gradients arrive per-stage, and the three
+        Adam states update stage-locally (padded-lane gradients are
+        identically zero).  Integration standard mirrors TP (VERDICT r1
+        next #1)."""
         from ppoc_tpu.parallel import pp as pp_mod
 
         cfg = self.cfg
@@ -328,28 +370,7 @@ class Trainer:
                 f"{n_layers} MLP layers (hidden={cfg.hidden}) do not "
                 f"partition into pp_size={S} contiguous stages"
             )
-        if mesh is None:
-            devices = jax.devices()
-            if len(devices) % S:
-                raise ValueError(
-                    f"{len(devices)} devices not divisible by pp_size {S}"
-                )
-            dp_size = len(devices) // S
-            mesh = Mesh(np.asarray(devices).reshape(dp_size, S),
-                        (cfg.mesh_axis, "pp"))
-        else:
-            if mesh.axis_names != (cfg.mesh_axis, "pp"):
-                raise ValueError(
-                    f"pp mode needs a ({cfg.mesh_axis!r}, 'pp') mesh, got "
-                    f"{mesh.axis_names}"
-                )
-            if mesh.shape["pp"] != S:
-                raise ValueError(
-                    f"mesh 'pp' axis has {mesh.shape['pp']} devices but "
-                    f"cfg.pp_size is {S}"
-                )
-            dp_size = mesh.shape[cfg.mesh_axis]
-        self.mesh = mesh
+        dp_size = self._build_mp_mesh(mesh, "pp", S)
         M = cfg.pp_microbatches or S
         for nm, val in (("n_envs", cfg.n_envs),
                         ("minibatch_size", cfg.minibatch_size),
@@ -361,10 +382,6 @@ class Trainer:
                     f"({val // dp_size if val % dp_size == 0 else '?'}) must "
                     f"be divisible by the {M} GPipe microbatches"
                 )
-        pp_backend = f"pp:pp:{M}"
-
-        def pack_list(lst):
-            return pp_mod.pack_pp(lst, S)[0]
 
         def pack_moment(lst):
             # Adam m/v follow the StageParams layout, but their 'act' child
@@ -377,13 +394,14 @@ class Trainer:
             )
 
         def pack_state(ts: ppo.TrainState) -> ppo.TrainState:
-            return _map_train_state(ts, pack_list, pack_moment)
+            return _map_train_state(
+                ts, lambda lst: pp_mod.pack_pp(lst, S)[0], pack_moment)
 
         mlp_spec = pp_mod.pack_pp(full_state.policy_params["mlp"], S)[1]
         v_spec = pp_mod.pack_pp(full_state.v_params, S)[1]
         pol_spec = {k: P() for k in full_state.policy_params}
         pol_spec["mlp"] = mlp_spec
-        self._state_spec = ppo.TrainState(
+        state_spec = ppo.TrainState(
             policy_params=pol_spec,
             v_params=v_spec,
             opt_policy=full_state.opt_policy._replace(
@@ -392,105 +410,39 @@ class Trainer:
             opt_log_std=jax.tree.map(lambda _: P(), full_state.opt_log_std),
         )
 
-        def unpack_local(ts: ppo.TrainState) -> ppo.TrainState:
-            return _map_train_state(ts, pp_mod.unpack_pp_local)
+        def unpack_policy(pol_packed):
+            pol = dict(pol_packed)
+            pol["mlp"] = pp_mod.unpack_pp_local(pol_packed["mlp"])
+            return pol
 
-        def repack_local(ts: ppo.TrainState) -> ppo.TrainState:
-            return _map_train_state(ts, pp_mod.repack_pp_local)
+        self._finalize_mp(
+            pack_state(full_state), dp_size, "pp", f"pp:pp:{M}", state_spec,
+            unpack_local=lambda ts: _map_train_state(ts, pp_mod.unpack_pp_local),
+            repack_local=lambda ts: _map_train_state(ts, pp_mod.repack_pp_local),
+            unpack_policy=unpack_policy,
+            pack_state=pack_state,
+            unshard=lambda packed: _map_train_state(packed, pp_mod.unshard_pp),
+        )
 
-        def unshard(packed: ppo.TrainState) -> ppo.TrainState:
-            return _map_train_state(packed, pp_mod.unshard_pp)
-
-        self._pack_state = pack_state
-        self._unshard_state = unshard
-        self._pp_ctx = (dp_size, unpack_local, repack_local)
-
-        def epoch_local(ts_packed, key):
-            ts2, metrics = ppo.train_epoch(
-                cfg, self.env, unpack_local(ts_packed), key,
-                axis_name=cfg.mesh_axis,
-                n_envs=cfg.n_envs // dp_size,
-                mb_size=cfg.minibatch_size // dp_size,
-                backend=pp_backend,
-            )
-            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "pp"), metrics)
-            return repack_local(ts2), metrics
-
-        def make_eval(det):
-            def eval_local(pol_packed, key):
-                pol = dict(pol_packed)
-                pol["mlp"] = pp_mod.unpack_pp_local(pol_packed["mlp"])
-                m = ppo.evaluate(
-                    cfg, self.env, pol, key, backend=pp_backend,
-                    n_envs=cfg.eval_envs // dp_size, axis_name=cfg.mesh_axis,
-                    deterministic=det,
-                )
-                return jax.tree.map(lambda v: jax.lax.pmean(v, "pp"), m)
-
-            return jax.jit(_shard_map(
-                eval_local, mesh,
-                in_specs=(self._state_spec.policy_params, P()),
-                out_specs=P(),
-            ))
-
-        self._train_epoch = jax.jit(_shard_map(
-            epoch_local, mesh,
-            in_specs=(self._state_spec, P()),
-            out_specs=(self._state_spec, P()),
-        ))
-        self._evaluate = make_eval(False)
-        self._evaluate_det = make_eval(True)
-        self.backend = pp_backend
-        self.state = pack_state(full_state)
-
-    # -- expert-parallel mode (2-D dp x ep mesh) ----------------------------
+    # -- expert parallelism (parallel/ep.py) ---------------------------------
 
     def _init_ep(self, full_state: ppo.TrainState, mesh: Optional[Mesh]):
-        """Build the (dp, ep) mesh and wrap train/eval in shard_map with the
-        MoE trunk's expert leaves placed P("ep") (parallel/ep.py).
+        """MoE trunks with the stacked expert leaves placed P("ep").
 
         Unlike TP/PP there is no pack/unpack: the stacked expert layout
-        ([E, ...] leading dim) IS the sharded layout, so the live state stays
-        logical, shard_map's in_specs slice E -> E/ep on entry, and
+        ([E, ...] leading dim) IS the sharded layout, so the live state
+        stays logical, shard_map's in_specs slice E -> E/ep on entry, and
         checkpoints are interchangeable with single-device MoE runs as-is.
-        Inside the mesh, rollouts and minibatches shard over 'dp' exactly as
-        in pure data parallelism; every trunk forward computes the rank's
-        local experts on the replicated batch and psums the mixture over
-        'ep' (models/moe.apply); the replicated router's partial gradients
-        are summed over 'ep' by shard_map's own pvary transpose (see
-        parallel/ep.py module docstring).
-        """
-        import numpy as np
-
+        Every trunk forward computes the rank's local experts on the
+        replicated batch and psums the mixture over 'ep' (models/moe.apply);
+        the replicated router's partial gradients are summed over 'ep' by
+        shard_map's own pvary transpose (see parallel/ep.py)."""
         from ppoc_tpu.models import mlp as mlp_mod
         from ppoc_tpu.parallel import ep as ep_mod
 
         cfg = self.cfg
-        S = cfg.ep_size
-        if mesh is None:
-            devices = jax.devices()
-            if len(devices) % S:
-                raise ValueError(
-                    f"{len(devices)} devices not divisible by ep_size {S}"
-                )
-            dp_size = len(devices) // S
-            mesh = Mesh(np.asarray(devices).reshape(dp_size, S),
-                        (cfg.mesh_axis, "ep"))
-        else:
-            if mesh.axis_names != (cfg.mesh_axis, "ep"):
-                raise ValueError(
-                    f"ep mode needs a ({cfg.mesh_axis!r}, 'ep') mesh, got "
-                    f"{mesh.axis_names}"
-                )
-            if mesh.shape["ep"] != S:
-                raise ValueError(
-                    f"mesh 'ep' axis has {mesh.shape['ep']} devices but "
-                    f"cfg.ep_size is {S}"
-                )
-            dp_size = mesh.shape[cfg.mesh_axis]
-        self.mesh = mesh
-        if cfg.n_envs % dp_size or cfg.minibatch_size % dp_size or cfg.eval_envs % dp_size:
-            raise ValueError("n_envs, minibatch_size, eval_envs must divide dp size")
+        dp_size = self._build_mp_mesh(mesh, "ep", cfg.ep_size)
+        self._check_dp_divisibility(dp_size)
 
         base = "bf16" if self.backend == "bf16" else "jnp"
         ep_backend = mlp_mod.moe_backend(base, cfg.moe_topk, ep_axis="ep")
@@ -499,7 +451,7 @@ class Trainer:
         trunk_spec_v = ep_mod.trunk_spec(full_state.v_params, "ep")
         pol_spec = {k: P() for k in full_state.policy_params}
         pol_spec["mlp"] = trunk_spec_pi
-        self._state_spec = ppo.TrainState(
+        state_spec = ppo.TrainState(
             policy_params=pol_spec,
             v_params=trunk_spec_v,
             opt_policy=full_state.opt_policy._replace(
@@ -508,43 +460,8 @@ class Trainer:
                 m=trunk_spec_v, v=trunk_spec_v, t=P()),
             opt_log_std=jax.tree.map(lambda _: P(), full_state.opt_log_std),
         )
-        self._ep_dp = dp_size
 
-        def epoch_local(ts, key):
-            ts2, metrics = ppo.train_epoch(
-                cfg, self.env, ts, key,
-                axis_name=cfg.mesh_axis,
-                n_envs=cfg.n_envs // dp_size,
-                mb_size=cfg.minibatch_size // dp_size,
-                backend=ep_backend,
-            )
-            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "ep"), metrics)
-            return ts2, metrics
-
-        def make_eval(det):
-            def eval_local(pol, key):
-                m = ppo.evaluate(
-                    cfg, self.env, pol, key, backend=ep_backend,
-                    n_envs=cfg.eval_envs // dp_size, axis_name=cfg.mesh_axis,
-                    deterministic=det,
-                )
-                return jax.tree.map(lambda v: jax.lax.pmean(v, "ep"), m)
-
-            return jax.jit(_shard_map(
-                eval_local, mesh,
-                in_specs=(self._state_spec.policy_params, P()),
-                out_specs=P(),
-            ))
-
-        self._train_epoch = jax.jit(_shard_map(
-            epoch_local, mesh,
-            in_specs=(self._state_spec, P()),
-            out_specs=(self._state_spec, P()),
-        ))
-        self._evaluate = make_eval(False)
-        self._evaluate_det = make_eval(True)
-        self.backend = ep_backend
-        self.state = full_state
+        self._finalize_mp(full_state, dp_size, "ep", ep_backend, state_spec)
 
     # -- public API ---------------------------------------------------------
 
@@ -647,8 +564,10 @@ class Trainer:
             self._solve_fn = None
         self._solve_args = (target_R, max_epochs)
         if self._solve_fn is None:
-            if self.cfg.tp_size > 1:
-                dp_size, unpack_local, repack_local = self._tp_ctx
+            if getattr(self, "_mp_ctx", None) is not None:
+                # any model-parallel mode (tp/pp/ep): one shard_map'd
+                # train_until over the stored 2-D mesh context
+                dp_size, model_axis, unpack_local, repack_local = self._mp_ctx
                 cfg = self.cfg
 
                 def solve_local(ts_packed, key):
@@ -661,54 +580,8 @@ class Trainer:
                         backend=self.backend,
                         eval_envs=cfg.eval_envs // dp_size,
                     )
-                    n = jax.lax.pmax(n, "tp")
-                    R = jax.lax.pmean(R, "tp")
-                    return repack_local(ts), n, R
-
-                self._solve_fn = jax.jit(_shard_map(
-                    solve_local, self.mesh,
-                    in_specs=(self._state_spec, P()),
-                    out_specs=(self._state_spec, P(), P()),
-                ))
-            elif self.cfg.ep_size > 1:
-                dp_size = self._ep_dp
-                cfg = self.cfg
-
-                def solve_local(ts, key):
-                    ts, n, R = ppo.train_until(
-                        cfg, self.env, ts, key,
-                        target_R=target_R, max_epochs=max_epochs,
-                        axis_name=cfg.mesh_axis,
-                        n_envs=cfg.n_envs // dp_size,
-                        mb_size=cfg.minibatch_size // dp_size,
-                        backend=self.backend,
-                        eval_envs=cfg.eval_envs // dp_size,
-                    )
-                    n = jax.lax.pmax(n, "ep")
-                    R = jax.lax.pmean(R, "ep")
-                    return ts, n, R
-
-                self._solve_fn = jax.jit(_shard_map(
-                    solve_local, self.mesh,
-                    in_specs=(self._state_spec, P()),
-                    out_specs=(self._state_spec, P(), P()),
-                ))
-            elif self.cfg.pp_size > 1:
-                dp_size, unpack_local, repack_local = self._pp_ctx
-                cfg = self.cfg
-
-                def solve_local(ts_packed, key):
-                    ts, n, R = ppo.train_until(
-                        cfg, self.env, unpack_local(ts_packed), key,
-                        target_R=target_R, max_epochs=max_epochs,
-                        axis_name=cfg.mesh_axis,
-                        n_envs=cfg.n_envs // dp_size,
-                        mb_size=cfg.minibatch_size // dp_size,
-                        backend=self.backend,
-                        eval_envs=cfg.eval_envs // dp_size,
-                    )
-                    n = jax.lax.pmax(n, "pp")
-                    R = jax.lax.pmean(R, "pp")
+                    n = jax.lax.pmax(n, model_axis)
+                    R = jax.lax.pmean(R, model_axis)
                     return repack_local(ts), n, R
 
                 self._solve_fn = jax.jit(_shard_map(
