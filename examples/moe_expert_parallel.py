@@ -34,6 +34,7 @@ Trainer(cfg).train()
 Trainer(cfg.replace(moe_topk=2)).train(n_epochs=2)
 
 # 2-D mesh: data parallel x expert parallel (experts sharded P("ep"),
-# router replicated; checkpoints interchange with the runs above)
+# router replicated; ep checkpoints interchange with single-device
+# trainers of the SAME n_experts — this run uses 8, the ones above 4)
 if len(jax.devices()) >= 4:
     Trainer(cfg.replace(n_experts=8, moe_topk=2, ep_size=2)).train(n_epochs=2)

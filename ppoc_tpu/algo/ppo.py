@@ -356,8 +356,7 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
             )
             return ts._replace(v_params=v2, opt_v=opt2), loss
     n_rows = buf.obs.shape[0]
-    aux_coeff = cfg.moe_aux_coeff if _moe.is_moe(ts.v_params) else 0.0
-    moe_topk = mlp._parse_moe_backend(backend)[1] if aux_coeff else 0
+    aux_coeff, moe_topk = _moe.aux_setup(cfg, ts.v_params, backend)
 
     def loss_fn(v_params, o, t):
         v = mlp.apply(v_params, o, cfg.activation, backend)[..., 0]
@@ -419,9 +418,7 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
             return ts._replace(policy_params=pol2, opt_policy=opt_p2,
                                opt_log_std=opt_ls2), loss, ent
 
-    aux_coeff = (cfg.moe_aux_coeff
-                 if _moe.is_moe(ts.policy_params["mlp"]) else 0.0)
-    moe_topk = mlp._parse_moe_backend(backend)[1] if aux_coeff else 0
+    aux_coeff, moe_topk = _moe.aux_setup(cfg, ts.policy_params["mlp"], backend)
 
     def loss_fn(policy_params, o, a, lp_old, adv):
         logp = policy_mod.log_prob(policy_params, o, a, cfg.activation, backend, discrete)

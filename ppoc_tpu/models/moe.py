@@ -52,6 +52,21 @@ def is_moe(params) -> bool:
     return isinstance(params, dict) and "experts" in params
 
 
+def aux_setup(cfg, params, backend: str) -> Tuple[float, int]:
+    """-> (load-balance aux coefficient, router top-k) for one update phase.
+
+    (0.0, 0) for non-MoE trunks or moe_aux_coeff=0; otherwise the top-k is
+    decoded from the backend string so the aux loss sees the same gating the
+    forward pass uses.  Shared by the value and policy phases (algo/ppo.py)
+    so the gating condition can never drift between them.
+    """
+    from ppoc_tpu.models import mlp
+
+    coeff = cfg.moe_aux_coeff if is_moe(params) else 0.0
+    topk = mlp._parse_moe_backend(backend)[1] if coeff else 0
+    return coeff, topk
+
+
 def init(key: jax.Array, sizes: Sequence[int], n_experts: int) -> MoEParams:
     """Router + ``n_experts`` stacked expert MLPs over the layer-size list
     ``sizes`` (e.g. [obs, 128, 128, act])."""

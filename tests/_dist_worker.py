@@ -83,13 +83,19 @@ def main() -> int:
         from ppoc_tpu.algo.trainer import Trainer
         n_dev = len(jax.devices())
         assert n_dev == 4 * n_proc, f"expected {4 * n_proc} devices, got {n_dev}"
+        # ep_size = ALL devices so the one ep group spans both processes:
+        # with ep_size=4 the process-major device order would put each ep
+        # group entirely inside one host and nothing would cross DCN
         cfg = PPOConfig(env="simple", n_envs=2 * n_dev, rollout_len=15,
                         minibatch_size=2 * n_dev, fits_per_epoch=2,
                         eval_envs=2 * n_dev, eval_len=15,
                         hidden=(16, 16), kernel_backend="jnp",
-                        n_experts=4, moe_topk=2, ep_size=4)
+                        n_experts=n_dev, moe_topk=2, ep_size=n_dev)
         tr = Trainer(cfg)  # builds the (dp, ep) mesh over global devices
-        assert dict(tr.mesh.shape) == {"dp": n_dev // 4, "ep": 4}
+        assert dict(tr.mesh.shape) == {"dp": 1, "ep": n_dev}
+        ep_procs = {d.process_index
+                    for d in tr.mesh.devices.ravel()}
+        assert len(ep_procs) == n_proc, "ep axis must span every process"
         hist = tr.train(n_epochs=2, log=False)
         r = hist[-1]["R"]
         v = hist[-1]["value_loss"]
