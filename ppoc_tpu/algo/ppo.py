@@ -119,7 +119,21 @@ def init_train_state(cfg: PPOConfig, env: Env, key: jax.Array) -> TrainState:
 
     k_pi, k_v = jax.random.split(key)
     spec = env.spec
-    if cfg.n_experts > 1:
+    if cfg.rnn_hidden > 0:
+        from ppoc_tpu.models import gru
+
+        policy_params = {
+            "mlp": gru.init(
+                k_pi, spec.obs_dim, cfg.rnn_hidden,
+                (cfg.rnn_hidden, *cfg.hidden, spec.action_dim))
+        }
+        if not spec.discrete:
+            policy_params["log_std"] = jnp.full(
+                (spec.action_dim,), math.log(cfg.init_std), jnp.float32
+            )
+        v_params = gru.init(k_v, spec.obs_dim, cfg.rnn_hidden,
+                            (cfg.rnn_hidden, *cfg.hidden, 1))
+    elif cfg.n_experts > 1:
         from ppoc_tpu.models import moe
 
         policy_params = {
@@ -182,6 +196,25 @@ def rollout(
     kernel when ``v_params`` is given and the shape fits (else ``None``),
     letting compute_advantages skip its two whole-buffer forwards.
     """
+    from ppoc_tpu.models import gru as _gru
+
+    if _gru.is_rnn(policy_params["mlp"]):
+        # recurrent trunk: hidden-state-threaded scan (algo/recurrent.py)
+        from ppoc_tpu.algo import recurrent
+
+        if env_carry is not None:
+            raise ValueError(
+                "recurrent rollouts always start from a fresh window "
+                "(h0 = 0); reset_per_fit=False is not supported with "
+                "rnn_hidden > 0"
+            )
+        traj, final_carry = recurrent.rollout_rnn(
+            cfg, env, policy_params, key, n_envs, length, axis_name,
+            force_truncate=force_truncate, deterministic=deterministic,
+        )
+        return (traj, final_carry, None) if return_values \
+            else (traj, final_carry)
+
     # the whole-rollout kernel also serves the bf16 backend (its in-kernel
     # f32 matmuls are tiny; the bf16 win is in the large-batch update
     # phases, which stay on XLA); it always samples stochastically, so
@@ -494,6 +527,27 @@ def update_step(
     n_mb = cfg.num_minibatches  # identical globally and per shard
     k_val, k_pol = jax.random.split(key)
 
+    from ppoc_tpu.models import gru as _gru
+
+    if _gru.is_rnn(ts.v_params):
+        # recurrent trunks: values from the time scan, then sequence
+        # minibatches with BPTT (algo/recurrent.py); row shuffling would
+        # destroy the history the GRU needs
+        from ppoc_tpu.algo import recurrent
+
+        vpair = recurrent.compute_values_rnn(cfg, ts.v_params, traj)
+        adv, target = compute_advantages(
+            cfg, env, ts.v_params, traj, axis_name, "jnp", vpair)
+        ts, v_loss = recurrent.value_phase_rnn(
+            cfg, ts, traj, target, k_val, axis_name, mb_size)
+        ts, p_loss, ent = recurrent.policy_phase_rnn(
+            cfg, env, ts, traj, adv, k_pol, axis_name, mb_size)
+        mean_rew = _pmean(jnp.mean(traj.reward), axis_name)
+        return ts, FitMetrics(
+            _pmean(v_loss, axis_name), _pmean(p_loss, axis_name),
+            _pmean(ent, axis_name), mean_rew,
+        )
+
     adv, target = compute_advantages(
         cfg, env, ts.v_params, traj, axis_name, backend, values_pair)
     buf = buffer.from_rollout(traj, adv, target)
@@ -700,10 +754,11 @@ def evaluate(
     """
     n_envs = cfg.eval_envs if n_envs is None else n_envs
     key = _device_key(key, axis_name)
-    from ppoc_tpu.models import moe as _moe
+    from ppoc_tpu.models import gru as _gru, moe as _moe
 
     if (backend in ("pallas", "bf16") and axis_name is None
-            and not deterministic and not _moe.is_moe(policy_params["mlp"])):
+            and not deterministic and not _moe.is_moe(policy_params["mlp"])
+            and not _gru.is_rnn(policy_params["mlp"])):
         from ppoc_tpu.ops import pallas_rollout as _pr
 
         if (env.spec.name in _pr.SUPPORTED

@@ -1,0 +1,269 @@
+"""Recurrent PPO: GRU-trunk rollouts and sequence-minibatch update phases.
+
+The reference's nets are stateless MLPs over fully-observed states
+(src/neural_network.cu, src/policy.cu), so its buffer can shuffle
+TRANSITIONS freely (src/trajectory_buffer.cu:126-166).  A recurrent policy
+breaks that: log-probs and values depend on episode history, so the update
+must replay whole sequences.  This module keeps every reference semantic
+that still applies — force-truncated windows, whole-buffer advantage
+normalization, tail-dropped shuffled minibatches, three separate Adams
+(src/ppo.cu:19-25, :355-368, :475-477) — but minibatches are ENV SEQUENCES
+(columns of the [T, E] window) and log-probs/values are recomputed by
+scanning the GRU over time with episode-boundary masking (models/gru.py),
+i.e. truncated BPTT over the rollout window.
+
+TPU shape: everything is `lax.scan` over time inside `lax.scan` over
+minibatches — one jitted program per fit, like the feedforward path
+(algo/ppo.py).  Data parallelism composes unchanged: sequences shard over
+the dp axis with the per-minibatch gradient pmean and the Welford
+normalization psum as the only collectives.
+
+Hidden-state convention (shared by rollout and update, so recomputed
+log-probs match the stored ones bit-for-bit): the hidden feeding step t is
+h_t; the cell consumes (h_t, obs_t) producing h_{t+1} and the step's head
+output; h_{t+1} is zeroed where step t ended its episode (auto-reset lanes
+start fresh).  Windows always start from h_0 = 0 — the trainer requires
+``reset_per_fit=True`` for recurrent configs, so the window start IS an
+episode start in every lane.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ppoc_tpu.config import PPOConfig
+from ppoc_tpu.data import buffer
+from ppoc_tpu.envs.core import Env, vector_autoreset_step, vector_reset
+from ppoc_tpu.models import gru, policy as policy_mod
+from ppoc_tpu.ops import adam, losses
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+def seq_minibatch_plan(n_envs_local: int, rollout_len: int,
+                       mb_size_local: int) -> Tuple[int, int]:
+    """-> (sequences per minibatch, minibatches per epoch).
+
+    ``minibatch_size`` counts TRANSITIONS everywhere else; a recurrent
+    minibatch is whole env-sequences, so the closest plan with the same
+    data volume is floor(mb_size / rollout_len) sequences (>= 1), with the
+    tail of the env axis dropped like the reference's row tail
+    (src/ppo.cu:475-477).
+    """
+    seqs = max(1, min(n_envs_local, mb_size_local // rollout_len))
+    return seqs, n_envs_local // seqs
+
+
+def _gather_seqs(arrs, idx: jax.Array):
+    """Gather env columns (axis 1) of [T, E, ...] planes."""
+    return jax.tree.map(lambda a: jnp.take(a, idx, axis=1), arrs)
+
+
+# --------------------------------------------------------------------------
+# rollout
+# --------------------------------------------------------------------------
+
+def rollout_rnn(
+    cfg: PPOConfig,
+    env: Env,
+    policy_params: Dict[str, Any],
+    key: jax.Array,
+    n_envs: int,
+    length: int,
+    axis_name: Optional[str] = None,
+    force_truncate: bool = True,
+    deterministic: bool = False,
+):
+    """Collect [length, n_envs] transitions with a GRU policy.
+
+    Mirrors ppo.rollout (collect_trajectories, src/ppo.cu:54-79) with the
+    policy hidden state threaded through the scan and zeroed in lanes whose
+    episode ended (the recurrent analogue of the auto-reset).
+    Returns (Transition, final (env_state, obs, hidden) carry).
+    """
+    from ppoc_tpu.algo import ppo as ppo_mod
+
+    trunk = policy_params["mlp"]
+    discrete = env.spec.discrete
+    k_reset, k_scan = jax.random.split(key)
+    env_state, obs = ppo_mod._pvary(
+        vector_reset(env, k_reset, n_envs), axis_name)
+    h0 = gru.initial_state(trunk, (n_envs,))
+    if axis_name is not None:
+        h0 = ppo_mod._pvary(h0, axis_name)
+
+    def step_fn(carry, key_t):
+        env_state, obs, h = carry
+        k_act, k_env = jax.random.split(key_t)
+        h2, out = gru.step(trunk, h, obs, cfg.activation)
+        if discrete:
+            if deterministic:
+                a_idx = jnp.argmax(out, axis=-1)
+            else:
+                a_idx = jax.random.categorical(k_act, out, axis=-1)
+            logp = jnp.take_along_axis(
+                jax.nn.log_softmax(out, axis=-1), a_idx[..., None], axis=-1
+            )[..., 0]
+            action = a_idx[..., None].astype(jnp.int32)
+        else:
+            log_std = policy_params["log_std"]
+            if deterministic:
+                action = out
+            else:
+                eps = jax.random.normal(k_act, out.shape, out.dtype)
+                action = out + eps * jnp.exp(log_std)
+            logp = policy_mod.gaussian_log_prob_from_mean(out, log_std, action)
+        env_state2, obs2, next_obs, reward, term, trunc = \
+            vector_autoreset_step(env, env_state, action, k_env)
+        done = jnp.logical_or(term, trunc)
+        h_next = h2 * jnp.logical_not(done)[..., None].astype(h2.dtype)
+        tr = ppo_mod.Transition(obs, action, logp, next_obs, reward, term, trunc)
+        return (env_state2, obs2, h_next), tr
+
+    keys = jax.random.split(k_scan, length)
+    final_carry, traj = jax.lax.scan(step_fn, (env_state, obs, h0), keys)
+    if force_truncate:
+        last_trunc = jnp.logical_or(
+            traj.truncated[-1], jnp.logical_not(traj.terminated[-1])
+        )
+        traj = traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
+    return traj, final_carry
+
+
+# --------------------------------------------------------------------------
+# values / log-probs over stored windows
+# --------------------------------------------------------------------------
+
+def compute_values_rnn(
+    cfg: PPOConfig, v_params, traj
+) -> Tuple[jax.Array, jax.Array]:
+    """(V(s_t), V(s'_t)) planes [T, E] for GAE with a recurrent value net.
+
+    Replaces the two whole-buffer MLP forwards (src/ppo.cu:267-274) with one
+    time scan: V(s'_t) is evaluated under the hidden state reached AFTER
+    s_t — the history the critic would actually have at t+1.
+    """
+    done = jnp.logical_or(traj.terminated, traj.truncated)
+    # zero state derived from the (possibly device-varying) observations —
+    # see gru.apply_seq
+    h0 = (gru.initial_state(v_params, traj.obs.shape[1:-1])
+          + 0.0 * traj.obs[0, ..., :1])
+
+    def body(h, inp):
+        obs_t, next_obs_t, done_t = inp
+        h2 = gru.cell_step(v_params, h, obs_t)
+        v_t = gru.head_apply(v_params, h2, cfg.activation)[..., 0]
+        h_next = gru.cell_step(v_params, h2, next_obs_t)
+        nv_t = gru.head_apply(v_params, h_next, cfg.activation)[..., 0]
+        keep = jnp.logical_not(done_t)[..., None].astype(h2.dtype)
+        return h2 * keep, (v_t, nv_t)
+
+    _, (values, next_values) = jax.lax.scan(
+        body, h0, (traj.obs, traj.next_obs, done))
+    return values, next_values
+
+
+def policy_log_probs_rnn(cfg: PPOConfig, policy_params, obs, action, done,
+                         discrete: bool) -> Tuple[jax.Array, jax.Array]:
+    """(log-probs [T, B], mean entropy) of stored actions under the current
+    recurrent policy, replayed from h0=0 with episode-boundary masking —
+    identical recurrence to rollout_rnn, so at epoch 0 the ratios are
+    exactly 1."""
+    out = gru.apply_seq(policy_params["mlp"], obs, done, cfg.activation)
+    if discrete:
+        logp_all = jax.nn.log_softmax(out, axis=-1)
+        logp = jnp.take_along_axis(
+            logp_all, action.astype(jnp.int32), axis=-1)[..., 0]
+        ent = jnp.mean(-jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1))
+        return logp, ent
+    log_std = policy_params["log_std"]
+    logp = policy_mod.gaussian_log_prob_from_mean(out, log_std, action)
+    k = action.shape[-1]
+    ent = 0.5 * k * (1.0 + LOG_2PI) + jnp.sum(log_std)
+    return logp, ent
+
+
+# --------------------------------------------------------------------------
+# update phases (sequence minibatches)
+# --------------------------------------------------------------------------
+
+def value_phase_rnn(cfg: PPOConfig, ts, traj, target: jax.Array, key,
+                    axis_name: Optional[str], mb_size: int):
+    """n_epochs_value shuffled passes fitting the recurrent V
+    (src/ppo.cu:491-510 with sequence minibatches)."""
+    from ppoc_tpu.algo import ppo as ppo_mod
+
+    T, E = target.shape
+    done = jnp.logical_or(traj.terminated, traj.truncated)
+    seqs, n_mb = seq_minibatch_plan(E, T, mb_size)
+
+    def loss_fn(v_params, o, d, t):
+        v = gru.apply_seq(v_params, o, d, cfg.activation)[..., 0]
+        return losses.value_loss(v, t)
+
+    def mb_step(carry, idx):
+        v_params, opt_v = carry
+        o, d, t = _gather_seqs((traj.obs, done, target), idx)
+        loss, grads = jax.value_and_grad(loss_fn)(v_params, o, d, t)
+        grads = ppo_mod._pmean(grads, axis_name)
+        v_params, opt_v = adam.update(
+            v_params, grads, opt_v, cfg.lr_v,
+            cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
+        return (v_params, opt_v), loss
+
+    def epoch(carry, key_e):
+        return buffer.epoch_scan(key_e, E, n_mb, seqs, mb_step, carry)
+
+    keys = jax.random.split(key, cfg.n_epochs_value)
+    (v_params, opt_v), losses_ = jax.lax.scan(
+        epoch, (ts.v_params, ts.opt_v), keys)
+    return ts._replace(v_params=v_params, opt_v=opt_v), jnp.mean(losses_)
+
+
+def policy_phase_rnn(cfg: PPOConfig, env: Env, ts, traj, adv: jax.Array, key,
+                     axis_name: Optional[str], mb_size: int):
+    """n_epochs_policy shuffled passes on the clipped surrogate
+    (src/ppo.cu:512-533 with sequence minibatches + BPTT)."""
+    from ppoc_tpu.algo import ppo as ppo_mod
+
+    T, E = adv.shape
+    discrete = env.spec.discrete
+    done = jnp.logical_or(traj.terminated, traj.truncated)
+    seqs, n_mb = seq_minibatch_plan(E, T, mb_size)
+
+    def loss_fn(policy_params, o, a, d, lp_old, ad):
+        logp, ent = policy_log_probs_rnn(cfg, policy_params, o, a, d, discrete)
+        surrogate = losses.clipped_surrogate_loss(logp, lp_old, ad, cfg.clip_eps)
+        return surrogate - cfg.ent_coeff * ent, ent
+
+    def mb_step(carry, idx):
+        policy_params, opt_policy, opt_log_std = carry
+        o, a, d, lp, ad = _gather_seqs(
+            (traj.obs, traj.action, done, traj.log_prob, adv), idx)
+        (loss, ent), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            policy_params, o, a, d, lp, ad)
+        grads = ppo_mod._pmean(grads, axis_name)
+        new_mlp, opt_policy = adam.update(
+            policy_params["mlp"], grads["mlp"], opt_policy,
+            cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
+        new_params = dict(policy_params)
+        new_params["mlp"] = new_mlp
+        if "log_std" in policy_params:
+            new_log_std, opt_log_std = adam.update(
+                policy_params["log_std"], grads["log_std"], opt_log_std,
+                cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
+            new_params["log_std"] = new_log_std
+        return (new_params, opt_policy, opt_log_std), (loss, ent)
+
+    def epoch(carry, key_e):
+        return buffer.epoch_scan(key_e, E, n_mb, seqs, mb_step, carry)
+
+    keys = jax.random.split(key, cfg.n_epochs_policy)
+    (policy_params, opt_policy, opt_log_std), (losses_, ents) = jax.lax.scan(
+        epoch, (ts.policy_params, ts.opt_policy, ts.opt_log_std), keys)
+    ts = ts._replace(policy_params=policy_params, opt_policy=opt_policy,
+                     opt_log_std=opt_log_std)
+    return ts, jnp.mean(losses_), jnp.mean(ents)

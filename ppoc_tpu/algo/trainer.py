@@ -97,6 +97,23 @@ class Trainer:
         self._unshard_state = lambda s: s
         self._mp_ctx = None  # set by _finalize_mp in tp/pp/ep modes
 
+        if cfg.rnn_hidden > 0:
+            if cfg.n_experts > 1 or cfg.tp_size > 1 or cfg.pp_size > 1 \
+                    or cfg.ep_size > 1:
+                raise ValueError(
+                    "rnn_hidden > 0 (recurrent trunks) cannot combine with "
+                    "n_experts/tp_size/pp_size/ep_size; recurrent training "
+                    "shards over the data axis only"
+                )
+            if not cfg.reset_per_fit:
+                raise ValueError(
+                    "rnn_hidden > 0 requires reset_per_fit=True: recurrent "
+                    "updates replay each window from h0=0, so windows must "
+                    "start at episode starts"
+                )
+            # recurrent trunks run the lax.scan path; the dense-MLP pallas/
+            # bf16 kernels don't apply
+            self.backend = "jnp"
         if cfg.tp_size > 1 and cfg.pp_size > 1:
             raise ValueError(
                 "tp_size and pp_size cannot both exceed 1: pick tensor OR "

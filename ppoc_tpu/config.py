@@ -82,6 +82,15 @@ class PPOConfig:
                                   # (models/moe.load_balance_loss); use with
                                   # moe_topk > 0 to keep experts from
                                   # starving
+    rnn_hidden: int = 0           # >0 swaps BOTH trunks for a GRU encoder of
+                                  # this hidden size + the `hidden` MLP head
+                                  # (models/gru.py) — the recurrent model
+                                  # family for partially-observable envs;
+                                  # updates replay whole env sequences
+                                  # (algo/recurrent.py) and minibatch_size
+                                  # counts transitions as usual
+                                  # (floor(mb/rollout_len) sequences per
+                                  # minibatch).  Requires reset_per_fit
     norm_adv_global: bool = True  # normalize advantages over the whole buffer
                                   # (reference: src/ppo.cu:355-368)
     reset_per_fit: bool = True    # reference resets env at every collection

@@ -13,7 +13,8 @@ from . import cartpole as _cartpole  # noqa: F401  (registers "cartpole")
 from . import mountain_car as _mountain_car  # noqa: F401 (registers "mountain_car")
 from . import acrobot as _acrobot    # noqa: F401  (registers "acrobot")
 from . import reacher as _reacher    # noqa: F401  (registers "reacher")
-from . import wrappers as _wrappers  # noqa: F401  (registers "mountain_car_norm")
+from . import wrappers as _wrappers  # noqa: F401  (registers "mountain_car_norm", "pendulum_po")
+from . import recall as _recall      # noqa: F401  (registers "recall")
 
 __all__ = [
     "Env",

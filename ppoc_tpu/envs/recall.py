@@ -1,0 +1,66 @@
+"""Recall: a minimal memory task for the recurrent model family.
+
+No reference counterpart (the reference's envs are fully observed,
+src/env.c, scripts/gym_env.py) — this is the partially-observable analogue
+of the ``simple`` smoke-test env: at reset a random cue bit b in {-1, +1}
+is SHOWN ONCE in the first observation, every later observation is blank,
+and the only reward is 1.0 at the final step iff the action's sign matches
+the cue.
+
+The diagnostic property: a memoryless (MLP) policy sees the blank final
+observation and can only guess — its best expected return is 0.5 — while a
+recurrent policy that carries the cue scores ~1.0.  tests/test_rnn.py uses
+exactly this gap as the learning differentiator.
+
+Observation layout: [cue (b at t=0, else 0), is_first_step flag].
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .core import Env, EnvSpec, register
+
+HORIZON = 6
+
+
+class RecallState(NamedTuple):
+    b: jax.Array  # f32 scalar cue in {-1, +1}
+    t: jax.Array  # i32 step count
+
+
+def _obs(st: RecallState) -> jax.Array:
+    first = (st.t == 0).astype(jnp.float32)
+    return jnp.stack([st.b * first, first])
+
+
+def _reset(key: jax.Array):
+    b = jnp.where(jax.random.bernoulli(key), 1.0, -1.0)
+    st = RecallState(b, jnp.zeros((), jnp.int32))
+    return st, _obs(st)
+
+
+def _step(st: RecallState, action: jax.Array, key: jax.Array):
+    del key
+    t = st.t + 1
+    last = t >= HORIZON
+    reward = jnp.where(
+        jnp.logical_and(last, st.b * action[0] > 0.0), 1.0, 0.0)
+    st2 = RecallState(st.b, t)
+    return st2, _obs(st2), reward, last, jnp.zeros((), bool)
+
+
+@register("recall")
+def make_recall() -> Env:
+    spec = EnvSpec(
+        name="recall",
+        obs_dim=2,
+        action_dim=1,
+        horizon=HORIZON,
+        gamma=0.99,
+        action_low=-1.0,
+        action_high=1.0,
+    )
+    return Env(spec=spec, reset=_reset, step=_step)

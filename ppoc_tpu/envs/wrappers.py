@@ -63,6 +63,51 @@ def normalize_obs(env: Env, low, high, name: str = None) -> Env:
     return Env(spec=spec, reset=reset, step=step)
 
 
+def mask_obs(env: Env, keep, name: Optional[str] = None) -> Env:
+    """Partial observability: expose only the observation dims in ``keep``.
+
+    Physics, rewards and episode structure are untouched — this makes a
+    fully-observed env into a memory task for the recurrent model family
+    (models/gru.py).  Like :func:`normalize_obs`, a pure recomposition, so
+    vmap/jit/scan fuse straight through it.
+    """
+    keep = jnp.asarray(keep, jnp.int32)
+
+    def reset(key):
+        state, obs = env.reset(key)
+        return state, obs[keep]
+
+    def step(state, action, key):
+        state2, obs, reward, term, trunc = env.step(state, action, key)
+        return state2, obs[keep], reward, term, trunc
+
+    spec = EnvSpec(
+        name=name or env.spec.name + "_po",
+        obs_dim=int(keep.shape[0]),
+        action_dim=env.spec.action_dim,
+        horizon=env.spec.horizon,
+        gamma=env.spec.gamma,
+        discrete=env.spec.discrete,
+        action_low=env.spec.action_low,
+        action_high=env.spec.action_high,
+    )
+    return Env(spec=spec, reset=reset, step=step)
+
+
+@register("pendulum_po")
+def make_pendulum_po() -> Env:
+    """Pendulum with the angular velocity HIDDEN (obs = cos/sin theta only).
+
+    The classic partially-observable control benchmark: a memoryless policy
+    cannot tell which way the pendulum is swinging, so it plateaus far from
+    the fully-observed solve; a recurrent policy recovers the velocity from
+    consecutive angles.
+    """
+    from .core import make as _make
+
+    return mask_obs(_make("pendulum"), [0, 1], name="pendulum_po")
+
+
 class RunningStats:
     """Numerically stable running mean/variance over observation rows.
 

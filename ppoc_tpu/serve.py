@@ -51,6 +51,13 @@ def load_policy(path: str, deterministic: bool = True,
             discrete=ck.dims["discrete"],
         )
     params = ck.state.policy_params
+    from ppoc_tpu.models import gru
+
+    if gru.is_rnn(params["mlp"]):
+        raise ValueError(
+            f"{path} holds a recurrent (GRU) policy, which needs a hidden "
+            f"state between steps; use serve.load_recurrent_policy instead"
+        )
     # MoE checkpoints serve through the same structural dispatch in
     # mlp.apply; the backend string carries the trained gating top-k
     backend = (mlp.moe_backend("jnp", cfg.moe_topk)
@@ -114,4 +121,60 @@ def load_policy(path: str, deterministic: bool = True,
 
     act.cfg = cfg
     act.spec = spec
+    return act
+
+
+def load_recurrent_policy(path: str, deterministic: bool = True,
+                          seed: int = 0):
+    """Load a GRU-trunk checkpoint (models/gru.py) and return a stateful
+    actor.
+
+        act = ppoc_tpu.serve.load_recurrent_policy("model.bin")
+        h = act.initial_state(batch_size)
+        action, h = act(obs, h)           # [B, obs] -> ([B, act], [B, H])
+
+    The caller owns the hidden state — zero it (``initial_state``) at every
+    episode start.  One jitted device call per step, like load_policy.
+    """
+    from ppoc_tpu.models import gru, policy as policy_mod
+    from ppoc_tpu.utils import checkpoint
+
+    ck = checkpoint.load(path)
+    if ck.cfg is None:
+        raise ValueError(f"{path}: checkpoint has no embedded config")
+    cfg = ck.cfg
+    params = ck.state.policy_params
+    if not gru.is_rnn(params["mlp"]):
+        raise ValueError(
+            f"{path} holds a feedforward policy; use serve.load_policy")
+    discrete = ck.dims["discrete"]
+    key_holder = {"key": jax.random.PRNGKey(seed)}
+
+    @jax.jit
+    def _step(obs, h, key):
+        h2, out = gru.step(params["mlp"], h, obs, cfg.activation)
+        if discrete:
+            a_det = jnp.argmax(out, axis=-1)[..., None].astype(jnp.int32)
+            a_sto = jax.random.categorical(key, out, axis=-1)[..., None] \
+                .astype(jnp.int32)
+        else:
+            a_det = out
+            eps = jax.random.normal(key, out.shape, out.dtype)
+            a_sto = out + eps * jnp.exp(params["log_std"])
+        return (a_det if deterministic else a_sto), h2
+
+    def act(obs, h, key: Optional[jax.Array] = None):
+        obs = jnp.asarray(obs, jnp.float32)
+        single = obs.ndim == 1
+        if single:
+            obs = obs[None]
+            h = h[None] if h.ndim == 1 else h
+        if key is None:
+            key_holder["key"], key = jax.random.split(key_holder["key"])
+        a, h2 = _step(obs, h, key)
+        return (a[0], h2[0]) if single else (a, h2)
+
+    act.initial_state = lambda batch_size=None: gru.initial_state(
+        params["mlp"], () if batch_size is None else (batch_size,))
+    act.cfg = cfg
     return act

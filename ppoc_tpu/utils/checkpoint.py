@@ -18,7 +18,8 @@ Version 2 files (no config/key) still load via the template path.
 
 Version 4 extends the layout with a kind tag per trunk so the
 mixture-of-experts model family (models/moe.py: router + stacked expert
-MLPs) serializes alongside dense MLPs; plain-MLP states keep writing
+MLPs) and the recurrent family (models/gru.py: GRU cell + dense head)
+serialize alongside dense MLPs; plain-MLP states keep writing
 byte-identical version-3 files.  MoE checkpoints always hold the logical
 (full-expert) layout, so they are interchangeable between single-device and
 expert-parallel (ep_size > 1) trainers.
@@ -34,7 +35,7 @@ import numpy as np
 
 MAGIC = b"PPOC"
 VERSION = 3       # plain dense-MLP trunks
-MOE_VERSION = 4   # kind-tagged trunks (dense MLP or mixture-of-experts)
+MOE_VERSION = 4   # kind-tagged trunks (dense MLP, mixture-of-experts, GRU)
 
 
 class Checkpoint(NamedTuple):
@@ -97,9 +98,21 @@ def _read_mlp(f) -> List[Tuple[np.ndarray, np.ndarray]]:
 
 def _write_trunk(f, trunk):
     """Version-4 kind-tagged trunk: 0 = dense MLP, 1 = mixture of experts
-    (router layer + stacked [E, fan_in, fan_out] expert layers)."""
+    (router layer + stacked [E, fan_in, fan_out] expert layers), 2 = GRU
+    (cell wx/wh/b + dense head)."""
+    from ppoc_tpu.models.gru import is_rnn
     from ppoc_tpu.models.moe import is_moe
 
+    if is_rnn(trunk):
+        _w(f, "i", 2)
+        cell = trunk["cell"]
+        wx = np.asarray(cell["wx"])
+        _w(f, "ii", wx.shape[0], wx.shape[1])
+        _write_arr(f, wx)
+        _write_arr(f, np.asarray(cell["wh"]))
+        _write_arr(f, np.asarray(cell["b"]))
+        _write_mlp(f, trunk["head"])
+        return
     if not is_moe(trunk):
         _w(f, "i", 0)
         _write_mlp(f, trunk)
@@ -123,6 +136,13 @@ def _read_trunk(f):
     kind = _r(f, "i")
     if kind == 0:
         return [(jnp.asarray(w), jnp.asarray(b)) for w, b in _read_mlp(f)]
+    if kind == 2:
+        d_in, h3 = _r(f, "ii")
+        wx = jnp.asarray(_read_arr(f, (d_in, h3)))
+        wh = jnp.asarray(_read_arr(f, (h3 // 3, h3)))
+        b = jnp.asarray(_read_arr(f, (h3,)))
+        head = [(jnp.asarray(w), jnp.asarray(bb)) for w, bb in _read_mlp(f)]
+        return {"cell": {"wx": wx, "wh": wh, "b": b}, "head": head}
     if kind != 1:
         raise ValueError(f"unknown trunk kind {kind}")
     d_in, e = _r(f, "ii")
@@ -233,14 +253,16 @@ def _save_stream(f, cfg, spec, state, key=None, version: Optional[int] = None,
     import dataclasses
     import json
 
+    from ppoc_tpu.models.gru import is_rnn
     from ppoc_tpu.models.moe import is_moe
 
     state = jax.device_get(state)
     if version is None:
-        # plain states keep the byte-identical v3 layout; MoE trunks need
-        # the kind-tagged v4 sections
-        moe_state = is_moe(state.policy_params["mlp"]) or is_moe(state.v_params)
-        version = MOE_VERSION if moe_state else VERSION
+        # plain states keep the byte-identical v3 layout; MoE and GRU
+        # trunks need the kind-tagged v4 sections
+        tagged = (is_moe(state.policy_params["mlp"]) or is_moe(state.v_params)
+                  or is_rnn(state.policy_params["mlp"]))
+        version = MOE_VERSION if tagged else VERSION
     f.write(MAGIC)
     _w(f, "i", version)
     if version >= 3:
