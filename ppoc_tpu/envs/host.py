@@ -291,6 +291,13 @@ class HostTrainer:
             )
         if actor not in ("device", "host"):
             raise ValueError(f"actor must be 'device' or 'host', got {actor!r}")
+        if cfg.rnn_hidden > 0:
+            raise ValueError(
+                "rnn_hidden > 0 (recurrent trunks) is not supported on the "
+                "host bridge: the host actor and the learner's row "
+                "minibatching are stateless; use an on-device env "
+                "(e.g. 'pendulum_po', 'recall') for recurrent training"
+            )
         self.cfg = cfg
         self.venv = venv
         self.eval_venv = eval_venv

@@ -169,6 +169,21 @@ def test_config_validation():
         Trainer(PPOConfig(env="recall", rnn_hidden=8, tp_size=2))
 
 
+def test_host_bridge_rejects_recurrent():
+    """The numpy host actor and row-minibatch learner are stateless; the
+    bridge must refuse recurrent configs loudly instead of miscomputing."""
+    from ppoc_tpu.envs.host import HostTrainer
+
+    class _FakeVenv:
+        n_envs = 4
+        spec = envs.make("recall").spec
+
+    cfg = PPOConfig(env="recall", n_envs=4, eval_envs=4, rollout_len=6,
+                    minibatch_size=8, rnn_hidden=8)
+    with pytest.raises(ValueError, match="host bridge"):
+        HostTrainer(cfg, _FakeVenv(), _FakeVenv())
+
+
 def test_pendulum_po_spec():
     env = envs.make("pendulum_po")
     assert env.spec.obs_dim == 2
