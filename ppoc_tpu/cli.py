@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "exits cleanly on SIGTERM (graceful preemption); "
                         "PPOC_FAULT_EPOCH=k injects a hard crash after "
                         "epoch k for drills")
+    p.add_argument("--sweep", type=int, default=0, metavar="S",
+                   help="seed-parallel sweep: train S seeds (seed..seed+S-1) "
+                        "as ONE vmapped device program (ppoc_tpu.sweep); "
+                        "with --solve-R reports per-seed epochs/R, else "
+                        "per-seed learning curves.  On-device envs, single "
+                        "device")
     p.add_argument("--jsonl", action="store_true",
                    help="emit per-epoch metrics as JSON lines instead of text")
     p.add_argument("--det-eval", action="store_true",
@@ -203,6 +209,39 @@ def main(argv=None) -> int:
                                args.process_id)
 
     from ppoc_tpu.algo.trainer import Trainer  # deferred: imports jax
+
+    if args.sweep:
+        if (cfg.env.startswith("gym:") or args.mesh or distributed
+                or args.load or args.resume or args.import_ref
+                or args.eval_only):
+            parser.error("--sweep runs fresh on-device single-device "
+                         "training only (no gym:/--mesh/--load/--resume/"
+                         "--import-ref/--eval-only)")
+        import json as _json
+
+        from ppoc_tpu import sweep as sweep_mod
+
+        seeds = list(range(cfg.seed, cfg.seed + args.sweep))
+        if args.solve_R is not None:
+            out = sweep_mod.solve_many(cfg, seeds, target_R=args.solve_R,
+                                       max_epochs=cfg.n_epochs)
+            for s, e, r in zip(seeds, out["epochs"], out["R"]):
+                print(f"seed={s} solved={r >= args.solve_R} epochs={e} "
+                      f"R={r:f}")
+            return 0
+        out = sweep_mod.train_many(cfg, seeds, n_epochs=args.n_epochs)
+        R = out["R"]
+        for i, s in enumerate(seeds):
+            curve = [round(float(x), 3) for x in R[i]]
+            print(_json.dumps({"seed": s, "R": curve}))
+        import numpy as _np
+
+        print(f"final R over {len(seeds)} seeds: "
+              f"mean={float(_np.mean(R[:, -1])):.3f} "
+              f"std={float(_np.std(R[:, -1])):.3f} "
+              f"min={float(_np.min(R[:, -1])):.3f} "
+              f"max={float(_np.max(R[:, -1])):.3f}")
+        return 0
 
     epoch_offset = 0  # cumulative epochs_done carried across restarts
     mesh = None

@@ -1,0 +1,97 @@
+"""Seed-parallel training: N independent runs as ONE vmapped device program.
+
+No reference counterpart — the reference trains a single seed per process
+(global libc RNG, src/main.c:15-16) — but it is the kind of capability the
+TPU execution model gives for free: the whole train-until-solved program
+(ppo.train_until — rollouts, GAE, minibatch epochs, eval, the while loop)
+is a pure function of (TrainState, key), so ``jax.vmap`` batches ENTIRE
+TRAINING RUNS.  On a chip the small reference-scale program underutilizes
+(single-digit MFU, see docs/RESULTS.md), S seeds cost far less than S
+sequential runs — cross-seed variance tables and hyperparameter sweeps in
+one dispatch.
+
+PRNG threading matches ``Trainer`` exactly (PRNGKey(seed) -> split for init
+-> split for the run), so a ONE-seed sweep reproduces ``Trainer.solve``'s
+epoch count and eval R, with weights equal to float noise
+(tests/test_sweep.py).  The vmap batch dim changes XLA's fusion/reduction
+order (exactly like any batch-size change), so lanes drift from their
+sequential twins at float level — the algorithm, schedules and PRNG
+streams are identical.
+
+The sweep runs the generic XLA path (backend="jnp"): the fused Pallas
+kernels are written for one program instance and do not batch under vmap.
+Memory scales with S — size n_envs accordingly.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ppoc_tpu import envs
+from ppoc_tpu.algo import ppo
+from ppoc_tpu.config import PPOConfig
+
+
+def _init_states(cfg: PPOConfig, env, seeds: Sequence[int]):
+    """Stacked TrainStates + run keys with Trainer's exact PRNG threading."""
+    keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+    k_init, k_run = jax.vmap(lambda k: tuple(jax.random.split(k)))(keys)
+    states = jax.vmap(lambda k: ppo.init_train_state(cfg, env, k))(k_init)
+    return states, k_run
+
+
+def solve_many(cfg: PPOConfig, seeds: Sequence[int], target_R: float,
+               max_epochs: int = 100) -> Dict[str, Any]:
+    """Train every seed until eval R >= ``target_R`` — one jitted dispatch.
+
+    The vmapped ``lax.while_loop`` iterates until the SLOWEST seed solves
+    (finished seeds' updates are masked by the batching rule), so wall-clock
+    follows max(epochs) while the chip stays busy on all S programs.
+
+    Returns {"epochs": [S], "R": [S], "states": stacked TrainState}.
+    """
+    env = envs.make(cfg.env)
+    states, k_run = _init_states(cfg, env, seeds)
+
+    def one(ts, key):
+        k, _ = jax.random.split(key)
+        return ppo.train_until(cfg, env, ts, k, target_R=target_R,
+                               max_epochs=max_epochs, backend="jnp")
+
+    run = jax.jit(jax.vmap(one))
+    new_states, n, R = run(states, k_run)
+    n, R = jax.device_get((n, R))
+    return {"epochs": [int(x) for x in n], "R": [float(x) for x in R],
+            "states": new_states}
+
+
+def train_many(cfg: PPOConfig, seeds: Sequence[int],
+               n_epochs: Optional[int] = None) -> Dict[str, Any]:
+    """Fixed-schedule sweep: per-seed learning curves in one dispatch.
+
+    Returns {"R": [S, n_epochs], "J": [S, n_epochs], "entropy": [S, n_epochs],
+    "states": stacked TrainState} — the raw material for cross-seed
+    variance tables (docs/RESULTS.md).
+    """
+    n_epochs = cfg.n_epochs if n_epochs is None else n_epochs
+    env = envs.make(cfg.env)
+    states, k_run = _init_states(cfg, env, seeds)
+
+    def one(ts, key):
+        def epoch(carry, _):
+            ts, key = carry
+            key, k_train, k_eval = jax.random.split(key, 3)
+            ts, metrics = ppo.train_epoch(cfg, env, ts, k_train, backend="jnp")
+            ev = ppo.evaluate(cfg, env, ts.policy_params, k_eval, "jnp")
+            return (ts, key), (ev.R, ev.J, metrics.entropy)
+
+        (ts, _), (R, J, ent) = jax.lax.scan(
+            epoch, (ts, key), None, length=n_epochs)
+        return ts, R, J, ent
+
+    run = jax.jit(jax.vmap(one))
+    new_states, R, J, ent = run(states, k_run)
+    R, J, ent = jax.device_get((R, J, ent))
+    return {"R": R, "J": J, "entropy": ent, "states": new_states}

@@ -110,3 +110,22 @@ def test_det_eval_flag(capsys):
     assert "Epoch: 0" in out and "R:" in out
     assert cli.main(base + ["--eval-only"]) == 0
     assert "R:" in capsys.readouterr().out
+
+
+def test_cli_sweep(capsys):
+    """--sweep S trains S seeds as one vmapped program (ppoc_tpu.sweep)."""
+    import pytest
+
+    from ppoc_tpu import cli
+
+    rc = cli.main(["--env", "simple", "--n-envs", "16", "--rollout-len", "15",
+                   "--minibatch-size", "48", "--fits-per-epoch", "2",
+                   "--eval-envs", "32", "--eval-len", "15", "--hidden", "16",
+                   "--kernel-backend", "jnp", "--sweep", "2",
+                   "--n-epochs", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[-1].startswith("final R over 2 seeds")
+    # incompatible with host-bridge / mesh / load modes
+    with pytest.raises(SystemExit):
+        cli.main(["--env", "simple", "--sweep", "2", "--mesh", "4"])

@@ -1,0 +1,66 @@
+"""Seed-parallel sweeps (ppoc_tpu/sweep.py): one vmapped program, N runs.
+
+The contract: a one-seed sweep IS Trainer.solve (identical PRNG threading,
+tested bit-for-bit); multi-seed sweeps run every seed's full schedule in one
+dispatch and every seed must actually learn.
+"""
+import jax
+import numpy as np
+import pytest
+
+from ppoc_tpu import PPOConfig, sweep
+from ppoc_tpu.algo.trainer import Trainer
+
+CFG = PPOConfig(env="simple", n_envs=32, rollout_len=15, minibatch_size=64,
+                fits_per_epoch=5, eval_envs=64, eval_len=15,
+                kernel_backend="jnp", hidden=(32, 32))
+
+
+def test_single_seed_sweep_matches_trainer_solve():
+    out = sweep.solve_many(CFG, seeds=[2], target_R=0.8, max_epochs=12)
+    tr = Trainer(CFG.replace(seed=2))
+    s = tr.solve(target_R=0.8, max_epochs=12)
+    assert out["epochs"][0] == s["epochs"]
+    assert out["R"][0] == pytest.approx(s["R"], rel=1e-3)
+    # final states agree to float noise (the leading batch dim changes XLA
+    # fusion, so bit-exactness holds for the integer/eval outputs above but
+    # not every weight)
+    a = jax.tree.leaves(jax.device_get(tr.state))
+    b = jax.tree.leaves(jax.device_get(out["states"]))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x, np.float64),
+                                   np.asarray(y[0], np.float64),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_solve_many_all_seeds_learn():
+    out = sweep.solve_many(CFG, seeds=[0, 1, 2, 3], target_R=0.8,
+                           max_epochs=15)
+    assert all(r >= 0.8 for r in out["R"]), out
+    assert all(1 <= e <= 15 for e in out["epochs"])
+    # stacked states carry the seed axis
+    leaf = jax.tree.leaves(out["states"])[0]
+    assert leaf.shape[0] == 4
+
+
+def test_train_many_curves():
+    out = sweep.train_many(CFG, seeds=[0, 1, 2], n_epochs=4)
+    assert out["R"].shape == (3, 4)
+    assert out["J"].shape == (3, 4)
+    # every seed reaches the goal by the end of the schedule
+    assert (out["R"][:, -1] > 0.5).all(), out["R"]
+
+
+def test_sweep_batches_other_model_families():
+    """vmap composes with the structural trunk dispatch: MoE and GRU
+    sweeps run unmodified."""
+    moe = CFG.replace(n_experts=2, hidden=(16, 16))
+    out = sweep.train_many(moe, seeds=[0, 1], n_epochs=2)
+    assert out["R"].shape == (2, 2)
+    rnn = PPOConfig(env="recall", n_envs=64, rollout_len=6,
+                    minibatch_size=96, fits_per_epoch=4, eval_envs=128,
+                    eval_len=6, hidden=(16,), rnn_hidden=8,
+                    lr_policy=1e-3, lr_v=1e-3)
+    out = sweep.train_many(rnn, seeds=[0, 1], n_epochs=3)
+    assert out["R"].shape == (2, 3)
+    assert np.isfinite(out["R"]).all()
