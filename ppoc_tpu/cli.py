@@ -183,9 +183,10 @@ def main(argv=None) -> int:
         if not (args.save and args.checkpoint_every > 0):
             parser.error("--supervise requires --save PATH and "
                          "--checkpoint-every N (the restart source)")
-        if args.solve_R is not None or args.eval_only:
+        if args.solve_R is not None or args.eval_only or args.sweep:
             parser.error("--supervise applies to epoch-loop training, not "
-                         "--solve-R/--eval-only")
+                         "--solve-R/--eval-only/--sweep (sweeps write no "
+                         "checkpoint to restart from)")
         from ppoc_tpu.utils import supervisor
 
         first = [a for i, a in enumerate(raw_argv)
@@ -211,12 +212,21 @@ def main(argv=None) -> int:
     from ppoc_tpu.algo.trainer import Trainer  # deferred: imports jax
 
     if args.sweep:
+        if args.sweep < 1:
+            parser.error(f"--sweep needs a positive seed count, got "
+                         f"{args.sweep}")
         if (cfg.env.startswith("gym:") or args.mesh or distributed
                 or args.load or args.resume or args.import_ref
                 or args.eval_only):
             parser.error("--sweep runs fresh on-device single-device "
                          "training only (no gym:/--mesh/--load/--resume/"
                          "--import-ref/--eval-only)")
+        if args.save or args.export_ref or args.det_eval \
+                or args.stop_at_R is not None:
+            parser.error("--save/--export-ref/--det-eval/--stop-at-R do "
+                         "not apply to --sweep (per-seed statistics only; "
+                         "use --solve-R for the stop threshold, then train "
+                         "the winning seed normally to get a checkpoint)")
         import json as _json
 
         from ppoc_tpu import sweep as sweep_mod
@@ -234,13 +244,14 @@ def main(argv=None) -> int:
         for i, s in enumerate(seeds):
             curve = [round(float(x), 3) for x in R[i]]
             print(_json.dumps({"seed": s, "R": curve}))
-        import numpy as _np
+        if R.shape[1]:  # --n-epochs 0 has no final epoch to summarize
+            import numpy as _np
 
-        print(f"final R over {len(seeds)} seeds: "
-              f"mean={float(_np.mean(R[:, -1])):.3f} "
-              f"std={float(_np.std(R[:, -1])):.3f} "
-              f"min={float(_np.min(R[:, -1])):.3f} "
-              f"max={float(_np.max(R[:, -1])):.3f}")
+            print(f"final R over {len(seeds)} seeds: "
+                  f"mean={float(_np.mean(R[:, -1])):.3f} "
+                  f"std={float(_np.std(R[:, -1])):.3f} "
+                  f"min={float(_np.min(R[:, -1])):.3f} "
+                  f"max={float(_np.max(R[:, -1])):.3f}")
         return 0
 
     epoch_offset = 0  # cumulative epochs_done carried across restarts

@@ -34,6 +34,41 @@ from ppoc_tpu.algo import ppo
 from ppoc_tpu.config import PPOConfig
 
 
+def _backend(cfg: PPOConfig) -> str:
+    """Generic-XLA backend string carrying the config's gating options —
+    the same top-k the Trainer would use (a bare "jnp" would silently
+    degrade sparse MoE routing to dense gating)."""
+    if cfg.n_experts > 1:
+        from ppoc_tpu.models import mlp
+
+        return mlp.moe_backend("jnp", cfg.moe_topk)
+    return "jnp"
+
+
+def _validate(cfg: PPOConfig, seeds: Sequence[int]) -> None:
+    """The Trainer.__init__ config checks the sweep path must not bypass."""
+    if not len(seeds):
+        raise ValueError("sweep needs at least one seed")
+    if cfg.num_minibatches < 1:
+        raise ValueError(
+            f"minibatch_size ({cfg.minibatch_size}) exceeds steps_per_fit "
+            f"({cfg.steps_per_fit}): zero minibatches, nothing would train"
+        )
+    if cfg.tp_size > 1 or cfg.pp_size > 1 or cfg.ep_size > 1:
+        raise ValueError(
+            "sweeps are single-device vmapped programs; tp_size/pp_size/"
+            "ep_size must be 1"
+        )
+    if cfg.rnn_hidden > 0:
+        if cfg.n_experts > 1:
+            raise ValueError("rnn_hidden > 0 cannot combine with n_experts")
+        if not cfg.reset_per_fit:
+            raise ValueError(
+                "rnn_hidden > 0 requires reset_per_fit=True (windows must "
+                "start at episode starts for the h0=0 replay)"
+            )
+
+
 def _init_states(cfg: PPOConfig, env, seeds: Sequence[int]):
     """Stacked TrainStates + run keys with Trainer's exact PRNG threading."""
     keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
@@ -52,13 +87,15 @@ def solve_many(cfg: PPOConfig, seeds: Sequence[int], target_R: float,
 
     Returns {"epochs": [S], "R": [S], "states": stacked TrainState}.
     """
+    _validate(cfg, seeds)
     env = envs.make(cfg.env)
+    backend = _backend(cfg)
     states, k_run = _init_states(cfg, env, seeds)
 
     def one(ts, key):
         k, _ = jax.random.split(key)
         return ppo.train_until(cfg, env, ts, k, target_R=target_R,
-                               max_epochs=max_epochs, backend="jnp")
+                               max_epochs=max_epochs, backend=backend)
 
     run = jax.jit(jax.vmap(one))
     new_states, n, R = run(states, k_run)
@@ -76,15 +113,18 @@ def train_many(cfg: PPOConfig, seeds: Sequence[int],
     variance tables (docs/RESULTS.md).
     """
     n_epochs = cfg.n_epochs if n_epochs is None else n_epochs
+    _validate(cfg, seeds)
     env = envs.make(cfg.env)
+    backend = _backend(cfg)
     states, k_run = _init_states(cfg, env, seeds)
 
     def one(ts, key):
         def epoch(carry, _):
             ts, key = carry
             key, k_train, k_eval = jax.random.split(key, 3)
-            ts, metrics = ppo.train_epoch(cfg, env, ts, k_train, backend="jnp")
-            ev = ppo.evaluate(cfg, env, ts.policy_params, k_eval, "jnp")
+            ts, metrics = ppo.train_epoch(cfg, env, ts, k_train,
+                                          backend=backend)
+            ev = ppo.evaluate(cfg, env, ts.policy_params, k_eval, backend)
             return (ts, key), (ev.R, ev.J, metrics.entropy)
 
         (ts, _), (R, J, ent) = jax.lax.scan(

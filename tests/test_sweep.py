@@ -57,6 +57,11 @@ def test_sweep_batches_other_model_families():
     moe = CFG.replace(n_experts=2, hidden=(16, 16))
     out = sweep.train_many(moe, seeds=[0, 1], n_epochs=2)
     assert out["R"].shape == (2, 2)
+    # sparse gating must reach the sweep's backend string (a bare "jnp"
+    # would silently train dense-gated MoE)
+    assert sweep._backend(moe.replace(moe_topk=1)) == "moe:1"
+    out = sweep.train_many(moe.replace(moe_topk=1), seeds=[0], n_epochs=1)
+    assert np.isfinite(out["R"]).all()
     rnn = PPOConfig(env="recall", n_envs=64, rollout_len=6,
                     minibatch_size=96, fits_per_epoch=4, eval_envs=128,
                     eval_len=6, hidden=(16,), rnn_hidden=8,
@@ -64,3 +69,28 @@ def test_sweep_batches_other_model_families():
     out = sweep.train_many(rnn, seeds=[0, 1], n_epochs=3)
     assert out["R"].shape == (2, 3)
     assert np.isfinite(out["R"]).all()
+
+
+def test_sweep_validates_config():
+    with pytest.raises(ValueError, match="at least one seed"):
+        sweep.train_many(CFG, seeds=[], n_epochs=1)
+    with pytest.raises(ValueError, match="zero minibatches"):
+        sweep.train_many(CFG.replace(minibatch_size=10_000), seeds=[0],
+                         n_epochs=1)
+    with pytest.raises(ValueError, match="single-device"):
+        sweep.train_many(CFG.replace(tp_size=2), seeds=[0], n_epochs=1)
+    with pytest.raises(ValueError, match="reset_per_fit"):
+        sweep.train_many(CFG.replace(rnn_hidden=4, reset_per_fit=False),
+                         seeds=[0], n_epochs=1)
+
+
+def test_cli_sweep_guards():
+    from ppoc_tpu import cli
+
+    for argv in (["--env", "simple", "--sweep", "-1"],
+                 ["--env", "simple", "--sweep", "2", "--save", "/tmp/x.bin"],
+                 ["--env", "simple", "--sweep", "2", "--det-eval"],
+                 ["--env", "simple", "--sweep", "2", "--supervise", "2",
+                  "--save", "/tmp/x.bin", "--checkpoint-every", "1"]):
+        with pytest.raises(SystemExit):
+            cli.main(argv)
