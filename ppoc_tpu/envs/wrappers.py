@@ -108,6 +108,53 @@ def make_pendulum_po() -> Env:
     return mask_obs(_make("pendulum"), [0, 1], name="pendulum_po")
 
 
+def stack_obs(env: Env, k: int, name: Optional[str] = None) -> Env:
+    """Frame stacking: observe the last ``k`` observations concatenated.
+
+    The memoryless counterpart to the recurrent trunk for partially-
+    observable envs — an MLP over k stacked frames can difference
+    consecutive angles where a single frame hides the velocity
+    (``pendulum_po_stack`` below solves pendulum_po this way).  The window
+    lives in the env-state pytree ([k, obs_dim], newest last), so it rides
+    vmap/scan/auto-reset like any other state; reset fills the window with
+    the first observation.
+    """
+    base_dim = env.spec.obs_dim
+
+    def reset(key):
+        state, obs = env.reset(key)
+        window = jnp.tile(obs[None], (k, 1))
+        return (state, window), window.reshape(-1)
+
+    def step(wrapped, action, key):
+        state, window = wrapped
+        state2, obs, reward, term, trunc = env.step(state, action, key)
+        window2 = jnp.concatenate([window[1:], obs[None]], axis=0)
+        return (state2, window2), window2.reshape(-1), reward, term, trunc
+
+    spec = EnvSpec(
+        name=name or f"{env.spec.name}_stack{k}",
+        obs_dim=base_dim * k,
+        action_dim=env.spec.action_dim,
+        horizon=env.spec.horizon,
+        gamma=env.spec.gamma,
+        discrete=env.spec.discrete,
+        action_low=env.spec.action_low,
+        action_high=env.spec.action_high,
+    )
+    return Env(spec=spec, reset=reset, step=step)
+
+
+@register("pendulum_po_stack")
+def make_pendulum_po_stack() -> Env:
+    """pendulum_po with 4 stacked frames: the frame-difference route to the
+    hidden velocity, solvable by a plain MLP (contrast with the GRU route,
+    docs/RESULTS.md)."""
+    from .core import make as _make
+
+    return stack_obs(_make("pendulum_po"), 4, name="pendulum_po_stack")
+
+
 class RunningStats:
     """Numerically stable running mean/variance over observation rows.
 

@@ -249,3 +249,37 @@ def test_obs_norm_wrapper_lockstep():
         np.testing.assert_allclose(
             np.asarray(o_w), (np.asarray(o_r) - mid) / half, rtol=1e-5, atol=1e-6)
         assert float(np.abs(np.asarray(o_w)).max()) <= 1.0 + 1e-5
+
+
+def test_stack_obs_wrapper():
+    """Frame stacking: window semantics, reset fill, auto-reset compat."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ppoc_tpu import envs
+
+    base = envs.make("pendulum_po")
+    stacked = envs.make("pendulum_po_stack")
+    assert stacked.spec.obs_dim == 4 * base.spec.obs_dim
+
+    key = jax.random.PRNGKey(0)
+    (st_b, _) = base.reset(key)[0], None
+    st_s, obs0 = stacked.reset(key)
+    # reset fills the window with the first frame
+    np.testing.assert_array_equal(
+        np.asarray(obs0).reshape(4, -1)[0], np.asarray(obs0).reshape(4, -1)[3])
+
+    # stepping both in lockstep: the stacked env's newest frame equals the
+    # base env's observation, and frames shift by one
+    a = jnp.zeros((1,))
+    k = jax.random.PRNGKey(1)
+    st_b = base.reset(key)[0]
+    prev = np.asarray(obs0).reshape(4, -1)
+    for i in range(3):
+        st_b, ob, *_ = base.step(st_b, a, k)
+        st_s, os_, *_ = stacked.step(st_s, a, k)
+        w = np.asarray(os_).reshape(4, -1)
+        np.testing.assert_allclose(w[3], np.asarray(ob), rtol=1e-6)
+        np.testing.assert_allclose(w[:3], prev[1:], rtol=1e-6)
+        prev = w
