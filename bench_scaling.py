@@ -75,8 +75,55 @@ def _distributed_measure(args) -> int:
     return 0
 
 
+def _sweep_measure(args) -> int:
+    """Seed-parallel sweep throughput: wall-clock of S vmapped seeds vs S
+    sequential runs of the same schedule (ppoc_tpu.sweep.train_many).
+
+    The win comes from batching whole programs onto hardware the
+    reference-scale program underutilizes, so on a real chip the batched
+    cost should grow far slower than linearly; on CPU this validates the
+    program and gives a lower bound.
+    """
+    import jax
+
+    from ppoc_tpu import sweep
+    from ppoc_tpu.config import PPOConfig
+
+    S = args.sweep
+    cfg = PPOConfig(env=args.env, fits_per_epoch=2, eval_envs=64)
+
+    def run(seeds):
+        out = sweep.train_many(cfg, seeds, n_epochs=args.epochs)
+        jax.block_until_ready(out["states"])
+        return out
+
+    run([0])  # compile both shapes before timing
+    run(list(range(S)))
+    t0 = time.perf_counter()
+    run([0])
+    t1 = (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    out = run(list(range(S)))
+    tS = (time.perf_counter() - t0)
+    speedup = S * t1 / tS
+    print(json.dumps({
+        "metric": "seed_sweep_speedup",
+        "value": round(speedup, 2),
+        "unit": f"x_vs_{S}_sequential_runs",
+        "vs_baseline": None,
+        "t_1seed_s": round(t1, 3),
+        f"t_{S}seed_s": round(tS, 3),
+        "final_R": [round(float(r), 1) for r in out["R"][:, -1]],
+        "platform": jax.default_backend(),
+    }), flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", type=int, default=0, metavar="S",
+                    help="measure seed-parallel sweep speedup (S vmapped "
+                         "seeds vs S sequential runs) instead of dp scaling")
     ap.add_argument("--devices", type=int, default=None,
                     help="max mesh size (default: all available; in "
                          "--distributed mode, per-PROCESS device count)")
@@ -99,6 +146,9 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
         if args.platform == "cpu" and args.devices:
             jax.config.update("jax_num_cpu_devices", args.devices)
+
+    if args.sweep:
+        return _sweep_measure(args)
 
     if args.coordinator is not None:
         if None in (args.num_processes, args.process_id):
