@@ -82,6 +82,28 @@ def _device_key(key: jax.Array, axis_name: Optional[str]) -> jax.Array:
     return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
 
+def _prep_grads(grads, cfg: PPOConfig, axis_name: Optional[str]):
+    """pmean across data-parallel shards, then (optionally) clip the global
+    norm — shared by every update phase so the stabilizer can never apply
+    to one phase and not another."""
+    grads = _pmean(grads, axis_name)
+    if cfg.max_grad_norm > 0.0:
+        grads = adam.clip_by_global_norm(grads, cfg.max_grad_norm)
+    return grads
+
+
+def _lr(base: float, cfg: PPOConfig, opt_state, n_mb: int,
+        epochs_per_fit: int):
+    """Effective learning rate: constant (reference) or linearly annealed to
+    zero over the cfg.n_epochs schedule, measured in this optimizer's own
+    Adam steps (opt_state.t)."""
+    if not cfg.lr_anneal:
+        return base
+    total = cfg.n_epochs * cfg.fits_per_epoch * epochs_per_fit * n_mb
+    frac = opt_state.t.astype(jnp.float32) / jnp.float32(max(total, 1))
+    return base * jnp.maximum(0.0, 1.0 - frac)
+
+
 def _pvary(tree, axis_name: Optional[str]):
     """Mark a pytree as device-varying along ``axis_name`` for shard_map's
     varying-axes type system.  Needed when an env's reset ignores its RNG key
@@ -378,7 +400,8 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
     from ppoc_tpu.models import moe as _moe
 
     if (backend == "pallas" and axis_name is None
-            and not _moe.is_moe(ts.v_params)):
+            and not _moe.is_moe(ts.v_params)
+            and cfg.max_grad_norm == 0.0 and not cfg.lr_anneal):
         from ppoc_tpu.ops import pallas_update as _pu
 
         if (mb_size <= _pu._MAX_TILE
@@ -403,9 +426,11 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
         v_params, opt_v = carry
         mb = buffer.gather((buf.obs, buf.target), idx)
         loss, grads = jax.value_and_grad(loss_fn)(v_params, *mb)
-        grads = _pmean(grads, axis_name)
+        grads = _prep_grads(grads, cfg, axis_name)
         v_params, opt_v = adam.update(
-            v_params, grads, opt_v, cfg.lr_v, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps
+            v_params, grads, opt_v,
+            _lr(cfg.lr_v, cfg, opt_v, n_mb, cfg.n_epochs_value),
+            cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps
         )
         return (v_params, opt_v), loss
 
@@ -433,7 +458,9 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
     from ppoc_tpu.models import moe as _moe
 
     if (backend == "pallas" and axis_name is None
-            and not _moe.is_moe(ts.policy_params["mlp"])):
+            and not _moe.is_moe(ts.policy_params["mlp"])
+            and cfg.max_grad_norm == 0.0 and not cfg.lr_anneal
+            and cfg.target_kl == 0.0):
         from ppoc_tpu.ops import pallas_update as _pu
 
         if (mb_size <= _pu._MAX_TILE
@@ -461,39 +488,60 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
         if aux_coeff:
             loss = loss + aux_coeff * _moe.load_balance_loss(
                 policy_params["mlp"], o, moe_topk)
-        return loss, ent
+        # approx KL (E[old - new logp]) for the target_kl early stop
+        return loss, (ent, jnp.mean(lp_old - logp))
+
+    use_kl = cfg.target_kl > 0.0
 
     def mb_step(carry, idx):
-        policy_params, opt_policy, opt_log_std = carry
+        if use_kl:
+            policy_params, opt_policy, opt_log_std, stop = carry
+        else:
+            policy_params, opt_policy, opt_log_std = carry
         o, a, lp, ad = buffer.gather(
             (buf.obs, buf.action, buf.log_prob, buf.advantage), idx
         )
-        (loss, ent), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (ent, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             policy_params, o, a, lp, ad
         )
-        grads = _pmean(grads, axis_name)
+        grads = _prep_grads(grads, cfg, axis_name)
         # Separate Adam states for the mean net and log_std (src/ppo.cu:19-25).
-        new_mlp, opt_policy = adam.update(
+        new_mlp, new_opt_policy = adam.update(
             policy_params["mlp"], grads["mlp"], opt_policy,
-            cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
+            _lr(cfg.lr_policy, cfg, opt_policy, n_mb, cfg.n_epochs_policy),
+            cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
         )
         new_params = dict(policy_params)
         new_params["mlp"] = new_mlp
+        new_opt_log_std = opt_log_std
         if "log_std" in policy_params:
-            new_log_std, opt_log_std = adam.update(
+            new_log_std, new_opt_log_std = adam.update(
                 policy_params["log_std"], grads["log_std"], opt_log_std,
-                cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
+                _lr(cfg.lr_policy, cfg, opt_log_std, n_mb, cfg.n_epochs_policy),
+                cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
             )
             new_params["log_std"] = new_log_std
-        return (new_params, opt_policy, opt_log_std), (loss, ent)
+        if not use_kl:
+            return (new_params, new_opt_policy, new_opt_log_std), (loss, ent)
+        # once a minibatch's (dp-agreed) KL breaches the target, every later
+        # update in this fit is a no-op: params and optimizers freeze
+        keep = lambda old, new: jax.tree.map(
+            lambda o_, n_: jnp.where(stop, o_, n_), old, new)
+        new_params = keep(policy_params, new_params)
+        new_opt_policy = keep(opt_policy, new_opt_policy)
+        new_opt_log_std = keep(opt_log_std, new_opt_log_std)
+        stop2 = jnp.logical_or(stop, _pmean(kl, axis_name) > cfg.target_kl)
+        return (new_params, new_opt_policy, new_opt_log_std, stop2), (loss, ent)
 
     def epoch(carry, key_e):
         return buffer.epoch_scan(key_e, n_rows, n_mb, mb_size, mb_step, carry)
 
+    carry0 = (ts.policy_params, ts.opt_policy, ts.opt_log_std)
+    if use_kl:
+        carry0 = carry0 + (jnp.zeros((), bool),)
     keys = jax.random.split(key, cfg.n_epochs_policy)
-    (policy_params, opt_policy, opt_log_std), (losses_, ents) = jax.lax.scan(
-        epoch, (ts.policy_params, ts.opt_policy, ts.opt_log_std), keys
-    )
+    carry_out, (losses_, ents) = jax.lax.scan(epoch, carry0, keys)
+    policy_params, opt_policy, opt_log_std = carry_out[:3]
     ts = ts._replace(
         policy_params=policy_params, opt_policy=opt_policy, opt_log_std=opt_log_std
     )

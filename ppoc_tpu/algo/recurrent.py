@@ -208,9 +208,10 @@ def value_phase_rnn(cfg: PPOConfig, ts, traj, target: jax.Array, key,
         v_params, opt_v = carry
         o, d, t = _gather_seqs((traj.obs, done, target), idx)
         loss, grads = jax.value_and_grad(loss_fn)(v_params, o, d, t)
-        grads = ppo_mod._pmean(grads, axis_name)
+        grads = ppo_mod._prep_grads(grads, cfg, axis_name)
         v_params, opt_v = adam.update(
-            v_params, grads, opt_v, cfg.lr_v,
+            v_params, grads, opt_v,
+            ppo_mod._lr(cfg.lr_v, cfg, opt_v, n_mb, cfg.n_epochs_value),
             cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
         return (v_params, opt_v), loss
 
@@ -237,33 +238,55 @@ def policy_phase_rnn(cfg: PPOConfig, env: Env, ts, traj, adv: jax.Array, key,
     def loss_fn(policy_params, o, a, d, lp_old, ad):
         logp, ent = policy_log_probs_rnn(cfg, policy_params, o, a, d, discrete)
         surrogate = losses.clipped_surrogate_loss(logp, lp_old, ad, cfg.clip_eps)
-        return surrogate - cfg.ent_coeff * ent, ent
+        return surrogate - cfg.ent_coeff * ent, (ent, jnp.mean(lp_old - logp))
+
+    use_kl = cfg.target_kl > 0.0
 
     def mb_step(carry, idx):
-        policy_params, opt_policy, opt_log_std = carry
+        if use_kl:
+            policy_params, opt_policy, opt_log_std, stop = carry
+        else:
+            policy_params, opt_policy, opt_log_std = carry
         o, a, d, lp, ad = _gather_seqs(
             (traj.obs, traj.action, done, traj.log_prob, adv), idx)
-        (loss, ent), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (ent, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             policy_params, o, a, d, lp, ad)
-        grads = ppo_mod._pmean(grads, axis_name)
-        new_mlp, opt_policy = adam.update(
+        grads = ppo_mod._prep_grads(grads, cfg, axis_name)
+        new_mlp, new_opt_policy = adam.update(
             policy_params["mlp"], grads["mlp"], opt_policy,
-            cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
+            ppo_mod._lr(cfg.lr_policy, cfg, opt_policy, n_mb,
+                        cfg.n_epochs_policy),
+            cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
         new_params = dict(policy_params)
         new_params["mlp"] = new_mlp
+        new_opt_log_std = opt_log_std
         if "log_std" in policy_params:
-            new_log_std, opt_log_std = adam.update(
+            new_log_std, new_opt_log_std = adam.update(
                 policy_params["log_std"], grads["log_std"], opt_log_std,
-                cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
+                ppo_mod._lr(cfg.lr_policy, cfg, opt_log_std, n_mb,
+                            cfg.n_epochs_policy),
+                cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
             new_params["log_std"] = new_log_std
-        return (new_params, opt_policy, opt_log_std), (loss, ent)
+        if not use_kl:
+            return (new_params, new_opt_policy, new_opt_log_std), (loss, ent)
+        keep = lambda old, new: jax.tree.map(
+            lambda o_, n_: jnp.where(stop, o_, n_), old, new)
+        new_params = keep(policy_params, new_params)
+        new_opt_policy = keep(opt_policy, new_opt_policy)
+        new_opt_log_std = keep(opt_log_std, new_opt_log_std)
+        stop2 = jnp.logical_or(
+            stop, ppo_mod._pmean(kl, axis_name) > cfg.target_kl)
+        return (new_params, new_opt_policy, new_opt_log_std, stop2), (loss, ent)
 
     def epoch(carry, key_e):
         return buffer.epoch_scan(key_e, E, n_mb, seqs, mb_step, carry)
 
+    carry0 = (ts.policy_params, ts.opt_policy, ts.opt_log_std)
+    if use_kl:
+        carry0 = carry0 + (jnp.zeros((), bool),)
     keys = jax.random.split(key, cfg.n_epochs_policy)
-    (policy_params, opt_policy, opt_log_std), (losses_, ents) = jax.lax.scan(
-        epoch, (ts.policy_params, ts.opt_policy, ts.opt_log_std), keys)
+    carry_out, (losses_, ents) = jax.lax.scan(epoch, carry0, keys)
+    policy_params, opt_policy, opt_log_std = carry_out[:3]
     ts = ts._replace(policy_params=policy_params, opt_policy=opt_policy,
                      opt_log_std=opt_log_std)
     return ts, jnp.mean(losses_), jnp.mean(ents)

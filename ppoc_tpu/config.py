@@ -37,6 +37,17 @@ class PPOConfig:
     n_epochs_value: int = 10
     minibatch_size: int = 64
 
+    # --- stabilizers beyond the reference (all OFF by default) ------------
+    max_grad_norm: float = 0.0  # >0: clip each minibatch gradient's global
+                                # L2 norm before Adam (ops/adam.py)
+    target_kl: float = 0.0      # >0: within a fit, stop policy updates once
+                                # the pmean'd approx KL (E[old - new logp])
+                                # of a minibatch exceeds this
+    lr_anneal: bool = False     # linearly decay both learning rates to 0
+                                # over the cfg.n_epochs schedule, measured
+                                # in each optimizer's own Adam steps (a
+                                # longer run trains its tail at lr ~ 0)
+
     # --- schedule ---------------------------------------------------------
     # steps_per_fit in the reference is the buffer capacity (3000); here it is
     # n_envs * rollout_len.  The reference layout is one flat 3000-step stream

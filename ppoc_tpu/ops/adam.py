@@ -64,3 +64,13 @@ def update(
     new_m = treedef.unflatten([o[1] for o in out])
     new_v = treedef.unflatten([o[2] for o in out])
     return new_p, AdamState(m=new_m, v=new_v, t=t)
+
+
+def clip_by_global_norm(grads, max_norm: float):
+    """Scale the whole gradient pytree so its global L2 norm is at most
+    ``max_norm`` (the standard PPO stabilizer; no reference counterpart —
+    gated off by default via PPOConfig.max_grad_norm = 0)."""
+    leaves = jax.tree.leaves(grads)
+    norm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    return jax.tree.map(lambda g: g * scale, grads)
