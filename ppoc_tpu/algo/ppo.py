@@ -104,6 +104,35 @@ def _lr(base: float, cfg: PPOConfig, opt_state, n_mb: int,
     return base * jnp.maximum(0.0, 1.0 - frac)
 
 
+def _policy_adam_step(cfg: PPOConfig, policy_params, grads, opt_policy,
+                      opt_log_std, n_mb: int):
+    """One policy minibatch's Adam updates — separate states for the mean
+    net and log_std (src/ppo.cu:19-25), annealed lr — shared by the
+    feedforward and recurrent phases."""
+    new_mlp, new_opt_policy = adam.update(
+        policy_params["mlp"], grads["mlp"], opt_policy,
+        _lr(cfg.lr_policy, cfg, opt_policy, n_mb, cfg.n_epochs_policy),
+        cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
+    )
+    new_params = dict(policy_params)
+    new_params["mlp"] = new_mlp
+    new_opt_log_std = opt_log_std
+    if "log_std" in policy_params:
+        new_log_std, new_opt_log_std = adam.update(
+            policy_params["log_std"], grads["log_std"], opt_log_std,
+            _lr(cfg.lr_policy, cfg, opt_log_std, n_mb, cfg.n_epochs_policy),
+            cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
+        )
+        new_params["log_std"] = new_log_std
+    return new_params, new_opt_policy, new_opt_log_std
+
+
+def _freeze_where(stop, old_tree, new_tree):
+    """Element-wise select: keep ``old_tree`` where ``stop`` (the target_kl
+    early-stop mask applied to params and optimizer states alike)."""
+    return jax.tree.map(lambda o, n: jnp.where(stop, o, n), old_tree, new_tree)
+
+
 def _pvary(tree, axis_name: Optional[str]):
     """Mark a pytree as device-varying along ``axis_name`` for shard_map's
     varying-axes type system.  Needed when an env's reset ignores its RNG key
@@ -505,31 +534,15 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
             policy_params, o, a, lp, ad
         )
         grads = _prep_grads(grads, cfg, axis_name)
-        # Separate Adam states for the mean net and log_std (src/ppo.cu:19-25).
-        new_mlp, new_opt_policy = adam.update(
-            policy_params["mlp"], grads["mlp"], opt_policy,
-            _lr(cfg.lr_policy, cfg, opt_policy, n_mb, cfg.n_epochs_policy),
-            cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
-        )
-        new_params = dict(policy_params)
-        new_params["mlp"] = new_mlp
-        new_opt_log_std = opt_log_std
-        if "log_std" in policy_params:
-            new_log_std, new_opt_log_std = adam.update(
-                policy_params["log_std"], grads["log_std"], opt_log_std,
-                _lr(cfg.lr_policy, cfg, opt_log_std, n_mb, cfg.n_epochs_policy),
-                cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
-            )
-            new_params["log_std"] = new_log_std
+        new_params, new_opt_policy, new_opt_log_std = _policy_adam_step(
+            cfg, policy_params, grads, opt_policy, opt_log_std, n_mb)
         if not use_kl:
             return (new_params, new_opt_policy, new_opt_log_std), (loss, ent)
         # once a minibatch's (dp-agreed) KL breaches the target, every later
         # update in this fit is a no-op: params and optimizers freeze
-        keep = lambda old, new: jax.tree.map(
-            lambda o_, n_: jnp.where(stop, o_, n_), old, new)
-        new_params = keep(policy_params, new_params)
-        new_opt_policy = keep(opt_policy, new_opt_policy)
-        new_opt_log_std = keep(opt_log_std, new_opt_log_std)
+        new_params = _freeze_where(stop, policy_params, new_params)
+        new_opt_policy = _freeze_where(stop, opt_policy, new_opt_policy)
+        new_opt_log_std = _freeze_where(stop, opt_log_std, new_opt_log_std)
         stop2 = jnp.logical_or(stop, _pmean(kl, axis_name) > cfg.target_kl)
         return (new_params, new_opt_policy, new_opt_log_std, stop2), (loss, ent)
 

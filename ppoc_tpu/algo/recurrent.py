@@ -252,28 +252,16 @@ def policy_phase_rnn(cfg: PPOConfig, env: Env, ts, traj, adv: jax.Array, key,
         (loss, (ent, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             policy_params, o, a, d, lp, ad)
         grads = ppo_mod._prep_grads(grads, cfg, axis_name)
-        new_mlp, new_opt_policy = adam.update(
-            policy_params["mlp"], grads["mlp"], opt_policy,
-            ppo_mod._lr(cfg.lr_policy, cfg, opt_policy, n_mb,
-                        cfg.n_epochs_policy),
-            cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
-        new_params = dict(policy_params)
-        new_params["mlp"] = new_mlp
-        new_opt_log_std = opt_log_std
-        if "log_std" in policy_params:
-            new_log_std, new_opt_log_std = adam.update(
-                policy_params["log_std"], grads["log_std"], opt_log_std,
-                ppo_mod._lr(cfg.lr_policy, cfg, opt_log_std, n_mb,
-                            cfg.n_epochs_policy),
-                cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
-            new_params["log_std"] = new_log_std
+        new_params, new_opt_policy, new_opt_log_std = \
+            ppo_mod._policy_adam_step(
+                cfg, policy_params, grads, opt_policy, opt_log_std, n_mb)
         if not use_kl:
             return (new_params, new_opt_policy, new_opt_log_std), (loss, ent)
-        keep = lambda old, new: jax.tree.map(
-            lambda o_, n_: jnp.where(stop, o_, n_), old, new)
-        new_params = keep(policy_params, new_params)
-        new_opt_policy = keep(opt_policy, new_opt_policy)
-        new_opt_log_std = keep(opt_log_std, new_opt_log_std)
+        new_params = ppo_mod._freeze_where(stop, policy_params, new_params)
+        new_opt_policy = ppo_mod._freeze_where(stop, opt_policy,
+                                               new_opt_policy)
+        new_opt_log_std = ppo_mod._freeze_where(stop, opt_log_std,
+                                                new_opt_log_std)
         stop2 = jnp.logical_or(
             stop, ppo_mod._pmean(kl, axis_name) > cfg.target_kl)
         return (new_params, new_opt_policy, new_opt_log_std, stop2), (loss, ent)
