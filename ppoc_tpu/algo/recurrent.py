@@ -99,23 +99,9 @@ def rollout_rnn(
         env_state, obs, h = carry
         k_act, k_env = jax.random.split(key_t)
         h2, out = gru.step(trunk, h, obs, cfg.activation)
-        if discrete:
-            if deterministic:
-                a_idx = jnp.argmax(out, axis=-1)
-            else:
-                a_idx = jax.random.categorical(k_act, out, axis=-1)
-            logp = jnp.take_along_axis(
-                jax.nn.log_softmax(out, axis=-1), a_idx[..., None], axis=-1
-            )[..., 0]
-            action = a_idx[..., None].astype(jnp.int32)
-        else:
-            log_std = policy_params["log_std"]
-            if deterministic:
-                action = out
-            else:
-                eps = jax.random.normal(k_act, out.shape, out.dtype)
-                action = out + eps * jnp.exp(log_std)
-            logp = policy_mod.gaussian_log_prob_from_mean(out, log_std, action)
+        action, logp = policy_mod.act_from_out(
+            out, k_act, discrete, policy_params.get("log_std"),
+            deterministic)
         env_state2, obs2, next_obs, reward, term, trunc = \
             vector_autoreset_step(env, env_state, action, k_env)
         done = jnp.logical_or(term, trunc)

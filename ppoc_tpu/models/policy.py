@@ -111,6 +111,30 @@ def categorical_entropy(params: Dict, obs: jax.Array, activation: str, backend: 
     return jnp.mean(-jnp.sum(jnp.exp(logp) * logp, axis=-1))
 
 
+def act_from_out(out, key, discrete, log_std=None, deterministic=False):
+    """(action, log_prob) from a PRECOMPUTED head output (logits or Gaussian
+    mean).  Single owner of the distribution math for callers that run the
+    trunk themselves — the recurrent rollout (algo/recurrent.py) and
+    recurrent serving (serve.py) — so sampling semantics can never drift
+    from the feedforward paths above.  The log_prob is that of the returned
+    action under the STOCHASTIC policy (as in mode())."""
+    if discrete:
+        if deterministic:
+            a_idx = jnp.argmax(out, axis=-1)
+        else:
+            a_idx = jax.random.categorical(key, out, axis=-1)
+        logp = jnp.take_along_axis(
+            jax.nn.log_softmax(out, axis=-1), a_idx[..., None], axis=-1
+        )[..., 0]
+        return a_idx[..., None].astype(jnp.int32), logp
+    if deterministic:
+        action = out
+    else:
+        eps = jax.random.normal(key, out.shape, out.dtype)
+        action = out + eps * jnp.exp(log_std)
+    return action, gaussian_log_prob_from_mean(out, log_std, action)
+
+
 # --- unified dispatch ---------------------------------------------------------
 
 def init(key, obs_dim, action_dim, hidden, init_std, discrete):

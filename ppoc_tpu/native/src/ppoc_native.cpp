@@ -58,7 +58,8 @@ enum EnvId {
   ENV_CARTPOLE = 2,     // CartPole-v1
   ENV_MOUNTAIN_CAR = 3, // MountainCarContinuous-v0
   ENV_ACROBOT = 4,      // Acrobot-v1 (book dynamics, RK4)
-  ENV_REACHER = 5       // in-repo two-link reacher (envs/reacher.py)
+  ENV_REACHER = 5,      // in-repo two-link reacher (envs/reacher.py)
+  ENV_RECALL = 6        // cue-memory task (envs/recall.py)
 };
 
 static inline float angle_normalize(float x) {
@@ -78,6 +79,7 @@ int ppoc_env_state_dim(int env_id) {
     case ENV_MOUNTAIN_CAR: return 2;  // position, velocity
     case ENV_ACROBOT: return 4;       // th1, th2, dth1, dth2
     case ENV_REACHER: return 6;       // q1, q2, qd1, qd2, target x, target y
+    case ENV_RECALL: return 2;        // cue b, first-step flag
     default: return -1;
   }
 }
@@ -90,6 +92,7 @@ int ppoc_env_obs_dim(int env_id) {
     case ENV_MOUNTAIN_CAR: return 2;
     case ENV_ACROBOT: return 6;       // cos/sin th1, cos/sin th2, dth1, dth2
     case ENV_REACHER: return 10;
+    case ENV_RECALL: return 2;        // [b * first, first]
     default: return -1;
   }
 }
@@ -102,6 +105,7 @@ int ppoc_env_action_dim(int env_id) {
     case ENV_MOUNTAIN_CAR: return 1;
     case ENV_ACROBOT: return 1;       // discrete {0,1,2}, passed as float
     case ENV_REACHER: return 2;
+    case ENV_RECALL: return 1;
     default: return -1;
   }
 }
@@ -114,6 +118,7 @@ int ppoc_env_horizon(int env_id) {
     case ENV_MOUNTAIN_CAR: return 999;
     case ENV_ACROBOT: return 500;
     case ENV_REACHER: return 150;
+    case ENV_RECALL: return 6;        // envs/recall.py HORIZON
     default: return -1;
   }
 }
@@ -192,6 +197,12 @@ static void obs_from_state(int env_id, const float* st, float* obs) {
       obs[9] = tipy - st[5];
       break;
     }
+    case ENV_RECALL:
+      // envs/recall.py:_obs — cue visible only while the first-step flag
+      // (st[1]) is up
+      obs[0] = st[0] * st[1];
+      obs[1] = st[1];
+      break;
   }
 }
 
@@ -237,6 +248,10 @@ void ppoc_env_reset(int env_id, int n, uint64_t seed,
         st[5] = radius * sinf(angle);
         break;
       }
+      case ENV_RECALL:
+        st[0] = uniform(&rng, 0.0f, 1.0f) < 0.5f ? -1.0f : 1.0f;
+        st[1] = 1.0f;  // first-step flag: the cue is visible
+        break;
     }
     steps[i] = 0;
     obs_from_state(env_id, st, obs + (size_t)i * od);
@@ -380,6 +395,15 @@ void ppoc_env_step(int env_id, int n,
         float tipy = L1 * sinf(st[0]) + L2 * sinf(st[0] + st[1]);
         float dx = tipx - st[4], dy = tipy - st[5];
         reward[i] = -sqrtf(dx * dx + dy * dy) - 0.01f * (u0 * u0 + u1 * u1);
+        break;
+      }
+      case ENV_RECALL: {
+        // envs/recall.py:_step — fixed-length episode TERMINATING at the
+        // horizon; reward 1 at the final step iff sign(action) matches the
+        // cue; observations go blank after t = 0.
+        term = (steps[i] + 1) >= horizon;
+        reward[i] = (term && st[0] * a[0] > 0.0f) ? 1.0f : 0.0f;
+        st[1] = 0.0f;
         break;
       }
     }

@@ -153,15 +153,9 @@ def load_recurrent_policy(path: str, deterministic: bool = True,
     @jax.jit
     def _step(obs, h, key):
         h2, out = gru.step(params["mlp"], h, obs, cfg.activation)
-        if discrete:
-            a_det = jnp.argmax(out, axis=-1)[..., None].astype(jnp.int32)
-            a_sto = jax.random.categorical(key, out, axis=-1)[..., None] \
-                .astype(jnp.int32)
-        else:
-            a_det = out
-            eps = jax.random.normal(key, out.shape, out.dtype)
-            a_sto = out + eps * jnp.exp(params["log_std"])
-        return (a_det if deterministic else a_sto), h2
+        action, _ = policy_mod.act_from_out(
+            out, key, discrete, params.get("log_std"), deterministic)
+        return action, h2
 
     def act(obs, h, key: Optional[jax.Array] = None):
         obs = jnp.asarray(obs, jnp.float32)
@@ -177,4 +171,17 @@ def load_recurrent_policy(path: str, deterministic: bool = True,
     act.initial_state = lambda batch_size=None: gru.initial_state(
         params["mlp"], () if batch_size is None else (batch_size,))
     act.cfg = cfg
+    # same actor-surface contract as load_policy (act.spec for consumers
+    # that size buffers / check discreteness)
+    from ppoc_tpu import envs as _envs
+    from ppoc_tpu.envs.core import EnvSpec as _EnvSpec
+
+    try:
+        act.spec = _envs.make(cfg.env).spec
+    except KeyError:
+        act.spec = _EnvSpec(
+            name=cfg.env, obs_dim=ck.dims["obs_dim"],
+            action_dim=ck.dims["action_dim"], horizon=0, gamma=0.99,
+            discrete=discrete,
+        )
     return act

@@ -34,6 +34,23 @@ from ppoc_tpu.algo import ppo
 from ppoc_tpu.config import PPOConfig
 
 
+_JIT_CACHE: Dict[Any, Any] = {}
+
+
+def _cached_jit(key, builder):
+    """Reuse the jitted sweep program across calls: jit's executable cache
+    is keyed on the function OBJECT, so rebuilding the closure every call
+    would re-trace and re-compile each time — on a TPU that puts tens of
+    seconds of XLA compile inside what callers (bench_scaling
+    --sweep) believe is a warmed-up timed region."""
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        if len(_JIT_CACHE) > 16:
+            _JIT_CACHE.clear()
+        fn = _JIT_CACHE[key] = builder()
+    return fn
+
+
 def _backend(cfg: PPOConfig) -> str:
     """Generic-XLA backend string carrying the config's gating options —
     the same top-k the Trainer would use (a bare "jnp" would silently
@@ -97,7 +114,8 @@ def solve_many(cfg: PPOConfig, seeds: Sequence[int], target_R: float,
         return ppo.train_until(cfg, env, ts, k, target_R=target_R,
                                max_epochs=max_epochs, backend=backend)
 
-    run = jax.jit(jax.vmap(one))
+    run = _cached_jit(("solve", cfg, target_R, max_epochs),
+                      lambda: jax.jit(jax.vmap(one)))
     new_states, n, R = run(states, k_run)
     n, R = jax.device_get((n, R))
     return {"epochs": [int(x) for x in n], "R": [float(x) for x in R],
@@ -131,7 +149,8 @@ def train_many(cfg: PPOConfig, seeds: Sequence[int],
             epoch, (ts, key), None, length=n_epochs)
         return ts, R, J, ent
 
-    run = jax.jit(jax.vmap(one))
+    run = _cached_jit(("train", cfg, n_epochs),
+                      lambda: jax.jit(jax.vmap(one)))
     new_states, R, J, ent = run(states, k_run)
     R, J, ent = jax.device_get((R, J, ent))
     return {"R": R, "J": J, "entropy": ent, "states": new_states}

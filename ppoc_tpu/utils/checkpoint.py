@@ -261,7 +261,8 @@ def _save_stream(f, cfg, spec, state, key=None, version: Optional[int] = None,
         # plain states keep the byte-identical v3 layout; MoE and GRU
         # trunks need the kind-tagged v4 sections
         tagged = (is_moe(state.policy_params["mlp"]) or is_moe(state.v_params)
-                  or is_rnn(state.policy_params["mlp"]))
+                  or is_rnn(state.policy_params["mlp"])
+                  or is_rnn(state.v_params))
         version = MOE_VERSION if tagged else VERSION
     f.write(MAGIC)
     _w(f, "i", version)

@@ -15,7 +15,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from ppoc_tpu import envs, native  # noqa: E402
 from ppoc_tpu.envs import (  # noqa: E402
-    acrobot, cartpole, mountain_car, pendulum, reacher, simple,
+    acrobot, cartpole, mountain_car, pendulum, reacher, recall, simple,
 )
 
 pytestmark = pytest.mark.skipif(
@@ -49,6 +49,10 @@ def _jax_states(name, n, key):
     if name == "acrobot":
         s = rng.uniform(-0.1, 0.1, (n, 4)).astype(np.float32)
         return acrobot.AcrobotState(jnp.asarray(s), zi), s
+    if name == "recall":
+        b = np.where(rng.uniform(size=n) < 0.5, -1.0, 1.0).astype(np.float32)
+        first = np.ones(n, np.float32)
+        return recall.RecallState(jnp.asarray(b), zi), np.stack([b, first], 1)
     if name == "reacher":
         q = rng.uniform(-np.pi, np.pi, (n, 2)).astype(np.float32)
         qd = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
@@ -60,7 +64,8 @@ def _jax_states(name, n, key):
 
 
 @pytest.mark.parametrize(
-    "name", ["pendulum", "cartpole", "mountain_car", "simple", "acrobot", "reacher"]
+    "name", ["pendulum", "cartpole", "mountain_car", "simple", "acrobot",
+             "reacher", "recall"]
 )
 def test_native_matches_jax_physics(name):
     env = envs.make(name)
