@@ -430,7 +430,8 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
 
     if (backend == "pallas" and axis_name is None
             and not _moe.is_moe(ts.v_params)
-            and cfg.max_grad_norm == 0.0 and not cfg.lr_anneal):
+            and cfg.max_grad_norm == 0.0 and not cfg.lr_anneal
+            and cfg.clip_value == 0.0):
         from ppoc_tpu.ops import pallas_update as _pu
 
         if (mb_size <= _pu._MAX_TILE
@@ -443,17 +444,25 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
     n_rows = buf.obs.shape[0]
     aux_coeff, moe_topk = _moe.aux_setup(cfg, ts.v_params, backend)
 
-    def loss_fn(v_params, o, t):
+    clip_v = cfg.clip_value
+
+    def loss_fn(v_params, o, t, vo=None):
         v = mlp.apply(v_params, o, cfg.activation, backend)[..., 0]
-        loss = losses.value_loss(v, t)
+        if clip_v > 0.0:
+            loss = losses.clipped_value_loss(v, vo, t, clip_v)
+        else:
+            loss = losses.value_loss(v, t)
         if aux_coeff:
             loss = loss + aux_coeff * _moe.load_balance_loss(
                 v_params, o, moe_topk)
         return loss
 
+    cols = (buf.obs, buf.target) if clip_v == 0.0 \
+        else (buf.obs, buf.target, buf.v_old)
+
     def mb_step(carry, idx):
         v_params, opt_v = carry
-        mb = buffer.gather((buf.obs, buf.target), idx)
+        mb = buffer.gather(cols, idx)
         loss, grads = jax.value_and_grad(loss_fn)(v_params, *mb)
         grads = _prep_grads(grads, cfg, axis_name)
         v_params, opt_v = adam.update(
@@ -600,7 +609,8 @@ def update_step(
         adv, target = compute_advantages(
             cfg, env, ts.v_params, traj, axis_name, "jnp", vpair)
         ts, v_loss = recurrent.value_phase_rnn(
-            cfg, ts, traj, target, k_val, axis_name, mb_size)
+            cfg, ts, traj, target, k_val, axis_name, mb_size,
+            v_old=vpair[0] if cfg.clip_value > 0.0 else None)
         ts, p_loss, ent = recurrent.policy_phase_rnn(
             cfg, env, ts, traj, adv, k_pol, axis_name, mb_size)
         mean_rew = _pmean(jnp.mean(traj.reward), axis_name)
@@ -609,9 +619,19 @@ def update_step(
             _pmean(ent, axis_name), mean_rew,
         )
 
+    if cfg.clip_value > 0.0 and values_pair is None:
+        # PPO2 value clipping needs the rollout-time V(s) rows; materialize
+        # the planes here so compute_advantages reuses them for free
+        values_pair = (
+            mlp.apply(ts.v_params, traj.obs, cfg.activation, backend)[..., 0],
+            mlp.apply(ts.v_params, traj.next_obs, cfg.activation,
+                      backend)[..., 0],
+        )
     adv, target = compute_advantages(
         cfg, env, ts.v_params, traj, axis_name, backend, values_pair)
-    buf = buffer.from_rollout(traj, adv, target)
+    buf = buffer.from_rollout(
+        traj, adv, target,
+        v_old=values_pair[0] if cfg.clip_value > 0.0 else None)
 
     ts, v_loss = value_phase(
         cfg, ts, buf, k_val, axis_name, backend, n_mb, mb_size

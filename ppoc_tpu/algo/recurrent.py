@@ -177,23 +177,29 @@ def policy_log_probs_rnn(cfg: PPOConfig, policy_params, obs, action, done,
 # --------------------------------------------------------------------------
 
 def value_phase_rnn(cfg: PPOConfig, ts, traj, target: jax.Array, key,
-                    axis_name: Optional[str], mb_size: int):
+                    axis_name: Optional[str], mb_size: int, v_old=None):
     """n_epochs_value shuffled passes fitting the recurrent V
-    (src/ppo.cu:491-510 with sequence minibatches)."""
+    (src/ppo.cu:491-510 with sequence minibatches).  ``v_old`` ([T, E]
+    rollout-time values) enables PPO2 value clipping (cfg.clip_value)."""
     from ppoc_tpu.algo import ppo as ppo_mod
 
     T, E = target.shape
     done = jnp.logical_or(traj.terminated, traj.truncated)
     seqs, n_mb = seq_minibatch_plan(E, T, mb_size)
 
-    def loss_fn(v_params, o, d, t):
+    def loss_fn(v_params, o, d, t, vo=None):
         v = gru.apply_seq(v_params, o, d, cfg.activation)[..., 0]
+        if vo is not None:
+            return losses.clipped_value_loss(v, vo, t, cfg.clip_value)
         return losses.value_loss(v, t)
+
+    cols = (traj.obs, done, target) if v_old is None \
+        else (traj.obs, done, target, v_old)
 
     def mb_step(carry, idx):
         v_params, opt_v = carry
-        o, d, t = _gather_seqs((traj.obs, done, target), idx)
-        loss, grads = jax.value_and_grad(loss_fn)(v_params, o, d, t)
+        mb = _gather_seqs(cols, idx)
+        loss, grads = jax.value_and_grad(loss_fn)(v_params, *mb)
         grads = ppo_mod._prep_grads(grads, cfg, axis_name)
         v_params, opt_v = adam.update(
             v_params, grads, opt_v,

@@ -47,6 +47,11 @@ class PPOConfig:
                                 # over the cfg.n_epochs schedule, measured
                                 # in each optimizer's own Adam steps (a
                                 # longer run trains its tail at lr ~ 0)
+    clip_value: float = 0.0     # >0: PPO2-style value clipping — the value
+                                # loss is max of the unclipped and the
+                                # V_old +/- clip_value-clipped squared
+                                # errors, keeping V near its rollout-time
+                                # predictions
 
     # --- schedule ---------------------------------------------------------
     # steps_per_fit in the reference is the buffer capacity (3000); here it is

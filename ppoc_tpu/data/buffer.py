@@ -29,9 +29,12 @@ class RowBuffer(NamedTuple):
     log_prob: jax.Array   # [N]
     advantage: jax.Array  # [N]
     target: jax.Array     # [N]  value targets V(s) + A
+    v_old: Any = None     # [N]  rollout-time V(s), only materialized when
+                          # PPO2 value clipping is on (cfg.clip_value > 0)
 
 
-def from_rollout(traj, advantage: jax.Array, target: jax.Array) -> RowBuffer:
+def from_rollout(traj, advantage: jax.Array, target: jax.Array,
+                 v_old=None) -> RowBuffer:
     """Flatten a [T, E, ...] rollout + GAE outputs into [T*E, ...] rows.
 
     Equivalent of the reference's single flat ``capacity``-step stream (its
@@ -45,6 +48,7 @@ def from_rollout(traj, advantage: jax.Array, target: jax.Array) -> RowBuffer:
         log_prob=traj.log_prob.reshape(n),
         advantage=advantage.reshape(n),
         target=target.reshape(n),
+        v_old=None if v_old is None else v_old.reshape(n),
     )
 
 

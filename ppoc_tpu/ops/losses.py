@@ -34,3 +34,14 @@ def clipped_surrogate_loss(
 def value_loss(v_pred: jax.Array, v_target: jax.Array) -> jax.Array:
     """Mean squared error over all elements (src/loss.cu:5-13)."""
     return jnp.mean(jnp.square(v_pred - v_target))
+
+
+def clipped_value_loss(v_pred: jax.Array, v_old: jax.Array,
+                       v_target: jax.Array, clip: float) -> jax.Array:
+    """PPO2-style value clipping (no reference counterpart, default-off):
+    elementwise max of the unclipped squared error and the squared error of
+    V_old + clip(V - V_old, +/-clip), pessimistically bounding how far V may
+    move from its rollout-time predictions in one fit."""
+    v_clipped = v_old + jnp.clip(v_pred - v_old, -clip, clip)
+    return jnp.mean(jnp.maximum(jnp.square(v_pred - v_target),
+                                jnp.square(v_clipped - v_target)))

@@ -139,3 +139,50 @@ def test_recurrent_phases_honor_stabilizers():
     n_updates = cfg.n_epochs_policy * (16 // (24 // 6))  # 2 epochs x 4 mb
     assert 1 <= int(ts2.opt_policy.t) < n_updates
     assert int(ts2.opt_v.t) == cfg.n_epochs_value * 4
+
+
+def test_clipped_value_loss_math():
+    from ppoc_tpu.ops import losses
+
+    v = jnp.asarray([1.0, 5.0, -2.0])
+    vo = jnp.asarray([0.0, 0.0, 0.0])
+    t = jnp.asarray([2.0, 2.0, 2.0])
+    clip = 0.5
+    v_cl = np.clip(np.asarray(v), -0.5, 0.5)  # vo = 0
+    expect = np.mean(np.maximum((np.asarray(v) - 2.0) ** 2, (v_cl - 2.0) ** 2))
+    got = float(losses.clipped_value_loss(v, vo, t, clip))
+    assert got == pytest.approx(expect, rel=1e-6)
+
+
+def test_huge_clip_value_is_identity_to_float_noise():
+    _, ts_off, _ = _tiny_fit(BASE)
+    _, ts_on, _ = _tiny_fit(BASE.replace(clip_value=1e9))
+    for a, b in zip(jax.tree.leaves(ts_off), jax.tree.leaves(ts_on)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_tight_clip_value_changes_updates():
+    _, ts_off, _ = _tiny_fit(BASE)
+    _, ts_on, m = _tiny_fit(BASE.replace(clip_value=1e-3))
+    assert np.isfinite(float(m.value_loss))
+    diff = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(ts_off.v_params),
+                        jax.tree.leaves(ts_on.v_params)))
+    assert diff
+
+
+def test_clip_value_recurrent():
+    cfg = PPOConfig(env="recall", n_envs=16, rollout_len=6,
+                    minibatch_size=24, hidden=(16,), rnn_hidden=8,
+                    n_epochs_policy=1, n_epochs_value=2, clip_value=0.1)
+    env = envs.make(cfg.env)
+    ts = ppo.init_train_state(cfg, env, jax.random.PRNGKey(0))
+    traj, _ = recurrent.rollout_rnn(cfg, env, ts.policy_params,
+                                    jax.random.PRNGKey(1), 16, 6)
+    ts2, m = ppo.update_step(cfg, env, ts, traj, jax.random.PRNGKey(2),
+                             backend="jnp")
+    assert np.isfinite(float(m.value_loss))
+    assert int(ts2.opt_v.t) == cfg.n_epochs_value * 4
