@@ -171,6 +171,11 @@ class GymTrainer:
         from ppoc_tpu.envs.host import HostTrainer
         from ppoc_tpu.envs.wrappers import RunningObsNorm, RunningRewardNorm
 
+        # make the checkpoint self-describing regardless of how the caller
+        # built cfg: the embedded config must name the env actually trained
+        # (serve.load_policy resolves its spec from cfg.env)
+        if cfg.env != f"gym:{env_id}":
+            cfg = cfg.replace(env=f"gym:{env_id}")
         venv = GymVecEnv(env_id, cfg.n_envs, seed=cfg.seed,
                          vector_mode=vector_mode)
         eval_venv = GymVecEnv(env_id, cfg.eval_envs, seed=cfg.seed + 7777,

@@ -19,6 +19,37 @@ import jax
 import jax.numpy as jnp
 
 
+def _resolve_spec(cfg, dims):
+    """EnvSpec for a checkpoint: the registry entry named by cfg.env when
+    its dims MATCH the file's, else a spec built from the file's own dims —
+    the file is the ground truth (a checkpoint saved with a stale/default
+    cfg.env, e.g. by an older host-bridge driver that never rewrote it,
+    must not serve with the wrong observation contract)."""
+    from ppoc_tpu import envs
+    from ppoc_tpu.envs.core import EnvSpec
+
+    try:
+        spec = envs.make(cfg.env).spec
+        if (spec.obs_dim == dims["obs_dim"]
+                and spec.action_dim == dims["action_dim"]
+                and spec.discrete == dims["discrete"]):
+            return spec
+        import warnings
+
+        warnings.warn(
+            f"checkpoint dims {dims} do not match env {cfg.env!r} "
+            f"({spec.obs_dim}/{spec.action_dim}); serving with the file's "
+            f"dims", stacklevel=3,
+        )
+    except KeyError:
+        pass  # host-bridge env ids have no registry entry
+    return EnvSpec(
+        name=cfg.env, obs_dim=dims["obs_dim"],
+        action_dim=dims["action_dim"], horizon=0, gamma=0.99,
+        discrete=dims["discrete"],
+    )
+
+
 def load_policy(path: str, deterministic: bool = True,
                 seed: int = 0) -> Callable:
     """Load a version-3 checkpoint and return ``act(obs) -> action``.
@@ -38,18 +69,7 @@ def load_policy(path: str, deterministic: bool = True,
             f"re-save it with this version (Trainer.save) first"
         )
     cfg = ck.cfg
-    try:
-        spec = envs.make(cfg.env).spec
-    except KeyError:
-        # host-bridge checkpoints (cfg.env = "gym:<id>") have no registry
-        # entry; serving only needs the dims, which the file carries
-        from ppoc_tpu.envs.core import EnvSpec
-
-        spec = EnvSpec(
-            name=cfg.env, obs_dim=ck.dims["obs_dim"],
-            action_dim=ck.dims["action_dim"], horizon=0, gamma=0.99,
-            discrete=ck.dims["discrete"],
-        )
+    spec = _resolve_spec(cfg, ck.dims)
     params = ck.state.policy_params
     from ppoc_tpu.models import gru
 
@@ -170,18 +190,148 @@ def load_recurrent_policy(path: str, deterministic: bool = True,
 
     act.initial_state = lambda batch_size=None: gru.initial_state(
         params["mlp"], () if batch_size is None else (batch_size,))
+    act.recurrent = True
     act.cfg = cfg
     # same actor-surface contract as load_policy (act.spec for consumers
     # that size buffers / check discreteness)
-    from ppoc_tpu import envs as _envs
-    from ppoc_tpu.envs.core import EnvSpec as _EnvSpec
+    act.spec = _resolve_spec(cfg, ck.dims)
+    return act
+
+
+# --------------------------------------------------------------------------
+# HTTP inference server
+# --------------------------------------------------------------------------
+
+def make_server(path: str, host: str = "127.0.0.1", port: int = 8000,
+                deterministic: bool = True, seed: int = 0):
+    """An HTTP policy server over a checkpoint (stdlib-only, threaded).
+
+    The production face of the serving API — the reference's deployment
+    story stops at load_ppo + sample_action in-process (src/ppo.cu:610-648);
+    this exposes the same act() over the wire so non-Python actors can
+    consume a trained policy.
+
+    Endpoints (JSON):
+      GET  /spec  -> {env, obs_dim, action_dim, discrete, recurrent, hidden}
+      POST /act   -> body {"obs": [[...]] | [...], "h": [[...]]?}
+                     reply {"action": ..., "h": ...?}   (h: recurrent only;
+                     omit h (or null) at episode start — zeros are used)
+
+    Device calls are serialized with a lock (one chip, one program); batch
+    your observations client-side for throughput.  Returns the configured
+    HTTPServer — call serve_forever() (blocking) or run it in a thread.
+    """
+    import http.server
+    import json
+    import threading
+
+    import numpy as np
 
     try:
-        act.spec = _envs.make(cfg.env).spec
-    except KeyError:
-        act.spec = _EnvSpec(
-            name=cfg.env, obs_dim=ck.dims["obs_dim"],
-            action_dim=ck.dims["action_dim"], horizon=0, gamma=0.99,
-            discrete=discrete,
-        )
-    return act
+        act = load_policy(path, deterministic=deterministic, seed=seed)
+        recurrent = False
+    except ValueError:
+        act = load_recurrent_policy(path, deterministic=deterministic,
+                                    seed=seed)
+        recurrent = True
+    spec = act.spec
+    lock = threading.Lock()
+    rnn_hidden = int(act.cfg.rnn_hidden) if recurrent else 0
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code, obj):
+            body = json.dumps(obj).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/spec":
+                return self._reply(404, {"error": f"unknown path {self.path}"})
+            self._reply(200, {
+                "env": spec.name, "obs_dim": spec.obs_dim,
+                "action_dim": spec.action_dim, "discrete": spec.discrete,
+                "recurrent": recurrent, "rnn_hidden": rnn_hidden,
+                "deterministic": deterministic,
+            })
+
+        def do_POST(self):
+            if self.path != "/act":
+                return self._reply(404, {"error": f"unknown path {self.path}"})
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n).decode("utf-8"))
+                obs = np.asarray(req["obs"], np.float32)
+                single = obs.ndim == 1
+                if single:
+                    obs = obs[None]
+                if obs.ndim != 2 or obs.shape[1] != spec.obs_dim:
+                    raise ValueError(
+                        f"obs must be [B, {spec.obs_dim}], got {obs.shape}")
+                with lock:
+                    if recurrent:
+                        h = req.get("h")
+                        h = (act.initial_state(obs.shape[0]) if h is None
+                             else np.asarray(h, np.float32))
+                        a, h2 = act(obs, h)
+                        out = {"action": np.asarray(a).tolist(),
+                               "h": np.asarray(h2).tolist()}
+                    else:
+                        a = act(obs)
+                        out = {"action": np.asarray(a).tolist()}
+                if single:
+                    out["action"] = out["action"][0]
+                    if "h" in out:
+                        out["h"] = out["h"][0]
+                self._reply(200, out)
+            except (KeyError, ValueError, TypeError) as e:
+                self._reply(400, {"error": str(e)})
+
+    server = http.server.ThreadingHTTPServer((host, port), Handler)
+    return server
+
+
+def main(argv=None) -> int:
+    """``python -m ppoc_tpu.serve model.bin [--port P] [--stochastic]``."""
+    import argparse
+    import os
+
+    # PPOC_PLATFORM / PPOC_CPU_DEVICES: pin the JAX platform before backend
+    # init (same contract as the training CLI — plain JAX_PLATFORMS does not
+    # override an ambient platform plugin)
+    plat = os.environ.get("PPOC_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+        n_cpu = os.environ.get("PPOC_CPU_DEVICES")
+        if n_cpu:
+            jax.config.update("jax_num_cpu_devices", int(n_cpu))
+
+    ap = argparse.ArgumentParser(
+        prog="ppoc_tpu.serve",
+        description="serve a trained policy checkpoint over HTTP")
+    ap.add_argument("checkpoint")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--stochastic", action="store_true",
+                    help="sample the policy instead of serving its mode")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    server = make_server(args.checkpoint, args.host, args.port,
+                         deterministic=not args.stochastic, seed=args.seed)
+    host, port = server.server_address[:2]
+    print(f"serving {args.checkpoint} on http://{host}:{port} "
+          f"(GET /spec, POST /act)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
