@@ -92,16 +92,33 @@ def _prep_grads(grads, cfg: PPOConfig, axis_name: Optional[str]):
     return grads
 
 
+def _anneal_factor(cfg: PPOConfig, opt_state, n_mb: int,
+                   epochs_per_fit: int):
+    """Remaining fraction of the cfg.n_epochs schedule, measured in the
+    given optimizer's own Adam steps: 1 at the start, 0 at the end."""
+    total = cfg.n_epochs * cfg.fits_per_epoch * epochs_per_fit * n_mb
+    frac = opt_state.t.astype(jnp.float32) / jnp.float32(max(total, 1))
+    return jnp.maximum(0.0, 1.0 - frac)
+
+
 def _lr(base: float, cfg: PPOConfig, opt_state, n_mb: int,
         epochs_per_fit: int):
     """Effective learning rate: constant (reference) or linearly annealed to
-    zero over the cfg.n_epochs schedule, measured in this optimizer's own
-    Adam steps (opt_state.t)."""
+    zero over the cfg.n_epochs schedule (cfg.lr_anneal)."""
     if not cfg.lr_anneal:
         return base
-    total = cfg.n_epochs * cfg.fits_per_epoch * epochs_per_fit * n_mb
-    frac = opt_state.t.astype(jnp.float32) / jnp.float32(max(total, 1))
-    return base * jnp.maximum(0.0, 1.0 - frac)
+    return base * _anneal_factor(cfg, opt_state, n_mb, epochs_per_fit)
+
+
+def _ent_coeff(cfg: PPOConfig, opt_state, n_mb: int):
+    """Effective entropy-bonus coefficient: constant (reference) or linearly
+    annealed to zero (cfg.ent_anneal) — the config-level form of the
+    exploration-then-refinement staging the BipedalWalker recipe runs as
+    two separate CLI invocations (docs/RESULTS.md)."""
+    if not cfg.ent_anneal:
+        return cfg.ent_coeff
+    return cfg.ent_coeff * _anneal_factor(cfg, opt_state, n_mb,
+                                          cfg.n_epochs_policy)
 
 
 def _policy_adam_step(cfg: PPOConfig, policy_params, grads, opt_policy,
@@ -498,7 +515,7 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
     if (backend == "pallas" and axis_name is None
             and not _moe.is_moe(ts.policy_params["mlp"])
             and cfg.max_grad_norm == 0.0 and not cfg.lr_anneal
-            and cfg.target_kl == 0.0):
+            and cfg.target_kl == 0.0 and not cfg.ent_anneal):
         from ppoc_tpu.ops import pallas_update as _pu
 
         if (mb_size <= _pu._MAX_TILE
@@ -518,11 +535,11 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
 
     aux_coeff, moe_topk = _moe.aux_setup(cfg, ts.policy_params["mlp"], backend)
 
-    def loss_fn(policy_params, o, a, lp_old, adv):
+    def loss_fn(policy_params, o, a, lp_old, adv, ent_c):
         logp = policy_mod.log_prob(policy_params, o, a, cfg.activation, backend, discrete)
         surrogate = losses.clipped_surrogate_loss(logp, lp_old, adv, cfg.clip_eps)
         ent = policy_mod.entropy(policy_params, o, cfg.activation, backend, discrete)
-        loss = surrogate - cfg.ent_coeff * ent
+        loss = surrogate - ent_c * ent
         if aux_coeff:
             loss = loss + aux_coeff * _moe.load_balance_loss(
                 policy_params["mlp"], o, moe_topk)
@@ -540,7 +557,7 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
             (buf.obs, buf.action, buf.log_prob, buf.advantage), idx
         )
         (loss, (ent, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            policy_params, o, a, lp, ad
+            policy_params, o, a, lp, ad, _ent_coeff(cfg, opt_policy, n_mb)
         )
         grads = _prep_grads(grads, cfg, axis_name)
         new_params, new_opt_policy, new_opt_log_std = _policy_adam_step(

@@ -227,10 +227,10 @@ def policy_phase_rnn(cfg: PPOConfig, env: Env, ts, traj, adv: jax.Array, key,
     done = jnp.logical_or(traj.terminated, traj.truncated)
     seqs, n_mb = seq_minibatch_plan(E, T, mb_size)
 
-    def loss_fn(policy_params, o, a, d, lp_old, ad):
+    def loss_fn(policy_params, o, a, d, lp_old, ad, ent_c):
         logp, ent = policy_log_probs_rnn(cfg, policy_params, o, a, d, discrete)
         surrogate = losses.clipped_surrogate_loss(logp, lp_old, ad, cfg.clip_eps)
-        return surrogate - cfg.ent_coeff * ent, (ent, jnp.mean(lp_old - logp))
+        return surrogate - ent_c * ent, (ent, jnp.mean(lp_old - logp))
 
     use_kl = cfg.target_kl > 0.0
 
@@ -242,7 +242,8 @@ def policy_phase_rnn(cfg: PPOConfig, env: Env, ts, traj, adv: jax.Array, key,
         o, a, d, lp, ad = _gather_seqs(
             (traj.obs, traj.action, done, traj.log_prob, adv), idx)
         (loss, (ent, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            policy_params, o, a, d, lp, ad)
+            policy_params, o, a, d, lp, ad,
+            ppo_mod._ent_coeff(cfg, opt_policy, n_mb))
         grads = ppo_mod._prep_grads(grads, cfg, axis_name)
         new_params, new_opt_policy, new_opt_log_std = \
             ppo_mod._policy_adam_step(

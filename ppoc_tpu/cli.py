@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "with --solve-R reports per-seed epochs/R, else "
                         "per-seed learning curves.  On-device envs, single "
                         "device")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the training run "
+                        "into DIR (utils/profiling.trace; open with xprof/"
+                        "tensorboard)")
     p.add_argument("--jsonl", action="store_true",
                    help="emit per-epoch metrics as JSON lines instead of text")
     p.add_argument("--det-eval", action="store_true",
@@ -396,11 +400,22 @@ def main(argv=None) -> int:
     # gym envs skip the pre-training eval: it costs a full host rollout
     # (HostTrainer.train defaults it off for the same reason)
     init_eval = not args.resume and not cfg.env.startswith("gym:")
-    history = trainer.train(log=not args.jsonl and is_main,
-                            stop_at_R=args.stop_at_R,
-                            initial_eval=init_eval,
-                            eval_deterministic=args.det_eval,
-                            on_epoch_end=on_epoch_end, **ckpt_kw)
+    import contextlib
+
+    prof_ctx = contextlib.nullcontext()
+    if args.profile:
+        from ppoc_tpu.utils import profiling
+
+        prof_ctx = profiling.trace(args.profile)
+    with prof_ctx:
+        history = trainer.train(log=not args.jsonl and is_main,
+                                stop_at_R=args.stop_at_R,
+                                initial_eval=init_eval,
+                                eval_deterministic=args.det_eval,
+                                on_epoch_end=on_epoch_end, **ckpt_kw)
+    if args.profile and is_main:
+        print(f"profiler trace written to {args.profile} "
+              f"(open with xprof / tensorboard)", file=sys.stderr)
     if prev_handler is not None:
         _signal.signal(_signal.SIGTERM, prev_handler)
     if preempted["flag"]:

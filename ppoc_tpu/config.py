@@ -52,6 +52,9 @@ class PPOConfig:
                                 # V_old +/- clip_value-clipped squared
                                 # errors, keeping V near its rollout-time
                                 # predictions
+    ent_anneal: bool = False    # linearly decay ent_coeff to 0 over the
+                                # cfg.n_epochs schedule (the config-level
+                                # form of explore-then-refine staging)
 
     # --- schedule ---------------------------------------------------------
     # steps_per_fit in the reference is the buffer capacity (3000); here it is

@@ -186,3 +186,23 @@ def test_clip_value_recurrent():
                              backend="jnp")
     assert np.isfinite(float(m.value_loss))
     assert int(ts2.opt_v.t) == cfg.n_epochs_value * 4
+
+
+def test_ent_anneal():
+    # with ent_coeff = 0 annealing is a no-op by construction; with a
+    # nonzero coefficient the annealed run differs from the constant one
+    cfg = BASE.replace(ent_coeff=0.01)
+    _, ts_off, _ = _tiny_fit(cfg)
+    _, ts_on, _ = _tiny_fit(cfg.replace(ent_anneal=True, n_epochs=1,
+                                        fits_per_epoch=1))
+    diff = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(ts_off.policy_params),
+                        jax.tree.leaves(ts_on.policy_params)))
+    assert diff
+    # the coefficient helper hits 0 at the schedule end
+    c = cfg.replace(ent_anneal=True, n_epochs=1, fits_per_epoch=1)
+    total = c.n_epochs_policy * c.num_minibatches
+    state_end = adam.AdamState(m=None, v=None,
+                               t=jnp.asarray(total, jnp.int32))
+    assert float(ppo._ent_coeff(c, state_end, c.num_minibatches)) == 0.0
