@@ -63,6 +63,36 @@ def _map_train_state(ts: "ppo.TrainState", param_fn, moment_fn=None,
     )
 
 
+def score(trainer, episodes: int = 100, deterministic: bool = True,
+          max_rounds: int = 1000) -> Dict[str, float]:
+    """Aggregate evaluation over at least ``episodes`` COMPLETED episodes.
+
+    The canonical scoring protocol behind every "R over N episodes" number
+    in docs/RESULTS.md, as one call: repeat ``trainer.evaluate`` rounds
+    (fresh PRNG stream each) until enough episodes completed, weighting
+    each round's mean J/R by its episode count.  Works with any trainer
+    exposing ``evaluate(deterministic=)`` — the device Trainer and the
+    host-bridge HostTrainer alike.  Returns {"J", "R", "episodes",
+    "rounds"}.
+    """
+    tot_j = tot_r = tot_n = 0.0
+    rounds = 0
+    while tot_n < episodes and rounds < max_rounds:
+        m = trainer.evaluate(deterministic=deterministic)
+        rounds += 1
+        if m.episodes > 0:
+            tot_j += m.J * m.episodes
+            tot_r += m.R * m.episodes
+            tot_n += m.episodes
+    if tot_n == 0:
+        raise RuntimeError(
+            f"no episode completed in {rounds} evaluation rounds; is "
+            f"eval_len >= the env horizon?"
+        )
+    return {"J": tot_j / tot_n, "R": tot_r / tot_n,
+            "episodes": int(tot_n), "rounds": rounds}
+
+
 class Trainer:
     def __init__(self, cfg: PPOConfig, mesh: Optional[Mesh] = None):
         self.cfg = cfg

@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "with --solve-R reports per-seed epochs/R, else "
                         "per-seed learning curves.  On-device envs, single "
                         "device")
+    p.add_argument("--score-episodes", type=int, default=0, metavar="N",
+                   help="with --eval-only: aggregate evaluation over at "
+                        "least N COMPLETED episodes (repeated eval rounds, "
+                        "episode-weighted means) — the canonical scoring "
+                        "protocol behind docs/RESULTS.md")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the training run "
                         "into DIR (utils/profiling.trace; open with xprof/"
@@ -338,6 +343,16 @@ def main(argv=None) -> int:
         is_main = jax.process_index() == 0
 
     if args.eval_only:
+        if args.score_episodes:
+            from ppoc_tpu.algo.trainer import score
+
+            s = score(trainer, episodes=args.score_episodes,
+                      deterministic=args.det_eval)
+            if is_main:
+                print(f"J: {s['J']:f} R: {s['R']:f} "
+                      f"Episodes: {s['episodes']} (over {s['rounds']} "
+                      f"eval rounds)")
+            return 0
         m = trainer.evaluate(deterministic=args.det_eval)
         if is_main:
             print(f"J: {m.J:f} R: {m.R:f} Episodes: {int(m.episodes)}")

@@ -129,3 +129,29 @@ def test_cli_sweep(capsys):
     # incompatible with host-bridge / mesh / load modes
     with pytest.raises(SystemExit):
         cli.main(["--env", "simple", "--sweep", "2", "--mesh", "4"])
+
+
+def test_score_episodes(capsys):
+    """--eval-only --score-episodes aggregates eval rounds to an episode
+    quota (trainer.score, the canonical RESULTS scoring protocol)."""
+    from ppoc_tpu import cli
+    from ppoc_tpu.algo.trainer import Trainer, score
+    from ppoc_tpu.config import PPOConfig
+
+    rc = cli.main(["--env", "simple", "--n-envs", "8", "--rollout-len", "15",
+                   "--minibatch-size", "24", "--fits-per-epoch", "1",
+                   "--eval-envs", "8", "--eval-len", "15", "--hidden", "8",
+                   "--kernel-backend", "jnp", "--eval-only",
+                   "--score-episodes", "20"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "eval rounds" in out
+
+    # API form: episode quota met, weighted aggregation finite
+    tr = Trainer(PPOConfig(env="simple", n_envs=8, rollout_len=15,
+                           minibatch_size=24, fits_per_epoch=1, eval_envs=8,
+                           eval_len=15, hidden=(8,), kernel_backend="jnp"))
+    s = score(tr, episodes=20)
+    assert s["episodes"] >= 20 and s["rounds"] >= 2
+    import math
+    assert math.isfinite(s["R"]) and math.isfinite(s["J"])
