@@ -76,7 +76,7 @@ def score(trainer, episodes: int = 100, deterministic: bool = True,
     "rounds"}.
     """
     tot_j = tot_r = tot_n = 0.0
-    rounds = 0
+    rounds = zero_rounds = 0
     while tot_n < episodes and rounds < max_rounds:
         m = trainer.evaluate(deterministic=deterministic)
         rounds += 1
@@ -84,6 +84,12 @@ def score(trainer, episodes: int = 100, deterministic: bool = True,
             tot_j += m.J * m.episodes
             tot_r += m.R * m.episodes
             tot_n += m.episodes
+        else:
+            zero_rounds += 1
+            # fail fast: eval_len < horizon yields zero completed episodes
+            # DETERMINISTICALLY — don't burn max_rounds full rollouts on it
+            if zero_rounds >= 3 and tot_n == 0:
+                break
     if tot_n == 0:
         raise RuntimeError(
             f"no episode completed in {rounds} evaluation rounds; is "

@@ -180,6 +180,9 @@ def main(argv=None) -> int:
     if args.checkpoint_every > 0 and not args.save:
         parser.error("--checkpoint-every requires --save PATH (the "
                      "checkpoint destination)")
+    if args.score_episodes and not args.eval_only:
+        parser.error("--score-episodes applies to --eval-only scoring; "
+                     "pass both")
     if args.checkpoint_every > 0 and args.solve_R is not None:
         print("warning: --checkpoint-every has no effect with --solve-R "
               "(the solve loop is one device program; a checkpoint is "

@@ -139,6 +139,7 @@ def load_policy(path: str, deterministic: bool = True,
             out = _sto(obs, key)
         return out[0] if single else out
 
+    act.recurrent = False
     act.cfg = cfg
     act.spec = spec
     return act
@@ -227,13 +228,15 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8000,
 
     import numpy as np
 
-    try:
-        act = load_policy(path, deterministic=deterministic, seed=seed)
-        recurrent = False
-    except ValueError:
-        act = load_recurrent_policy(path, deterministic=deterministic,
-                                    seed=seed)
-        recurrent = True
+    from ppoc_tpu.models import gru
+    from ppoc_tpu.utils import checkpoint
+
+    # dispatch on the trunk kind directly — catching load_policy's
+    # ValueError would mask unrelated load failures (corrupt file/sidecar)
+    # behind a misleading "use the other loader" message
+    recurrent = gru.is_rnn(checkpoint.load(path).state.policy_params["mlp"])
+    loader = load_recurrent_policy if recurrent else load_policy
+    act = loader(path, deterministic=deterministic, seed=seed)
     spec = act.spec
     lock = threading.Lock()
     rnn_hidden = int(act.cfg.rnn_hidden) if recurrent else 0
@@ -273,17 +276,28 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8000,
                 if obs.ndim != 2 or obs.shape[1] != spec.obs_dim:
                     raise ValueError(
                         f"obs must be [B, {spec.obs_dim}], got {obs.shape}")
+                h = None
+                if recurrent:
+                    h = req.get("h")
+                    if h is None:
+                        h = np.asarray(act.initial_state(obs.shape[0]))
+                    else:
+                        h = np.asarray(h, np.float32)
+                        if h.shape != (obs.shape[0], rnn_hidden):
+                            raise ValueError(
+                                f"h must be [{obs.shape[0]}, {rnn_hidden}] "
+                                f"(one row per obs), got {h.shape}")
+                # only the device call is serialized; JSON marshalling of
+                # the replies happens outside the lock
                 with lock:
                     if recurrent:
-                        h = req.get("h")
-                        h = (act.initial_state(obs.shape[0]) if h is None
-                             else np.asarray(h, np.float32))
                         a, h2 = act(obs, h)
-                        out = {"action": np.asarray(a).tolist(),
-                               "h": np.asarray(h2).tolist()}
                     else:
-                        a = act(obs)
-                        out = {"action": np.asarray(a).tolist()}
+                        a, h2 = act(obs), None
+                a = np.asarray(a)
+                out = {"action": a.tolist()}
+                if h2 is not None:
+                    out["h"] = np.asarray(h2).tolist()
                 if single:
                     out["action"] = out["action"][0]
                     if "h" in out:
@@ -291,6 +305,10 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8000,
                 self._reply(200, out)
             except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": str(e)})
+            except Exception as e:  # device/runtime failure: a 500 body,
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                # not a dropped socket (the non-Python client this server
+                # exists for cannot read a Python traceback)
 
     server = http.server.ThreadingHTTPServer((host, port), Handler)
     return server

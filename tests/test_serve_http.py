@@ -132,3 +132,44 @@ def test_gym_trainer_rewrites_cfg_env(tmp_path):
                     eval_len=32, hidden=(8,))
     tr = GymTrainer(cfg, "Pendulum-v1", actor="host")
     assert tr.cfg.env == "gym:Pendulum-v1"
+
+
+def test_http_recurrent_rejects_mismatched_h(ckpts):
+    _, rnn = ckpts
+    server, base = _serve(rnn)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base + "/act", {"obs": [[0.0, 0.0]],
+                                  "h": [[0.0] * 8] * 3})  # 1 obs, 3-row h
+        assert e.value.code == 400
+        assert "one row per obs" in json.loads(e.value.read().decode())["error"]
+    finally:
+        server.shutdown()
+
+
+def test_score_fails_fast_on_impossible_eval():
+    from ppoc_tpu.algo.trainer import Trainer, score
+    from ppoc_tpu import PPOConfig
+
+    # eval_len 5 << horizon 15: no episode can ever complete; score must
+    # raise after a few rounds, not run max_rounds rollouts
+    with pytest.warns(UserWarning):
+        tr = Trainer(PPOConfig(env="simple", n_envs=8, rollout_len=15,
+                               minibatch_size=24, fits_per_epoch=1,
+                               eval_envs=8, eval_len=5, hidden=(8,),
+                               kernel_backend="jnp"))
+    with pytest.raises(RuntimeError, match="eval_len"):
+        score(tr, episodes=10)
+
+
+def test_cli_score_requires_eval_only():
+    from ppoc_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["--env", "simple", "--score-episodes", "10"])
+
+
+def test_actor_recurrent_flag(ckpts):
+    ff, rnn = ckpts
+    assert serve.load_policy(ff).recurrent is False
+    assert serve.load_recurrent_policy(rnn).recurrent is True
