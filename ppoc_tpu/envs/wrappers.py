@@ -145,6 +145,17 @@ def stack_obs(env: Env, k: int, name: Optional[str] = None) -> Env:
     return Env(spec=spec, reset=reset, step=step)
 
 
+@register("cartpole_po")
+def make_cartpole_po() -> Env:
+    """CartPole with BOTH velocities hidden (obs = cart position, pole
+    angle).  The memoryless ceiling is low (~50 steps measured — the policy
+    cannot tell which way the pole is falling); a GRU policy recovers the
+    velocities and balances (docs/RESULTS.md)."""
+    from .core import make as _make
+
+    return mask_obs(_make("cartpole"), [0, 2], name="cartpole_po")
+
+
 @register("pendulum_po_stack")
 def make_pendulum_po_stack() -> Env:
     """pendulum_po with 4 stacked frames: the frame-difference route to the

@@ -191,3 +191,10 @@ def test_pendulum_po_spec():
     assert obs.shape == (2,)
     # cos^2 + sin^2 = 1: the kept dims really are the angle features
     assert abs(float(obs[0]) ** 2 + float(obs[1]) ** 2 - 1.0) < 1e-5
+
+
+def test_cartpole_po_spec():
+    env = envs.make("cartpole_po")
+    assert env.spec.obs_dim == 2 and env.spec.discrete
+    _, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (2,)
