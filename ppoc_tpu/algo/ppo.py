@@ -183,8 +183,6 @@ def init_train_state(cfg: PPOConfig, env: Env, key: jax.Array) -> TrainState:
     dispatches on the params structure (mlp.apply), so the rest of the
     algorithm is unchanged.
     """
-    import math
-
     k_pi, k_v = jax.random.split(key)
     spec = env.spec
     if cfg.rnn_hidden > 0:
@@ -197,7 +195,8 @@ def init_train_state(cfg: PPOConfig, env: Env, key: jax.Array) -> TrainState:
         }
         if not spec.discrete:
             policy_params["log_std"] = jnp.full(
-                (spec.action_dim,), math.log(cfg.init_std), jnp.float32
+                (spec.action_dim,), jnp.log(jnp.float32(cfg.init_std)),
+                jnp.float32
             )
         v_params = gru.init(k_v, spec.obs_dim, cfg.rnn_hidden,
                             (cfg.rnn_hidden, *cfg.hidden, 1))
@@ -211,7 +210,8 @@ def init_train_state(cfg: PPOConfig, env: Env, key: jax.Array) -> TrainState:
         }
         if not spec.discrete:
             policy_params["log_std"] = jnp.full(
-                (spec.action_dim,), math.log(cfg.init_std), jnp.float32
+                (spec.action_dim,), jnp.log(jnp.float32(cfg.init_std)),
+                jnp.float32
             )
         v_params = moe.init(k_v, (spec.obs_dim, *cfg.hidden, 1), cfg.n_experts)
     else:

@@ -39,9 +39,12 @@ def init_gaussian(
     init_std: float = 1.0,
 ) -> Dict:
     sizes = (obs_dim, *hidden, action_dim)
+    # jnp.log (not math.log) so init_std may be a traced scalar — the
+    # hyperparameter-grid sweep (ppoc_tpu.sweep.solve_grid) vmaps it
     return {
         "mlp": mlp.init(key, sizes),
-        "log_std": jnp.full((action_dim,), math.log(init_std), jnp.float32),
+        "log_std": jnp.full((action_dim,), jnp.log(jnp.float32(init_std)),
+                            jnp.float32),
     }
 
 

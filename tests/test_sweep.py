@@ -71,6 +71,53 @@ def test_sweep_batches_other_model_families():
     assert np.isfinite(out["R"]).all()
 
 
+def test_grid_lanes_differentiate_on_lr():
+    """Hyperparameter lanes are real: a zero-lr lane must not learn while
+    the reference-lr lane in the SAME dispatch solves."""
+    out = sweep.train_grid(CFG, {"lr_policy": [0.0, 3e-4]}, seeds=[0],
+                           n_epochs=3)
+    assert out["R"].shape == (2, 3)
+    by_lr = {c["lr_policy"]: r for c, r in zip(out["combos"], out["R"])}
+    assert by_lr[0.0][-1] < 0.7          # frozen policy stays near chance
+    assert by_lr[3e-4][-1] > 0.9         # the real lane solves
+
+
+def test_solve_grid_crosses_axes_and_seeds():
+    out = sweep.solve_grid(CFG, {"clip_eps": [0.1, 0.2]}, target_R=0.8,
+                           seeds=[0, 1], max_epochs=12)
+    assert len(out["combos"]) == 4       # 2 clip values x 2 seeds
+    assert all(r >= 0.8 for r in out["R"]), out
+    assert {c["clip_eps"] for c in out["combos"]} == {0.1, 0.2}
+    best = out["combos"][out["best"]]
+    assert out["epochs"][out["best"]] == min(out["epochs"])
+    assert best["clip_eps"] in (0.1, 0.2)
+
+
+def test_grid_init_std_is_sweepable():
+    """init_std shapes initialization itself — the per-lane config overlay
+    must reach init_train_state (traced log_std init)."""
+    out = sweep.solve_grid(CFG, {"init_std": [0.5, 1.0]}, target_R=0.8,
+                           seeds=[0], max_epochs=12)
+    assert all(r >= 0.8 for r in out["R"]), out
+    import numpy as np
+    ls = np.asarray(jax.device_get(
+        out["states"].policy_params["log_std"]))
+    # lanes started from different log_std; both solved regardless
+    assert ls.shape[0] == 2
+
+
+def test_grid_validates_axes():
+    with pytest.raises(ValueError, match="not grid-sweepable"):
+        sweep.train_grid(CFG, {"minibatch_size": [32, 64]}, seeds=[0],
+                         n_epochs=1)
+    with pytest.raises(ValueError, match="at least one hyperparameter"):
+        sweep.train_grid(CFG, {}, seeds=[0], n_epochs=1)
+    with pytest.raises(ValueError, match="is empty"):
+        sweep.train_grid(CFG, {"lr_policy": []}, seeds=[0], n_epochs=1)
+    with pytest.raises(ValueError, match="at least one seed"):
+        sweep.solve_grid(CFG, {"lr_policy": [1e-4]}, target_R=0.8, seeds=[])
+
+
 def test_sweep_validates_config():
     with pytest.raises(ValueError, match="at least one seed"):
         sweep.train_many(CFG, seeds=[], n_epochs=1)
