@@ -83,6 +83,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "with --solve-R reports per-seed epochs/R, else "
                         "per-seed learning curves.  On-device envs, single "
                         "device")
+    p.add_argument("--grid", action="append", default=None,
+                   metavar="HP=V1,V2,...",
+                   help="hyperparameter grid axis (repeatable): train every "
+                        "combination of the given values — crossed with "
+                        "--sweep S seeds if given — as ONE vmapped device "
+                        "program (ppoc_tpu.sweep.solve_grid/train_grid).  "
+                        "HP is one of sweep.SWEEPABLE_HPARAMS (lr-policy, "
+                        "clip-eps, ent-coeff, ...)")
     p.add_argument("--score-episodes", type=int, default=0, metavar="N",
                    help="with --eval-only: aggregate evaluation over at "
                         "least N COMPLETED episodes (repeated eval rounds, "
@@ -195,10 +203,11 @@ def main(argv=None) -> int:
         if not (args.save and args.checkpoint_every > 0):
             parser.error("--supervise requires --save PATH and "
                          "--checkpoint-every N (the restart source)")
-        if args.solve_R is not None or args.eval_only or args.sweep:
+        if args.solve_R is not None or args.eval_only or args.sweep \
+                or args.grid:
             parser.error("--supervise applies to epoch-loop training, not "
-                         "--solve-R/--eval-only/--sweep (sweeps write no "
-                         "checkpoint to restart from)")
+                         "--solve-R/--eval-only/--sweep/--grid (sweeps "
+                         "write no checkpoint to restart from)")
         from ppoc_tpu.utils import supervisor
 
         first = [a for i, a in enumerate(raw_argv)
@@ -223,27 +232,66 @@ def main(argv=None) -> int:
 
     from ppoc_tpu.algo.trainer import Trainer  # deferred: imports jax
 
-    if args.sweep:
-        if args.sweep < 1:
+    if args.sweep or args.grid:
+        if args.sweep and args.sweep < 1:
             parser.error(f"--sweep needs a positive seed count, got "
                          f"{args.sweep}")
         if (cfg.env.startswith("gym:") or args.mesh or distributed
                 or args.load or args.resume or args.import_ref
                 or args.eval_only):
-            parser.error("--sweep runs fresh on-device single-device "
+            parser.error("--sweep/--grid run fresh on-device single-device "
                          "training only (no gym:/--mesh/--load/--resume/"
                          "--import-ref/--eval-only)")
         if args.save or args.export_ref or args.det_eval \
                 or args.stop_at_R is not None:
             parser.error("--save/--export-ref/--det-eval/--stop-at-R do "
-                         "not apply to --sweep (per-seed statistics only; "
-                         "use --solve-R for the stop threshold, then train "
-                         "the winning seed normally to get a checkpoint)")
+                         "not apply to --sweep/--grid (per-lane statistics "
+                         "only; use --solve-R for the stop threshold, then "
+                         "train the winning config normally to get a "
+                         "checkpoint)")
         import json as _json
 
         from ppoc_tpu import sweep as sweep_mod
 
-        seeds = list(range(cfg.seed, cfg.seed + args.sweep))
+        seeds = list(range(cfg.seed, cfg.seed + max(args.sweep, 1)))
+        if args.grid:
+            axes = {}
+            for spec in args.grid:
+                name, eq, vals = spec.partition("=")
+                name = name.replace("-", "_")
+                if not eq or not vals:
+                    parser.error(f"--grid expects HP=V1,V2,... , got {spec!r}")
+                if name not in sweep_mod.SWEEPABLE_HPARAMS:
+                    parser.error(
+                        f"--grid {name}: not sweepable; choose from "
+                        f"{', '.join(sweep_mod.SWEEPABLE_HPARAMS)}")
+                try:
+                    axes[name] = [float(v) for v in vals.split(",")]
+                except ValueError:
+                    parser.error(f"--grid {spec!r}: values must be numbers")
+            if args.solve_R is not None:
+                out = sweep_mod.solve_grid(cfg, axes, target_R=args.solve_R,
+                                           seeds=seeds,
+                                           max_epochs=cfg.n_epochs)
+                for c, e, r in zip(out["combos"], out["epochs"], out["R"]):
+                    hp = {k: v for k, v in c.items() if k != "seed"}
+                    print(f"{hp} seed={c['seed']} "
+                          f"solved={r >= args.solve_R} epochs={e} R={r:f}")
+                best = out["combos"][out["best"]]
+                print(f"best: {best} (epochs="
+                      f"{out['epochs'][out['best']]}, "
+                      f"R={out['R'][out['best']]:f})")
+                return 0
+            out = sweep_mod.train_grid(cfg, axes, seeds=seeds,
+                                       n_epochs=args.n_epochs)
+            import math as _math
+
+            for c, curve in zip(out["combos"], out["R"]):
+                row = dict(c)
+                row["R"] = [round(float(x), 3) if _math.isfinite(float(x))
+                            else None for x in curve]
+                print(_json.dumps(row))
+            return 0
         if args.solve_R is not None:
             out = sweep_mod.solve_many(cfg, seeds, target_R=args.solve_R,
                                        max_epochs=cfg.n_epochs)

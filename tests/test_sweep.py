@@ -138,6 +138,14 @@ def test_cli_sweep_guards():
                  ["--env", "simple", "--sweep", "2", "--save", "/tmp/x.bin"],
                  ["--env", "simple", "--sweep", "2", "--det-eval"],
                  ["--env", "simple", "--sweep", "2", "--supervise", "2",
-                  "--save", "/tmp/x.bin", "--checkpoint-every", "1"]):
+                  "--save", "/tmp/x.bin", "--checkpoint-every", "1"],
+                 # --grid: malformed axis, unknown name, non-numeric values,
+                 # and the shared single-device/no-checkpoint guards
+                 ["--env", "simple", "--grid", "lr-policy"],
+                 ["--env", "simple", "--grid", "minibatch_size=32,64"],
+                 ["--env", "simple", "--grid", "lr-policy=a,b"],
+                 ["--env", "simple", "--grid", "lr-policy=1e-4", "--mesh", "2"],
+                 ["--env", "simple", "--grid", "lr-policy=1e-4",
+                  "--save", "/tmp/x.bin"]):
         with pytest.raises(SystemExit):
             cli.main(argv)
