@@ -191,7 +191,8 @@ def init_train_state(cfg: PPOConfig, env: Env, key: jax.Array) -> TrainState:
         policy_params = {
             "mlp": gru.init(
                 k_pi, spec.obs_dim, cfg.rnn_hidden,
-                (cfg.rnn_hidden, *cfg.hidden, spec.action_dim))
+                (cfg.rnn_hidden, *cfg.hidden, spec.action_dim),
+                cell=cfg.rnn_cell)
         }
         if not spec.discrete:
             policy_params["log_std"] = jnp.full(
@@ -199,7 +200,8 @@ def init_train_state(cfg: PPOConfig, env: Env, key: jax.Array) -> TrainState:
                 jnp.float32
             )
         v_params = gru.init(k_v, spec.obs_dim, cfg.rnn_hidden,
-                            (cfg.rnn_hidden, *cfg.hidden, 1))
+                            (cfg.rnn_hidden, *cfg.hidden, 1),
+                            cell=cfg.rnn_cell)
     elif cfg.n_experts > 1:
         from ppoc_tpu.models import moe
 

@@ -147,6 +147,10 @@ class Trainer:
                     "updates replay each window from h0=0, so windows must "
                     "start at episode starts"
                 )
+            if cfg.rnn_cell not in ("gru", "lstm"):
+                raise ValueError(
+                    f"rnn_cell must be 'gru' or 'lstm', got {cfg.rnn_cell!r}"
+                )
             # recurrent trunks run the lax.scan path; the dense-MLP pallas/
             # bf16 kernels don't apply
             self.backend = "jnp"

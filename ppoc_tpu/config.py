@@ -110,6 +110,9 @@ class PPOConfig:
                                   # counts transitions as usual
                                   # (floor(mb/rollout_len) sequences per
                                   # minibatch).  Requires reset_per_fit
+    rnn_cell: str = "gru"         # recurrent cell kind when rnn_hidden > 0:
+                                  # "gru" (3H fused gates) or "lstm" (4H
+                                  # fused gates, h‖c carry, forget-bias +1)
     norm_adv_global: bool = True  # normalize advantages over the whole buffer
                                   # (reference: src/ppo.cu:355-368)
     reset_per_fit: bool = True    # reference resets env at every collection

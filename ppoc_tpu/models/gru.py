@@ -1,4 +1,4 @@
-"""Recurrent trunk: a GRU encoder + dense MLP head.
+"""Recurrent trunks: GRU or LSTM encoder + dense MLP head.
 
 The framework's third model family (after the dense MLP, models/mlp.py, and
 the mixture-of-experts trunk, models/moe.py).  The reference has no
@@ -9,18 +9,28 @@ slot (``policy_params["mlp"]`` / ``v_params``) with a structural kind that
 rollouts and update phases dispatch on (algo/recurrent.py), exactly the way
 MoE trunks do.
 
-TPU shape: the per-step cell is three fused [B, D] @ [D, 3H] matmuls
-(gates computed jointly so the MXU sees one wide GEMM per input/hidden);
-sequence application is a ``lax.scan`` over time with episode-boundary
-masking, so a whole [T, E] rollout window BPTTs as one compiled program.
+TPU shape: the per-step cell is two fused wide GEMMs ([B, D] @ [D, G*H]
+with all gates computed jointly, G = 3 for GRU / 4 for LSTM, so the MXU
+sees one contraction per input/hidden); sequence application is a
+``lax.scan`` over time with episode-boundary masking, so a whole [T, E]
+rollout window BPTTs as one compiled program.
 
 Parameters (a dict so jax.tree utilities, the Adam optimizer, checkpointing
 and shard_map specs all treat it like any other trunk):
 
-  {"cell": {"wx": [in, 3H], "wh": [H, 3H], "b": [3H]},
+  {"cell": {"wx": [in, G*H], "wh": [H, G*H], "b": [G*H]},
    "head": mlp.Params}                                # [H, *hidden, out]
 
-Gate layout along the 3H axis is (reset | update | candidate).
+The cell KIND is structural — G = wh.shape[1] // wh.shape[0] — so every
+consumer (rollout, BPTT update, checkpoint, serving) dispatches on shapes
+with no extra metadata.  GRU gate layout along the 3H axis is
+(reset | update | candidate); LSTM layout along 4H is
+(input | forget | candidate | output).
+
+State convention: one flat carry array per lane.  For the GRU that is h
+([.., H]); for the LSTM it is concat(h, c) ([.., 2H]) so masking at
+episode boundaries, shard_map specs, and the serving protocol treat both
+kinds identically (the head only ever reads the first H columns).
 """
 from __future__ import annotations
 
@@ -40,53 +50,87 @@ def is_rnn(params) -> bool:
 
 
 def init(key: jax.Array, obs_dim: int, rnn_hidden: int,
-         head_sizes: Sequence[int]) -> GRUParams:
-    """GRU cell on the observation + MLP head over the hidden state.
+         head_sizes: Sequence[int], cell: str = "gru") -> GRUParams:
+    """Recurrent cell on the observation + MLP head over the hidden state.
 
     ``head_sizes`` is the full head layer list, e.g. (H, 128, 128, act).
-    Cell weights use the reference's uniform fan-based scheme
-    (src/neural_network.cu:40-51) with gain 1 — recurrent nets need the
-    conservative gain or the hidden state saturates.
+    ``cell`` is "gru" or "lstm".  Cell weights use the reference's uniform
+    fan-based scheme (src/neural_network.cu:40-51) with gain 1 — recurrent
+    nets need the conservative gain or the hidden state saturates.  The
+    LSTM forget-gate bias is initialized +1 (the standard trick: remember
+    by default so gradients flow through time from the first updates).
     """
+    if cell not in ("gru", "lstm"):
+        raise ValueError(f"cell must be 'gru' or 'lstm', got {cell!r}")
     k_wx, k_wh, k_b, k_head = jax.random.split(key, 4)
     h = rnn_hidden
+    g = 3 if cell == "gru" else 4
 
     def unif(k, fan_in, fan_out, shape):
         std = jnp.sqrt(2.0 / (fan_in + fan_out))
         bound = jnp.sqrt(3.0) * std
         return jax.random.uniform(k, shape, jnp.float32, -bound, bound)
 
-    cell = {
-        "wx": unif(k_wx, obs_dim, 3 * h, (obs_dim, 3 * h)),
-        "wh": unif(k_wh, h, 3 * h, (h, 3 * h)),
-        "b": jax.random.uniform(
-            k_b, (3 * h,), jnp.float32,
-            -1.0 / jnp.sqrt(obs_dim), 1.0 / jnp.sqrt(obs_dim)),
+    b = jax.random.uniform(
+        k_b, (g * h,), jnp.float32,
+        -1.0 / jnp.sqrt(obs_dim), 1.0 / jnp.sqrt(obs_dim))
+    if cell == "lstm":  # forget gate is the second H-slice
+        b = b.at[h:2 * h].add(1.0)
+    cell_p = {
+        "wx": unif(k_wx, obs_dim, g * h, (obs_dim, g * h)),
+        "wh": unif(k_wh, h, g * h, (h, g * h)),
+        "b": b,
     }
-    return {"cell": cell, "head": mlp.init(k_head, head_sizes)}
+    return {"cell": cell_p, "head": mlp.init(k_head, head_sizes)}
 
 
 def hidden_size(params: GRUParams) -> int:
     return params["cell"]["wh"].shape[0]
 
 
+def cell_kind(params: GRUParams) -> str:
+    """"gru" (3H gates) or "lstm" (4H gates), read off the weight shapes."""
+    wh = params["cell"]["wh"]
+    return "lstm" if wh.shape[1] == 4 * wh.shape[0] else "gru"
+
+
+def state_size(params: GRUParams) -> int:
+    """Width of the flat per-lane carry: H for GRU, 2H (h ‖ c) for LSTM."""
+    h = hidden_size(params)
+    return 2 * h if cell_kind(params) == "lstm" else h
+
+
 def initial_state(params: GRUParams, batch_shape: Tuple[int, ...]) -> jax.Array:
-    return jnp.zeros((*batch_shape, hidden_size(params)), jnp.float32)
+    return jnp.zeros((*batch_shape, state_size(params)), jnp.float32)
 
 
-def cell_step(params: GRUParams, h: jax.Array, x: jax.Array) -> jax.Array:
-    """One GRU step: h' given hidden h [.., H] and input x [.., in]."""
+def cell_step(params: GRUParams, s: jax.Array, x: jax.Array) -> jax.Array:
+    """One recurrent step: new flat state s' given state s and input x.
+
+    GRU: s is h [.., H].  LSTM: s is concat(h, c) [.., 2H].
+    """
     c = params["cell"]
     H = c["wh"].shape[0]
+    if cell_kind(params) == "lstm":
+        h, cs = s[..., :H], s[..., H:]
+        gates = x @ c["wx"] + c["b"] + h @ c["wh"]
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H:2 * H])
+        g = jnp.tanh(gates[..., 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H:])
+        c2 = f * cs + i * g
+        h2 = o * jnp.tanh(c2)
+        return jnp.concatenate([h2, c2], axis=-1)
     gx = x @ c["wx"] + c["b"]
-    gh = h @ c["wh"]
+    gh = s @ c["wh"]
     r = jax.nn.sigmoid(gx[..., :H] + gh[..., :H])
     z = jax.nn.sigmoid(gx[..., H:2 * H] + gh[..., H:2 * H])
     n = jnp.tanh(gx[..., 2 * H:] + r * gh[..., 2 * H:])
-    return (1.0 - z) * n + z * h
+    return (1.0 - z) * n + z * s
 
 
-def head_apply(params: GRUParams, h: jax.Array, activation: str) -> jax.Array:
+def head_apply(params: GRUParams, s: jax.Array, activation: str) -> jax.Array:
+    h = s[..., :hidden_size(params)]  # LSTM: drop the cell half
     return mlp.apply(params["head"], h, activation, "jnp")
 
 

@@ -97,6 +97,10 @@ def _validate(cfg: PPOConfig, seeds: Sequence[int]) -> None:
                 "rnn_hidden > 0 requires reset_per_fit=True (windows must "
                 "start at episode starts for the h0=0 replay)"
             )
+        if cfg.rnn_cell not in ("gru", "lstm"):
+            raise ValueError(
+                f"rnn_cell must be 'gru' or 'lstm', got {cfg.rnn_cell!r}"
+            )
 
 
 def _init_states(cfg: PPOConfig, env, seeds: Sequence[int],

@@ -99,12 +99,13 @@ def _read_mlp(f) -> List[Tuple[np.ndarray, np.ndarray]]:
 def _write_trunk(f, trunk):
     """Version-4 kind-tagged trunk: 0 = dense MLP, 1 = mixture of experts
     (router layer + stacked [E, fan_in, fan_out] expert layers), 2 = GRU
-    (cell wx/wh/b + dense head)."""
-    from ppoc_tpu.models.gru import is_rnn
+    (cell wx/wh/b + dense head, 3H gates), 3 = LSTM (same layout, 4H
+    gates)."""
+    from ppoc_tpu.models.gru import cell_kind, is_rnn
     from ppoc_tpu.models.moe import is_moe
 
     if is_rnn(trunk):
-        _w(f, "i", 2)
+        _w(f, "i", 3 if cell_kind(trunk) == "lstm" else 2)
         cell = trunk["cell"]
         wx = np.asarray(cell["wx"])
         _w(f, "ii", wx.shape[0], wx.shape[1])
@@ -136,11 +137,11 @@ def _read_trunk(f):
     kind = _r(f, "i")
     if kind == 0:
         return [(jnp.asarray(w), jnp.asarray(b)) for w, b in _read_mlp(f)]
-    if kind == 2:
-        d_in, h3 = _r(f, "ii")
-        wx = jnp.asarray(_read_arr(f, (d_in, h3)))
-        wh = jnp.asarray(_read_arr(f, (h3 // 3, h3)))
-        b = jnp.asarray(_read_arr(f, (h3,)))
+    if kind in (2, 3):  # 2 = GRU (3H gates), 3 = LSTM (4H gates)
+        d_in, hg = _r(f, "ii")
+        wx = jnp.asarray(_read_arr(f, (d_in, hg)))
+        wh = jnp.asarray(_read_arr(f, (hg // (4 if kind == 3 else 3), hg)))
+        b = jnp.asarray(_read_arr(f, (hg,)))
         head = [(jnp.asarray(w), jnp.asarray(bb)) for w, bb in _read_mlp(f)]
         return {"cell": {"wx": wx, "wh": wh, "b": b}, "head": head}
     if kind != 1:
