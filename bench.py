@@ -66,6 +66,12 @@ import jax
 
 from ppoc_tpu.algo.trainer import Trainer
 from ppoc_tpu.config import PPOConfig
+from ppoc_tpu.utils.cache import enable_compilation_cache
+
+# persistent XLA cache: a re-run bench process deserializes the solve
+# executable instead of re-compiling it (the reference's analogue is the
+# one-time nvcc build); disable with PPOC_CACHE_DIR=off
+enable_compilation_cache()
 
 BASELINE_SECONDS = 5.0       # reference wall-clock on RTX 2080 (README.md:4)
 SOLVE_R = -200.0             # BASELINE.json north star

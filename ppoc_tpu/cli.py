@@ -182,6 +182,11 @@ def main(argv=None) -> int:
         n_cpu = os.environ.get("PPOC_CPU_DEVICES")
         if n_cpu:
             jax.config.update("jax_num_cpu_devices", int(n_cpu))
+    # persistent XLA compilation cache: restarted runs (supervisor children,
+    # repeated CLI invocations) skip the trace+compile cost (utils/cache.py)
+    from ppoc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = build_parser()
     raw_argv = list(sys.argv[1:] if argv is None else argv)
     args = parser.parse_args(argv)

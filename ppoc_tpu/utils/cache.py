@@ -1,0 +1,44 @@
+"""Persistent XLA compilation cache.
+
+The reference pays its compile cost once, at nvcc build time (Makefile:1-5);
+our analogue of that ahead-of-time build is the XLA persistent compilation
+cache: the first process compiles each (program, shapes, backend) once and
+every later process — bench reruns, CLI restarts, supervisor respawns after a
+crash (utils/supervisor.py) — deserializes the executable instead of paying
+the 13-65 s trace+compile again.  Entry points opt in via
+``enable_compilation_cache()``; the library never flips global config behind
+an importer's back.
+"""
+from __future__ import annotations
+
+import os
+
+DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "ppoc_tpu", "xla_cache"
+)
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Turn on JAX's persistent compilation cache rooted at ``path``.
+
+    Defaults to ``~/.cache/ppoc_tpu/xla_cache`` (override with the
+    ``PPOC_CACHE_DIR`` env var; set it to ``0``/``off`` to disable).
+    Safe to call more than once.  Returns the cache dir, or None when
+    disabled or unsupported by this jax build.
+    """
+    import jax
+
+    env = os.environ.get("PPOC_CACHE_DIR")
+    if env is not None and env.lower() in ("0", "off", "none", ""):
+        return None
+    path = path or env or DEFAULT_DIR
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache every real compile: the default 1 s floor would skip the
+        # small eval/checkpoint programs whose compiles still add up
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # unsupported jax build or unwritable dir: run uncached
+        return None
+    return path
