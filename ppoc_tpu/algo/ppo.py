@@ -185,7 +185,28 @@ def init_train_state(cfg: PPOConfig, env: Env, key: jax.Array) -> TrainState:
     """
     k_pi, k_v = jax.random.split(key)
     spec = env.spec
-    if cfg.rnn_hidden > 0:
+    if cfg.attn_dim > 0:
+        from ppoc_tpu.models import attn
+
+        # positional table must cover the longest window either program
+        # rolls out (training fits use rollout_len, evaluation eval_len)
+        t_max = max(cfg.rollout_len, cfg.eval_len)
+        ff = cfg.attn_ff or 4 * cfg.attn_dim
+        policy_params = {
+            "mlp": attn.init(
+                k_pi, spec.obs_dim, cfg.attn_dim, cfg.attn_layers,
+                cfg.attn_heads, ff, t_max,
+                (cfg.attn_dim, *cfg.hidden, spec.action_dim))
+        }
+        if not spec.discrete:
+            policy_params["log_std"] = jnp.full(
+                (spec.action_dim,), jnp.log(jnp.float32(cfg.init_std)),
+                jnp.float32
+            )
+        v_params = attn.init(k_v, spec.obs_dim, cfg.attn_dim, cfg.attn_layers,
+                             cfg.attn_heads, ff, t_max,
+                             (cfg.attn_dim, *cfg.hidden, 1))
+    elif cfg.rnn_hidden > 0:
         from ppoc_tpu.models import gru
 
         policy_params = {
@@ -266,17 +287,18 @@ def rollout(
     kernel when ``v_params`` is given and the shape fits (else ``None``),
     letting compute_advantages skip its two whole-buffer forwards.
     """
-    from ppoc_tpu.models import gru as _gru
+    from ppoc_tpu.models import attn as _attn, gru as _gru
 
-    if _gru.is_rnn(policy_params["mlp"]):
-        # recurrent trunk: hidden-state-threaded scan (algo/recurrent.py)
+    if _gru.is_rnn(policy_params["mlp"]) or _attn.is_attn(policy_params["mlp"]):
+        # sequence trunk (GRU/LSTM hidden-state scan or attention KV-cache
+        # decode): algo/recurrent.py owns the state-threaded rollout
         from ppoc_tpu.algo import recurrent
 
         if env_carry is not None:
             raise ValueError(
-                "recurrent rollouts always start from a fresh window "
-                "(h0 = 0); reset_per_fit=False is not supported with "
-                "rnn_hidden > 0"
+                "sequence-trunk rollouts always start from a fresh window "
+                "(zero hidden state / empty KV cache); reset_per_fit=False "
+                "is not supported with rnn_hidden/attn_dim > 0"
             )
         traj, final_carry = recurrent.rollout_rnn(
             cfg, env, policy_params, key, n_envs, length, axis_name,
@@ -616,12 +638,12 @@ def update_step(
     n_mb = cfg.num_minibatches  # identical globally and per shard
     k_val, k_pol = jax.random.split(key)
 
-    from ppoc_tpu.models import gru as _gru
+    from ppoc_tpu.models import attn as _attn, gru as _gru
 
-    if _gru.is_rnn(ts.v_params):
-        # recurrent trunks: values from the time scan, then sequence
-        # minibatches with BPTT (algo/recurrent.py); row shuffling would
-        # destroy the history the GRU needs
+    if _gru.is_rnn(ts.v_params) or _attn.is_attn(ts.v_params):
+        # sequence trunks (recurrent or attention): values from the
+        # history-aware pass, then sequence minibatches (algo/recurrent.py);
+        # row shuffling would destroy the history they need
         from ppoc_tpu.algo import recurrent
 
         vpair = recurrent.compute_values_rnn(cfg, ts.v_params, traj)
@@ -854,11 +876,12 @@ def evaluate(
     """
     n_envs = cfg.eval_envs if n_envs is None else n_envs
     key = _device_key(key, axis_name)
-    from ppoc_tpu.models import gru as _gru, moe as _moe
+    from ppoc_tpu.models import attn as _attn, gru as _gru, moe as _moe
 
     if (backend in ("pallas", "bf16") and axis_name is None
             and not deterministic and not _moe.is_moe(policy_params["mlp"])
-            and not _gru.is_rnn(policy_params["mlp"])):
+            and not _gru.is_rnn(policy_params["mlp"])
+            and not _attn.is_attn(policy_params["mlp"])):
         from ppoc_tpu.ops import pallas_rollout as _pr
 
         if (env.spec.name in _pr.SUPPORTED

@@ -28,6 +28,7 @@ episode start in every lane.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Optional, Tuple
 
@@ -37,10 +38,20 @@ import jax.numpy as jnp
 from ppoc_tpu.config import PPOConfig
 from ppoc_tpu.data import buffer
 from ppoc_tpu.envs.core import Env, vector_autoreset_step, vector_reset
-from ppoc_tpu.models import gru, policy as policy_mod
+from ppoc_tpu.models import attn, gru, policy as policy_mod
 from ppoc_tpu.ops import adam, losses
 
 LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _seq_apply(trunk, xs, reset_after, activation):
+    """Whole-window head outputs for either sequence family: the GRU/LSTM
+    masked time scan or the attention causal-episode-masked parallel pass.
+    Single dispatch point for the update phases, so both families share the
+    sequence-minibatch PPO machinery below."""
+    if attn.is_attn(trunk):
+        return attn.apply_seq(trunk, xs, reset_after, activation)
+    return gru.apply_seq(trunk, xs, reset_after, activation)
 
 
 def seq_minibatch_plan(n_envs_local: int, rollout_len: int,
@@ -77,12 +88,14 @@ def rollout_rnn(
     force_truncate: bool = True,
     deterministic: bool = False,
 ):
-    """Collect [length, n_envs] transitions with a GRU policy.
+    """Collect [length, n_envs] transitions with a sequence-trunk policy.
 
     Mirrors ppo.rollout (collect_trajectories, src/ppo.cu:54-79) with the
-    policy hidden state threaded through the scan and zeroed in lanes whose
-    episode ended (the recurrent analogue of the auto-reset).
-    Returns (Transition, final (env_state, obs, hidden) carry).
+    trunk's sequence state threaded through the scan — the GRU/LSTM hidden
+    (zeroed in lanes whose episode ended, the recurrent analogue of the
+    auto-reset) or the attention KV cache (episode-start pointers advanced
+    past finished episodes).  Returns (Transition, final (env_state, obs,
+    state) carry).
     """
     from ppoc_tpu.algo import ppo as ppo_mod
 
@@ -91,26 +104,38 @@ def rollout_rnn(
     k_reset, k_scan = jax.random.split(key)
     env_state, obs = ppo_mod._pvary(
         vector_reset(env, k_reset, n_envs), axis_name)
-    h0 = gru.initial_state(trunk, (n_envs,))
+    if attn.is_attn(trunk):
+        s0 = attn.initial_cache(trunk, (n_envs,))
+        trunk_step = functools.partial(attn.step, trunk,
+                                       activation=cfg.activation)
+        on_done = attn.reset_lanes
+    else:
+        s0 = gru.initial_state(trunk, (n_envs,))
+
+        def trunk_step(h, x):
+            return gru.step(trunk, h, x, cfg.activation)
+
+        def on_done(h, done):
+            return h * jnp.logical_not(done)[..., None].astype(h.dtype)
     if axis_name is not None:
-        h0 = ppo_mod._pvary(h0, axis_name)
+        s0 = ppo_mod._pvary(s0, axis_name)
 
     def step_fn(carry, key_t):
-        env_state, obs, h = carry
+        env_state, obs, s = carry
         k_act, k_env = jax.random.split(key_t)
-        h2, out = gru.step(trunk, h, obs, cfg.activation)
+        s2, out = trunk_step(s, obs)
         action, logp = policy_mod.act_from_out(
             out, k_act, discrete, policy_params.get("log_std"),
             deterministic)
         env_state2, obs2, next_obs, reward, term, trunc = \
             vector_autoreset_step(env, env_state, action, k_env)
         done = jnp.logical_or(term, trunc)
-        h_next = h2 * jnp.logical_not(done)[..., None].astype(h2.dtype)
+        s_next = on_done(s2, done)
         tr = ppo_mod.Transition(obs, action, logp, next_obs, reward, term, trunc)
-        return (env_state2, obs2, h_next), tr
+        return (env_state2, obs2, s_next), tr
 
     keys = jax.random.split(k_scan, length)
-    final_carry, traj = jax.lax.scan(step_fn, (env_state, obs, h0), keys)
+    final_carry, traj = jax.lax.scan(step_fn, (env_state, obs, s0), keys)
     if force_truncate:
         last_trunc = jnp.logical_or(
             traj.truncated[-1], jnp.logical_not(traj.terminated[-1])
@@ -126,13 +151,25 @@ def rollout_rnn(
 def compute_values_rnn(
     cfg: PPOConfig, v_params, traj
 ) -> Tuple[jax.Array, jax.Array]:
-    """(V(s_t), V(s'_t)) planes [T, E] for GAE with a recurrent value net.
+    """(V(s_t), V(s'_t)) planes [T, E] for GAE with a sequence value net.
 
-    Replaces the two whole-buffer MLP forwards (src/ppo.cu:267-274) with one
-    time scan: V(s'_t) is evaluated under the hidden state reached AFTER
-    s_t — the history the critic would actually have at t+1.
+    Replaces the two whole-buffer MLP forwards (src/ppo.cu:267-274).
+    GRU/LSTM: one time scan — V(s'_t) is evaluated under the hidden state
+    reached AFTER s_t, the history the critic would actually have at t+1.
+    Attention: one parallel pass with the KV planes cached, then a
+    one-step decode for all T next-tokens at once (models/attn.decode_next)
+    — V(s'_t) attends (obs_<=t of the same episode, next_obs_t).
     """
     done = jnp.logical_or(traj.terminated, traj.truncated)
+    if attn.is_attn(v_params):
+        values, ks, vs = attn.apply_seq(
+            v_params, traj.obs, done, cfg.activation, with_cache=True)
+        T = traj.obs.shape[0]
+        pos_idx = jnp.minimum(jnp.arange(T) + 1, attn.window(v_params) - 1)
+        mask = attn.causal_episode_mask(done)
+        nv = attn.decode_next(v_params, traj.next_obs, pos_idx, ks, vs,
+                              mask, cfg.activation)
+        return values[..., 0], nv[..., 0]
     # zero state derived from the (possibly device-varying) observations —
     # see gru.apply_seq
     h0 = (gru.initial_state(v_params, traj.obs.shape[1:-1])
@@ -158,7 +195,7 @@ def policy_log_probs_rnn(cfg: PPOConfig, policy_params, obs, action, done,
     recurrent policy, replayed from h0=0 with episode-boundary masking —
     identical recurrence to rollout_rnn, so at epoch 0 the ratios are
     exactly 1."""
-    out = gru.apply_seq(policy_params["mlp"], obs, done, cfg.activation)
+    out = _seq_apply(policy_params["mlp"], obs, done, cfg.activation)
     if discrete:
         logp_all = jax.nn.log_softmax(out, axis=-1)
         logp = jnp.take_along_axis(
@@ -188,7 +225,7 @@ def value_phase_rnn(cfg: PPOConfig, ts, traj, target: jax.Array, key,
     seqs, n_mb = seq_minibatch_plan(E, T, mb_size)
 
     def loss_fn(v_params, o, d, t, vo=None):
-        v = gru.apply_seq(v_params, o, d, cfg.activation)[..., 0]
+        v = _seq_apply(v_params, o, d, cfg.activation)[..., 0]
         if vo is not None:
             return losses.clipped_value_loss(v, vo, t, cfg.clip_value)
         return losses.value_loss(v, t)

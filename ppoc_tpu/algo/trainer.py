@@ -133,26 +133,37 @@ class Trainer:
         self._unshard_state = lambda s: s
         self._mp_ctx = None  # set by _finalize_mp in tp/pp/ep modes
 
-        if cfg.rnn_hidden > 0:
+        if cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
+            kind = "rnn_hidden" if cfg.rnn_hidden > 0 else "attn_dim"
+            if cfg.rnn_hidden > 0 and cfg.attn_dim > 0:
+                raise ValueError(
+                    "rnn_hidden and attn_dim cannot both be set: pick ONE "
+                    "sequence family (recurrent or attention) per run"
+                )
             if cfg.n_experts > 1 or cfg.tp_size > 1 or cfg.pp_size > 1 \
                     or cfg.ep_size > 1:
                 raise ValueError(
-                    "rnn_hidden > 0 (recurrent trunks) cannot combine with "
-                    "n_experts/tp_size/pp_size/ep_size; recurrent training "
-                    "shards over the data axis only"
+                    f"{kind} > 0 (sequence trunks) cannot combine with "
+                    f"n_experts/tp_size/pp_size/ep_size; sequence training "
+                    f"shards over the data axis only"
                 )
             if not cfg.reset_per_fit:
                 raise ValueError(
-                    "rnn_hidden > 0 requires reset_per_fit=True: recurrent "
-                    "updates replay each window from h0=0, so windows must "
-                    "start at episode starts"
+                    f"{kind} > 0 requires reset_per_fit=True: sequence "
+                    f"updates replay each window from an empty state, so "
+                    f"windows must start at episode starts"
                 )
-            if cfg.rnn_cell not in ("gru", "lstm"):
+            if cfg.rnn_hidden > 0 and cfg.rnn_cell not in ("gru", "lstm"):
                 raise ValueError(
                     f"rnn_cell must be 'gru' or 'lstm', got {cfg.rnn_cell!r}"
                 )
-            # recurrent trunks run the lax.scan path; the dense-MLP pallas/
-            # bf16 kernels don't apply
+            if cfg.attn_dim > 0 and cfg.attn_dim % cfg.attn_heads:
+                raise ValueError(
+                    f"attn_dim ({cfg.attn_dim}) must be divisible by "
+                    f"attn_heads ({cfg.attn_heads})"
+                )
+            # sequence trunks run the generic XLA path; the dense-MLP
+            # pallas/bf16 kernels don't apply
             self.backend = "jnp"
         if cfg.tp_size > 1 and cfg.pp_size > 1:
             raise ValueError(

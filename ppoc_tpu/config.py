@@ -113,6 +113,20 @@ class PPOConfig:
     rnn_cell: str = "gru"         # recurrent cell kind when rnn_hidden > 0:
                                   # "gru" (3H fused gates) or "lstm" (4H
                                   # fused gates, h‖c carry, forget-bias +1)
+    attn_dim: int = 0             # >0 swaps BOTH trunks for a causal
+                                  # Transformer encoder of this width over
+                                  # the rollout window (models/attn.py) —
+                                  # the attention model family for
+                                  # partially-observable envs.  Training
+                                  # applies it PARALLEL over time (MXU
+                                  # GEMMs, BPTT depth 1 vs the GRU's T);
+                                  # rollouts decode with a KV cache.
+                                  # Same sequence-minibatch update path and
+                                  # constraints as rnn_hidden (requires
+                                  # reset_per_fit, shards over dp only)
+    attn_layers: int = 2          # Transformer blocks when attn_dim > 0
+    attn_heads: int = 2           # attention heads (must divide attn_dim)
+    attn_ff: int = 0              # FF hidden width per block; 0 = 4*attn_dim
     norm_adv_global: bool = True  # normalize advantages over the whole buffer
                                   # (reference: src/ppo.cu:355-368)
     reset_per_fit: bool = True    # reference resets env at every collection

@@ -291,12 +291,12 @@ class HostTrainer:
             )
         if actor not in ("device", "host"):
             raise ValueError(f"actor must be 'device' or 'host', got {actor!r}")
-        if cfg.rnn_hidden > 0:
+        if cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
             raise ValueError(
-                "rnn_hidden > 0 (recurrent trunks) is not supported on the "
-                "host bridge: the host actor and the learner's row "
+                "rnn_hidden/attn_dim > 0 (sequence trunks) is not supported "
+                "on the host bridge: the host actor and the learner's row "
                 "minibatching are stateless; use an on-device env "
-                "(e.g. 'pendulum_po', 'recall') for recurrent training"
+                "(e.g. 'pendulum_po', 'recall') for sequence training"
             )
         self.cfg = cfg
         self.venv = venv

@@ -1,0 +1,320 @@
+"""Attention trunks: causal Transformer encoder + dense MLP head.
+
+The framework's fourth model family (dense MLP — models/mlp.py, mixture of
+experts — models/moe.py, recurrent GRU/LSTM — models/gru.py).  The reference
+has no attention at all (SURVEY §2a: "no attention; 'sequence' dim =
+trajectory time"), but a complete sequence-model story for
+partially-observable tasks needs the standard alternative to recurrence:
+a causal self-attention encoder over the rollout window.  It fills the same
+trunk slot (``policy_params["mlp"]`` / ``v_params``) and flows through the
+same sequence-minibatch PPO machinery as the recurrent family
+(algo/recurrent.py) — consumers dispatch structurally via :func:`is_attn`.
+
+TPU shape: training-time application is fully PARALLEL over time — unlike
+the GRU's O(T) ``lax.scan``, the whole [T, B] window is a handful of batched
+GEMMs ([T*B, d] projections and [T, T] score contractions) that tile
+straight onto the MXU; only the rollout is sequential (one decode step per
+env step, carried KV cache).  This is the architectural reason to prefer
+attention on TPU for long windows: BPTT depth 1 instead of T.
+
+Architecture (pre-LN blocks, learned positional embedding):
+
+  tokens  h0 = obs @ We + be + pos[t]
+  block:  h  = h + Wo·MHA(LN1(h));  h = h + FF(LN2(h))
+  out     head(LNf(h))                # dense MLP head, models/mlp.py
+
+Parameters (plain pytree of arrays — Adam, checkpointing and shard_map
+specs treat it like any other trunk; all sizes are read off shapes, no
+metadata):
+
+  {"attn": {"embed": (We [in, d], be [d]),
+            "pos": [T_max, d],
+            "blocks": [{"wqkv": [d, 3, H, hd], "bqkv": [3, H, hd],
+                        "wo": [d, d], "bo": [d],
+                        "ln1": (g, b), "ln2": (g, b),
+                        "ff1": (W [d, f], b [f]), "ff2": (W [f, d], b [d])},
+                       ...],
+            "lnf": (g, b)},
+   "head": mlp.Params}                                 # [d, *hidden, out]
+
+Masking convention (shared by the parallel trainer path and the sequential
+rollout decode, so replayed log-probs match the stored ones): token t may
+attend token s iff s <= t and both belong to the same episode, where
+episodes are delimited by the ``reset_after`` flags — ``reset_after[t]``
+true means the episode ended AT step t, so step t+1 starts fresh.  Positions
+are window-absolute (pos[t] for window step t), identical in rollout and
+replay.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import mlp
+
+AttnParams = Dict[str, object]
+
+NEG_INF = -1e9  # large-negative mask value: exp() underflows to exactly 0 in
+                # f32, and (unlike -inf) keeps softmax gradients NaN-free
+
+
+def is_attn(params) -> bool:
+    """Structural test: does this trunk pytree hold an attention encoder?"""
+    return isinstance(params, dict) and "attn" in params
+
+
+def init(key: jax.Array, obs_dim: int, d: int, n_layers: int, n_heads: int,
+         ff: int, t_max: int, head_sizes: Sequence[int]) -> AttnParams:
+    """Causal Transformer encoder of width ``d`` + MLP head.
+
+    ``head_sizes`` is the full head layer list, e.g. (d, 128, 128, act).
+    Weights use the reference's uniform fan-based scheme
+    (src/neural_network.cu:40-51) with gain 1 (residual streams need the
+    conservative gain); LayerNorm gains start at 1, positional embeddings
+    small-uniform.
+    """
+    if d % n_heads:
+        raise ValueError(f"attn_dim ({d}) must be divisible by attn_heads "
+                         f"({n_heads})")
+    hd = d // n_heads
+    keys = jax.random.split(key, 6 * n_layers + 3)
+
+    def unif(k, fan_in, fan_out, shape):
+        bound = math.sqrt(3.0) * math.sqrt(2.0 / (fan_in + fan_out))
+        return jax.random.uniform(k, shape, jnp.float32, -bound, bound)
+
+    def bias(k, fan_in, shape):
+        b = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(k, shape, jnp.float32, -b, b)
+
+    blocks: List[Dict[str, object]] = []
+    for i in range(n_layers):
+        k0, k1, k2, k3, k4, k5 = keys[6 * i : 6 * i + 6]
+        blocks.append({
+            "wqkv": unif(k0, d, d, (d, 3, n_heads, hd)),
+            "bqkv": bias(k1, d, (3, n_heads, hd)),
+            "wo": unif(k2, d, d, (d, d)),
+            "bo": bias(k2, d, (d,)),
+            "ln1": (jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32)),
+            "ln2": (jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32)),
+            "ff1": (unif(k3, d, ff, (d, ff)), bias(k4, d, (ff,))),
+            "ff2": (unif(k5, ff, d, (ff, d)), bias(k5, ff, (d,))),
+        })
+    k_e, k_p, k_h = keys[-3:]
+    attn = {
+        "embed": (unif(k_e, obs_dim, d, (obs_dim, d)),
+                  bias(k_e, obs_dim, (d,))),
+        "pos": jax.random.uniform(k_p, (t_max, d), jnp.float32, -0.02, 0.02),
+        "blocks": blocks,
+        "lnf": (jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32)),
+    }
+    return {"attn": attn, "head": mlp.init(k_h, head_sizes)}
+
+
+def width(params: AttnParams) -> int:
+    return params["attn"]["embed"][0].shape[1]
+
+
+def window(params: AttnParams) -> int:
+    """T_max: the longest context the positional table supports."""
+    return params["attn"]["pos"].shape[0]
+
+
+def _ln(x: jax.Array, gb) -> jax.Array:
+    g, b = gb
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + b
+
+
+def _ff(x: jax.Array, blk, activation: str) -> jax.Array:
+    from .mlp import _ACTIVATIONS
+
+    w1, b1 = blk["ff1"]
+    w2, b2 = blk["ff2"]
+    return _ACTIVATIONS[activation](x @ w1 + b1) @ w2 + b2
+
+
+def _embed(attn, x: jax.Array) -> jax.Array:
+    we, be = attn["embed"]
+    return x @ we + be
+
+
+def episode_ids(reset_after: jax.Array) -> jax.Array:
+    """[T, ...] int32 episode index per step from the done flags (exclusive
+    cumulative count: step t's episode ignores a done AT t — the final obs of
+    an episode still belongs to it)."""
+    d = reset_after.astype(jnp.int32)
+    return jnp.cumsum(d, axis=0) - d
+
+
+def causal_episode_mask(reset_after: jax.Array) -> jax.Array:
+    """[T_q, T_k, ...] bool: query t may attend key s (s <= t, same episode)."""
+    ep = episode_ids(reset_after)
+    T = ep.shape[0]
+    causal = (
+        jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        <= jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    )
+    same = ep[None, :] == ep[:, None]  # [Tq, Tk, ...]
+    return jnp.logical_and(
+        causal.reshape((T, T) + (1,) * (same.ndim - 2)), same)
+
+
+def _mha(q: jax.Array, k: jax.Array, v: jax.Array,
+         mask: jax.Array) -> jax.Array:
+    """Masked multi-head attention on [T, ..., H, hd] tensors with a
+    [T_q, T_k, ...] mask; returns [T_q, ..., H, hd]."""
+    hd = q.shape[-1]
+    scores = jnp.einsum("t...hk,s...hk->ts...h", q, k) / math.sqrt(hd)
+    scores = jnp.where(mask[..., None], scores, NEG_INF)
+    w = jax.nn.softmax(scores, axis=1)
+    return jnp.einsum("ts...h,s...hk->t...hk", w, v)
+
+
+def _qkv(blk, u: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    qkv = jnp.einsum("...d,dchk->...chk", u, blk["wqkv"]) + blk["bqkv"]
+    return qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+
+
+def apply_seq(
+    params: AttnParams,
+    xs: jax.Array,            # [T, ..., in]
+    reset_after: jax.Array,   # [T, ...] bool (see module docstring)
+    activation: str,
+    with_cache: bool = False,
+):
+    """Head outputs [T, ..., out] for a whole window, all steps in parallel.
+
+    ``with_cache=True`` additionally returns the per-layer key/value tensors
+    (lists of [T, ..., H, hd]) for :func:`decode_next`.
+    """
+    attn = params["attn"]
+    T = xs.shape[0]
+    t_max = attn["pos"].shape[0]
+    if T > t_max:
+        raise ValueError(
+            f"window length {T} exceeds the positional table ({t_max}); "
+            f"init the trunk with t_max >= the rollout length")
+    pos = attn["pos"][:T].reshape((T,) + (1,) * (xs.ndim - 2) + (-1,))
+    h = _embed(attn, xs) + pos
+    mask = causal_episode_mask(reset_after)
+    ks, vs = [], []
+    for blk in attn["blocks"]:
+        u = _ln(h, blk["ln1"])
+        q, k, v = _qkv(blk, u)
+        if with_cache:
+            ks.append(k)
+            vs.append(v)
+        o = _mha(q, k, v, mask)
+        h = h + o.reshape(o.shape[:-2] + (-1,)) @ blk["wo"] + blk["bo"]
+        h = h + _ff(_ln(h, blk["ln2"]), blk, activation)
+    out = mlp.apply(params["head"], _ln(h, attn["lnf"]), activation, "jnp")
+    return (out, ks, vs) if with_cache else out
+
+
+def decode_next(
+    params: AttnParams,
+    x_next: jax.Array,        # [T, ..., in]: one candidate "next token" per slot
+    pos_idx: jax.Array,       # [T] int32 position index per next-token
+    ks: List[jax.Array],
+    vs: List[jax.Array],
+    mask: jax.Array,          # [T_q, T_k, ...]: which CONTEXT keys each sees
+    activation: str,
+) -> jax.Array:
+    """One-step decode for all T slots at once: next-token t attends the
+    masked context (from :func:`apply_seq` ``with_cache=True``) plus itself.
+
+    This computes V(s'_t) for the GAE bootstrap in ONE pass — the attention
+    analogue of the GRU's one-extra-cell-step (algo/recurrent.py
+    compute_values_rnn), vectorized over t.
+    """
+    attn = params["attn"]
+    h = _embed(attn, x_next) + attn["pos"][pos_idx].reshape(
+        (x_next.shape[0],) + (1,) * (x_next.ndim - 2) + (-1,))
+    hd = attn["blocks"][0]["wqkv"].shape[-1]
+    scale = 1.0 / math.sqrt(hd)
+    for blk, k_ctx, v_ctx in zip(attn["blocks"], ks, vs):
+        u = _ln(h, blk["ln1"])
+        q, k_self, v_self = _qkv(blk, u)
+        s_ctx = jnp.einsum("t...hk,s...hk->ts...h", q, k_ctx) * scale
+        s_ctx = jnp.where(mask[..., None], s_ctx, NEG_INF)
+        s_self = jnp.sum(q * k_self, axis=-1, keepdims=False)[:, None] * scale
+        w = jax.nn.softmax(jnp.concatenate([s_ctx, s_self], axis=1), axis=1)
+        o = (jnp.einsum("ts...h,s...hk->t...hk", w[:, :-1], v_ctx)
+             + w[:, -1][..., None] * v_self)
+        h = h + o.reshape(o.shape[:-2] + (-1,)) @ blk["wo"] + blk["bo"]
+        h = h + _ff(_ln(h, blk["ln2"]), blk, activation)
+    return mlp.apply(params["head"], _ln(h, attn["lnf"]), activation, "jnp")
+
+
+# --------------------------------------------------------------------------
+# sequential decode (rollout / serving)
+# --------------------------------------------------------------------------
+
+def initial_cache(params: AttnParams, batch_shape: Tuple[int, ...]) -> Dict:
+    """Fresh KV cache for a window: per-layer keys/values [L, T_max, .., H, hd]
+    plus per-lane episode-start pointers and the window step counter."""
+    attn = params["attn"]
+    n_layers = len(attn["blocks"])
+    n_heads, hd = attn["blocks"][0]["wqkv"].shape[-2:]
+    t_max = attn["pos"].shape[0]
+    kv_shape = (n_layers, t_max, *batch_shape, n_heads, hd)
+    return {
+        "k": jnp.zeros(kv_shape, jnp.float32),
+        "v": jnp.zeros(kv_shape, jnp.float32),
+        "start": jnp.zeros(batch_shape, jnp.int32),
+        "t": jnp.zeros((), jnp.int32),
+    }
+
+
+def step(params: AttnParams, cache: Dict, x: jax.Array,
+         activation: str) -> Tuple[Dict, jax.Array]:
+    """One decode step: (updated cache, head output [.., out]).
+
+    The token is written into the cache and attends every cached position in
+    [start_lane, t] — exactly the set :func:`apply_seq`'s mask grants, so a
+    replay recomputes the same outputs.  Steps past the positional window
+    clamp to the last slot (serving beyond the trained window degrades
+    gracefully; training never hits this — the trainer sizes t_max to the
+    rollout length).
+    """
+    attn = params["attn"]
+    t_max = attn["pos"].shape[0]
+    t = jnp.minimum(cache["t"], t_max - 1)
+    h = _embed(attn, x) + attn["pos"][t]
+    hd = attn["blocks"][0]["wqkv"].shape[-1]
+    scale = 1.0 / math.sqrt(hd)
+    # [T_max, ...] validity: cached position s visible iff start <= s <= t
+    s_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (t_max,) + cache["start"].shape, 0)
+    valid = jnp.logical_and(s_iota >= cache["start"][None], s_iota <= t)
+    new_k, new_v = cache["k"], cache["v"]
+    for i, blk in enumerate(attn["blocks"]):
+        u = _ln(h, blk["ln1"])
+        q, k_self, v_self = _qkv(blk, u)
+        new_k = jax.lax.dynamic_update_index_in_dim(
+            new_k, jax.lax.dynamic_update_index_in_dim(new_k[i], k_self, t, 0),
+            i, 0)
+        new_v = jax.lax.dynamic_update_index_in_dim(
+            new_v, jax.lax.dynamic_update_index_in_dim(new_v[i], v_self, t, 0),
+            i, 0)
+        scores = jnp.einsum("s...hk,...hk->s...h", new_k[i], q) * scale
+        scores = jnp.where(valid[..., None], scores, NEG_INF)
+        w = jax.nn.softmax(scores, axis=0)
+        o = jnp.einsum("s...h,s...hk->...hk", w, new_v[i])
+        h = h + o.reshape(o.shape[:-2] + (-1,)) @ blk["wo"] + blk["bo"]
+        h = h + _ff(_ln(h, blk["ln2"]), blk, activation)
+    out = mlp.apply(params["head"], _ln(h, attn["lnf"]), activation, "jnp")
+    cache = {"k": new_k, "v": new_v, "start": cache["start"],
+             "t": cache["t"] + 1}
+    return cache, out
+
+
+def reset_lanes(cache: Dict, done: jax.Array) -> Dict:
+    """Advance per-lane episode starts past the just-written token for lanes
+    whose episode ended (the attention analogue of zeroing a GRU hidden)."""
+    return dict(cache, start=jnp.where(done, cache["t"], cache["start"]))

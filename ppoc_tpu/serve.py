@@ -71,12 +71,17 @@ def load_policy(path: str, deterministic: bool = True,
     cfg = ck.cfg
     spec = _resolve_spec(cfg, ck.dims)
     params = ck.state.policy_params
-    from ppoc_tpu.models import gru
+    from ppoc_tpu.models import attn, gru
 
     if gru.is_rnn(params["mlp"]):
         raise ValueError(
             f"{path} holds a recurrent (GRU) policy, which needs a hidden "
             f"state between steps; use serve.load_recurrent_policy instead"
+        )
+    if attn.is_attn(params["mlp"]):
+        raise ValueError(
+            f"{path} holds an attention policy, which needs a KV cache "
+            f"between steps; use serve.load_attention_policy instead"
         )
     # MoE checkpoints serve through the same structural dispatch in
     # mlp.apply; the backend string carries the trained gating top-k
@@ -199,6 +204,64 @@ def load_recurrent_policy(path: str, deterministic: bool = True,
     return act
 
 
+def load_attention_policy(path: str, deterministic: bool = True,
+                          seed: int = 0):
+    """Load an attention-trunk checkpoint (models/attn.py) and return a
+    stateful actor whose per-episode state is the decode KV cache.
+
+        act = ppoc_tpu.serve.load_attention_policy("model.bin")
+        s = act.initial_state(batch_size)
+        action, s = act(obs, s)               # [B, obs] -> ([B, act], cache)
+        s = act.reset_lanes(s, done)          # at episode ends
+
+    The caller owns the cache: build a fresh one per window
+    (``initial_state``) and advance finished lanes with ``reset_lanes`` —
+    the same episode-boundary contract the training rollout uses
+    (algo/recurrent.rollout_rnn).  Episodes longer than the trained window
+    clamp to its final position (models/attn.step) — context stops growing
+    but acting continues.
+    """
+    from ppoc_tpu.models import attn, policy as policy_mod
+    from ppoc_tpu.utils import checkpoint
+
+    ck = checkpoint.load(path)
+    if ck.cfg is None:
+        raise ValueError(f"{path}: checkpoint has no embedded config")
+    cfg = ck.cfg
+    params = ck.state.policy_params
+    if not attn.is_attn(params["mlp"]):
+        raise ValueError(
+            f"{path} holds a non-attention policy; use serve.load_policy "
+            f"(feedforward/MoE) or serve.load_recurrent_policy (GRU/LSTM)")
+    discrete = ck.dims["discrete"]
+    key_holder = {"key": jax.random.PRNGKey(seed)}
+
+    @jax.jit
+    def _step(obs, cache, key):
+        cache2, out = attn.step(params["mlp"], cache, obs, cfg.activation)
+        action, _ = policy_mod.act_from_out(
+            out, key, discrete, params.get("log_std"), deterministic)
+        return action, cache2
+
+    def act(obs, cache, key: Optional[jax.Array] = None):
+        obs = jnp.asarray(obs, jnp.float32)
+        single = obs.ndim == 1
+        if single:
+            obs = obs[None]
+        if key is None:
+            key_holder["key"], key = jax.random.split(key_holder["key"])
+        a, cache2 = _step(obs, cache, key)
+        return (a[0], cache2) if single else (a, cache2)
+
+    act.initial_state = lambda batch_size=None: attn.initial_cache(
+        params["mlp"], (1,) if batch_size is None else (batch_size,))
+    act.reset_lanes = attn.reset_lanes
+    act.recurrent = True
+    act.cfg = cfg
+    act.spec = _resolve_spec(cfg, ck.dims)
+    return act
+
+
 # --------------------------------------------------------------------------
 # HTTP inference server
 # --------------------------------------------------------------------------
@@ -228,13 +291,20 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8000,
 
     import numpy as np
 
-    from ppoc_tpu.models import gru
+    from ppoc_tpu.models import attn as attn_mod, gru
     from ppoc_tpu.utils import checkpoint
 
     # dispatch on the trunk kind directly — catching load_policy's
     # ValueError would mask unrelated load failures (corrupt file/sidecar)
     # behind a misleading "use the other loader" message
-    recurrent = gru.is_rnn(checkpoint.load(path).state.policy_params["mlp"])
+    trunk = checkpoint.load(path).state.policy_params["mlp"]
+    if attn_mod.is_attn(trunk):
+        raise ValueError(
+            f"{path} holds an attention policy; its per-step state is a KV "
+            f"cache too large to round-trip as JSON — serve it in-process "
+            f"with serve.load_attention_policy"
+        )
+    recurrent = gru.is_rnn(trunk)
     loader = load_recurrent_policy if recurrent else load_policy
     act = loader(path, deterministic=deterministic, seed=seed)
     spec = act.spec

@@ -89,17 +89,27 @@ def _validate(cfg: PPOConfig, seeds: Sequence[int]) -> None:
             "sweeps are single-device vmapped programs; tp_size/pp_size/"
             "ep_size must be 1"
         )
-    if cfg.rnn_hidden > 0:
+    if cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
+        kind = "rnn_hidden" if cfg.rnn_hidden > 0 else "attn_dim"
+        if cfg.rnn_hidden > 0 and cfg.attn_dim > 0:
+            raise ValueError(
+                "rnn_hidden and attn_dim cannot both be set: pick ONE "
+                "sequence family per run")
         if cfg.n_experts > 1:
-            raise ValueError("rnn_hidden > 0 cannot combine with n_experts")
+            raise ValueError(f"{kind} > 0 cannot combine with n_experts")
         if not cfg.reset_per_fit:
             raise ValueError(
-                "rnn_hidden > 0 requires reset_per_fit=True (windows must "
-                "start at episode starts for the h0=0 replay)"
+                f"{kind} > 0 requires reset_per_fit=True (windows must "
+                f"start at episode starts for the empty-state replay)"
             )
-        if cfg.rnn_cell not in ("gru", "lstm"):
+        if cfg.rnn_hidden > 0 and cfg.rnn_cell not in ("gru", "lstm"):
             raise ValueError(
                 f"rnn_cell must be 'gru' or 'lstm', got {cfg.rnn_cell!r}"
+            )
+        if cfg.attn_dim > 0 and cfg.attn_dim % cfg.attn_heads:
+            raise ValueError(
+                f"attn_dim ({cfg.attn_dim}) must be divisible by "
+                f"attn_heads ({cfg.attn_heads})"
             )
 
 

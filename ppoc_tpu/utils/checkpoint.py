@@ -100,10 +100,35 @@ def _write_trunk(f, trunk):
     """Version-4 kind-tagged trunk: 0 = dense MLP, 1 = mixture of experts
     (router layer + stacked [E, fan_in, fan_out] expert layers), 2 = GRU
     (cell wx/wh/b + dense head, 3H gates), 3 = LSTM (same layout, 4H
-    gates)."""
+    gates), 4 = causal-attention encoder (embed + pos + blocks + final LN
+    + dense head, models/attn.py)."""
+    from ppoc_tpu.models.attn import is_attn
     from ppoc_tpu.models.gru import cell_kind, is_rnn
     from ppoc_tpu.models.moe import is_moe
 
+    if is_attn(trunk):
+        _w(f, "i", 4)
+        a = trunk["attn"]
+        we, be = a["embed"]
+        we = np.asarray(we)
+        n_heads, hd = np.asarray(a["blocks"][0]["wqkv"]).shape[-2:]
+        ff = np.asarray(a["blocks"][0]["ff1"][0]).shape[1]
+        _w(f, "iiiiii", we.shape[0], we.shape[1], a["pos"].shape[0],
+           n_heads, len(a["blocks"]), ff)
+        _write_arr(f, we)
+        _write_arr(f, np.asarray(be))
+        _write_arr(f, np.asarray(a["pos"]))
+        for blk in a["blocks"]:
+            for arr in (blk["wqkv"], blk["bqkv"], blk["wo"], blk["bo"],
+                        blk["ln1"][0], blk["ln1"][1],
+                        blk["ln2"][0], blk["ln2"][1],
+                        blk["ff1"][0], blk["ff1"][1],
+                        blk["ff2"][0], blk["ff2"][1]):
+                _write_arr(f, np.asarray(arr))
+        _write_arr(f, np.asarray(a["lnf"][0]))
+        _write_arr(f, np.asarray(a["lnf"][1]))
+        _write_mlp(f, trunk["head"])
+        return
     if is_rnn(trunk):
         _w(f, "i", 3 if cell_kind(trunk) == "lstm" else 2)
         cell = trunk["cell"]
@@ -144,6 +169,32 @@ def _read_trunk(f):
         b = jnp.asarray(_read_arr(f, (hg,)))
         head = [(jnp.asarray(w), jnp.asarray(bb)) for w, bb in _read_mlp(f)]
         return {"cell": {"wx": wx, "wh": wh, "b": b}, "head": head}
+    if kind == 4:  # attention encoder (models/attn.py)
+        d_in, d, t_max, n_heads, n_layers, ff = _r(f, "iiiiii")
+        hd = d // n_heads
+        we = jnp.asarray(_read_arr(f, (d_in, d)))
+        be = jnp.asarray(_read_arr(f, (d,)))
+        pos = jnp.asarray(_read_arr(f, (t_max, d)))
+        blocks = []
+        for _ in range(n_layers):
+            blocks.append({
+                "wqkv": jnp.asarray(_read_arr(f, (d, 3, n_heads, hd))),
+                "bqkv": jnp.asarray(_read_arr(f, (3, n_heads, hd))),
+                "wo": jnp.asarray(_read_arr(f, (d, d))),
+                "bo": jnp.asarray(_read_arr(f, (d,))),
+                "ln1": (jnp.asarray(_read_arr(f, (d,))),
+                        jnp.asarray(_read_arr(f, (d,)))),
+                "ln2": (jnp.asarray(_read_arr(f, (d,))),
+                        jnp.asarray(_read_arr(f, (d,)))),
+                "ff1": (jnp.asarray(_read_arr(f, (d, ff))),
+                        jnp.asarray(_read_arr(f, (ff,)))),
+                "ff2": (jnp.asarray(_read_arr(f, (ff, d))),
+                        jnp.asarray(_read_arr(f, (d,)))),
+            })
+        lnf = (jnp.asarray(_read_arr(f, (d,))), jnp.asarray(_read_arr(f, (d,))))
+        head = [(jnp.asarray(w), jnp.asarray(bb)) for w, bb in _read_mlp(f)]
+        return {"attn": {"embed": (we, be), "pos": pos, "blocks": blocks,
+                         "lnf": lnf}, "head": head}
     if kind != 1:
         raise ValueError(f"unknown trunk kind {kind}")
     d_in, e = _r(f, "ii")
@@ -254,16 +305,19 @@ def _save_stream(f, cfg, spec, state, key=None, version: Optional[int] = None,
     import dataclasses
     import json
 
+    from ppoc_tpu.models.attn import is_attn
     from ppoc_tpu.models.gru import is_rnn
     from ppoc_tpu.models.moe import is_moe
 
     state = jax.device_get(state)
     if version is None:
-        # plain states keep the byte-identical v3 layout; MoE and GRU
-        # trunks need the kind-tagged v4 sections
-        tagged = (is_moe(state.policy_params["mlp"]) or is_moe(state.v_params)
-                  or is_rnn(state.policy_params["mlp"])
-                  or is_rnn(state.v_params))
+        # plain states keep the byte-identical v3 layout; MoE, GRU and
+        # attention trunks need the kind-tagged v4 sections
+        def _tagged(t):
+            return is_moe(t) or is_rnn(t) or is_attn(t)
+
+        tagged = (_tagged(state.policy_params["mlp"])
+                  or _tagged(state.v_params))
         version = MOE_VERSION if tagged else VERSION
     f.write(MAGIC)
     _w(f, "i", version)

@@ -1,0 +1,228 @@
+"""Attention model family: mask math, decode/parallel duality, PPO
+integration.
+
+The reference has no attention at all (SURVEY §2a: its only sequence
+machinery is the GAE scan over time); models/attn.py + algo/recurrent.py
+extend the trunk slot with a causal Transformer encoder — the framework's
+fourth model family.  Tests cover:
+
+  * decode/parallel duality: the rollout's KV-cache decode (attn.step) and
+    the trainer's parallel pass (attn.apply_seq) compute identical outputs;
+  * decode_next: the vectorized one-step decode used for the V(s') GAE
+    bootstrap equals the shifted parallel outputs at episode-continuing
+    steps;
+  * episode-boundary masking (tokens must not attend across a done);
+  * rollout/update consistency: replayed log-probs match stored ones, so
+    first-epoch PPO ratios are 1;
+  * the capability differentiator on the `recall` memory env — same bar as
+    the GRU family (tests/test_rnn.py);
+  * dp-mesh training, checkpoint round-trip (v4 kind-4 trunks),
+    from_checkpoint, KV-cache serving, and config validation.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppoc_tpu import PPOConfig, envs
+from ppoc_tpu.algo import ppo, recurrent
+from ppoc_tpu.algo.trainer import Trainer
+from ppoc_tpu.models import attn
+
+
+def _params(key=0, T=12, obs_dim=4, d=16, layers=2, heads=2, out=2):
+    return attn.init(jax.random.PRNGKey(key), obs_dim, d, layers, heads,
+                     2 * d, T, (d, 8, out))
+
+
+def test_decode_matches_parallel():
+    """The sequential KV-cache decode (rollout path) reproduces the parallel
+    causal-episode-masked pass (update path) step for step."""
+    T, E = 12, 3
+    p = _params(T=T)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (T, E, 4))
+    done = jax.random.bernoulli(jax.random.PRNGKey(2), 0.25, (T, E))
+
+    out_par = attn.apply_seq(p, xs, done, "relu")
+    cache = attn.initial_cache(p, (E,))
+    outs = []
+    for t in range(T):
+        cache, o = attn.step(p, cache, xs[t], "relu")
+        outs.append(o)
+        cache = attn.reset_lanes(cache, done[t])
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(outs)), np.asarray(out_par), atol=1e-5)
+
+
+def test_decode_next_matches_shifted_parallel():
+    """decode_next(x_{t+1} at pos t+1 over context <= t) must equal the
+    parallel pass's row t+1 wherever the episode continues — the property
+    that makes it a valid V(s') estimator (compute_values_rnn)."""
+    T, E = 10, 4
+    p = _params(T=T, out=1)
+    xs = jax.random.normal(jax.random.PRNGKey(3), (T, E, 4))
+    done = jax.random.bernoulli(jax.random.PRNGKey(4), 0.2, (T, E))
+    out_par, ks, vs = attn.apply_seq(p, xs, done, "relu", with_cache=True)
+    mask = attn.causal_episode_mask(done)
+    pos_idx = jnp.minimum(jnp.arange(T) + 1, T - 1)
+    nxt = attn.decode_next(
+        p, jnp.roll(xs, -1, axis=0), pos_idx, ks, vs, mask, "relu")
+    cont = np.asarray(~done & (jnp.arange(T)[:, None] < T - 1))
+    got = np.asarray(nxt)[cont]
+    want = np.asarray(jnp.roll(out_par, -1, axis=0))[cont]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_mask_blocks_cross_episode_attention():
+    """Tokens after a done must be unaffected by anything before it: replace
+    the pre-boundary observations with noise and the post-boundary outputs
+    must not move (positions are window-absolute, so a fresh-start replay
+    is NOT the invariant — invariance to the masked-out content is)."""
+    T, E = 8, 3
+    p = _params(T=T)
+    xs = jax.random.normal(jax.random.PRNGKey(5), (T, E, 4))
+    done = jnp.zeros((T, E), bool).at[2].set(True)
+    ys = attn.apply_seq(p, xs, done, "relu")
+    xs2 = xs.at[:3].set(jax.random.normal(jax.random.PRNGKey(6), (3, E, 4)))
+    ys2 = attn.apply_seq(p, xs2, done, "relu")
+    np.testing.assert_allclose(
+        np.asarray(ys[3:]), np.asarray(ys2[3:]), atol=1e-6)
+    # and WITHOUT the done flag the tails DO move (attention really flows)
+    ys3 = attn.apply_seq(p, xs2, jnp.zeros((T, E), bool), "relu")
+    assert not np.allclose(np.asarray(ys3[3:]), np.asarray(ys[3:]), atol=1e-4)
+
+
+def test_window_overflow_raises():
+    p = _params(T=6)
+    xs = jnp.zeros((8, 2, 4))
+    with pytest.raises(ValueError, match="positional table"):
+        attn.apply_seq(p, xs, jnp.zeros((8, 2), bool), "relu")
+
+
+@pytest.mark.parametrize("env_name,discrete", [("recall", False),
+                                               ("cartpole", True)])
+def test_replayed_log_probs_match_rollout(env_name, discrete):
+    """The update path's parallel attention recomputes the same log-probs the
+    KV-cache rollout stored: epoch-0 PPO ratios are 1 (float noise only)."""
+    env = envs.make(env_name)
+    cfg = PPOConfig(env=env_name, n_envs=16, rollout_len=12,
+                    minibatch_size=48, hidden=(16,), attn_dim=16,
+                    attn_layers=2, attn_heads=2)
+    assert env.spec.discrete == discrete
+    ts = ppo.init_train_state(cfg, env, jax.random.PRNGKey(0))
+    traj, _ = recurrent.rollout_rnn(
+        cfg, env, ts.policy_params, jax.random.PRNGKey(1), 16, 12)
+    done = jnp.logical_or(traj.terminated, traj.truncated)
+    logp, _ = recurrent.policy_log_probs_rnn(
+        cfg, ts.policy_params, traj.obs, traj.action, done, discrete)
+    np.testing.assert_allclose(
+        np.asarray(logp), np.asarray(traj.log_prob), rtol=1e-4, atol=1e-5)
+
+
+def test_recall_differentiator():
+    """Same capability bar as the GRU family: attention solves the recall
+    memory task (memoryless policies cap at ~0.5, tests/test_rnn.py)."""
+    cfg = PPOConfig(env="recall", n_envs=128, rollout_len=6,
+                    minibatch_size=192, fits_per_epoch=8, eval_envs=256,
+                    eval_len=6, kernel_backend="jnp", hidden=(32,),
+                    seed=0, lr_policy=1e-3, lr_v=1e-3,
+                    attn_dim=16, attn_layers=1, attn_heads=2)
+    hist = Trainer(cfg).train(n_epochs=5, log=False)
+    assert hist[-1]["R"] > 0.9, \
+        f"attention should solve recall, got {hist[-1]['R']}"
+
+
+def test_attn_trains_on_dp_mesh():
+    from ppoc_tpu.parallel import make_mesh
+
+    cfg = PPOConfig(env="recall", n_envs=128, rollout_len=6,
+                    minibatch_size=192, fits_per_epoch=8, eval_envs=256,
+                    eval_len=6, kernel_backend="jnp", hidden=(32,),
+                    seed=0, lr_policy=1e-3, lr_v=1e-3,
+                    attn_dim=16, attn_layers=1, attn_heads=2)
+    hist = Trainer(cfg, mesh=make_mesh()).train(n_epochs=5, log=False)
+    assert hist[-1]["R"] > 0.9
+
+
+def test_checkpoint_roundtrip_and_from_checkpoint(tmp_path):
+    cfg = PPOConfig(env="recall", n_envs=32, rollout_len=6,
+                    minibatch_size=96, fits_per_epoch=2, eval_envs=64,
+                    eval_len=6, hidden=(16,), attn_dim=8, attn_layers=1,
+                    attn_heads=2, seed=1)
+    tr = Trainer(cfg)
+    tr.train(n_epochs=1, log=False, initial_eval=False)
+    path = str(tmp_path / "attn.bin")
+    tr.save(path)
+    tr2 = Trainer.from_checkpoint(path)
+    assert tr2.cfg.attn_dim == 8
+    a = jax.tree.leaves(jax.device_get(tr.state))
+    b = jax.tree.leaves(jax.device_get(tr2.state))
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+    assert int(tr2.state.opt_policy.t) == int(tr.state.opt_policy.t) > 0
+
+
+def test_attention_serving(tmp_path):
+    from ppoc_tpu import serve
+
+    cfg = PPOConfig(env="recall", n_envs=128, rollout_len=6,
+                    minibatch_size=192, fits_per_epoch=8, eval_envs=128,
+                    eval_len=6, hidden=(32,), attn_dim=16, attn_layers=1,
+                    attn_heads=2, seed=0, lr_policy=1e-3, lr_v=1e-3)
+    tr = Trainer(cfg)
+    tr.train(n_epochs=4, log=False)
+    path = str(tmp_path / "attn_serve.bin")
+    tr.save(path)
+    with pytest.raises(ValueError, match="load_attention_policy"):
+        serve.load_policy(path)
+    with pytest.raises(ValueError, match="load_policy"):
+        serve.load_recurrent_policy(path)
+    act = serve.load_attention_policy(path)
+    env = envs.make("recall")
+    correct = 0
+    for seed in range(8):
+        key = jax.random.PRNGKey(100 + seed)
+        state, obs = env.reset(key)
+        cache = act.initial_state()
+        for t in range(6):
+            a, cache = act(np.asarray(obs), cache)
+            state, obs, reward, term, trunc = env.step(
+                state, jnp.asarray(a), key)
+        correct += int(float(reward) > 0.5)
+    assert correct >= 7
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="reset_per_fit"):
+        Trainer(PPOConfig(env="recall", attn_dim=8, reset_per_fit=False))
+    with pytest.raises(ValueError, match="cannot combine"):
+        Trainer(PPOConfig(env="recall", attn_dim=8, n_experts=4))
+    with pytest.raises(ValueError, match="cannot combine"):
+        Trainer(PPOConfig(env="recall", attn_dim=8, tp_size=2))
+    with pytest.raises(ValueError, match="ONE sequence family"):
+        Trainer(PPOConfig(env="recall", attn_dim=8, rnn_hidden=8))
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(PPOConfig(env="recall", attn_dim=9, attn_heads=2))
+
+
+def test_sweep_mirrors_validation():
+    from ppoc_tpu import sweep
+
+    with pytest.raises(ValueError, match="reset_per_fit"):
+        sweep._validate(
+            PPOConfig(env="recall", attn_dim=8, reset_per_fit=False), [0])
+    with pytest.raises(ValueError, match="ONE sequence family"):
+        sweep._validate(
+            PPOConfig(env="recall", attn_dim=8, rnn_hidden=8), [0])
+
+
+def test_host_bridge_rejects_attention():
+    from ppoc_tpu.envs.host import HostTrainer
+
+    class _FakeVenv:
+        n_envs = 4
+        spec = envs.make("recall").spec
+
+    cfg = PPOConfig(env="recall", n_envs=4, eval_envs=4, rollout_len=6,
+                    minibatch_size=8, attn_dim=8)
+    with pytest.raises(ValueError, match="host bridge"):
+        HostTrainer(cfg, _FakeVenv(), _FakeVenv())
