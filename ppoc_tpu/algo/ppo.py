@@ -121,15 +121,40 @@ def _ent_coeff(cfg: PPOConfig, opt_state, n_mb: int):
                                           cfg.n_epochs_policy)
 
 
+def _trunk_adam(cfg: PPOConfig, params, grads, opt, lr,
+                axis_name: Optional[str]):
+    """Adam on a trunk: the replicated pytree update, or — with cfg.zero1 on
+    a mesh — the ZeRO-1 sharded step (per-rank moment slices + one
+    all_gather of the updated params, ops/adam.update_zero1)."""
+    if cfg.zero1 and axis_name is not None:
+        return adam.update_zero1(
+            params, grads, opt, lr,
+            cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps, axis_name)
+    return adam.update(params, grads, opt, lr,
+                       cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
+
+
+def _value_adam_step(cfg: PPOConfig, v_params, grads, opt_v, n_mb: int,
+                     axis_name: Optional[str]):
+    """One value minibatch's Adam update — shared by the feedforward and
+    sequence value phases so the ZeRO-1 branch can never apply to one and
+    not the other."""
+    return _trunk_adam(
+        cfg, v_params, grads, opt_v,
+        _lr(cfg.lr_v, cfg, opt_v, n_mb, cfg.n_epochs_value), axis_name)
+
+
 def _policy_adam_step(cfg: PPOConfig, policy_params, grads, opt_policy,
-                      opt_log_std, n_mb: int):
+                      opt_log_std, n_mb: int,
+                      axis_name: Optional[str] = None):
     """One policy minibatch's Adam updates — separate states for the mean
     net and log_std (src/ppo.cu:19-25), annealed lr — shared by the
-    feedforward and recurrent phases."""
-    new_mlp, new_opt_policy = adam.update(
-        policy_params["mlp"], grads["mlp"], opt_policy,
+    feedforward and recurrent phases.  The trunk state shards under
+    cfg.zero1; log_std's stays replicated (it is action_dim floats)."""
+    new_mlp, new_opt_policy = _trunk_adam(
+        cfg, policy_params["mlp"], grads["mlp"], opt_policy,
         _lr(cfg.lr_policy, cfg, opt_policy, n_mb, cfg.n_epochs_policy),
-        cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
+        axis_name,
     )
     new_params = dict(policy_params)
     new_params["mlp"] = new_mlp
@@ -506,11 +531,8 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
         mb = buffer.gather(cols, idx)
         loss, grads = jax.value_and_grad(loss_fn)(v_params, *mb)
         grads = _prep_grads(grads, cfg, axis_name)
-        v_params, opt_v = adam.update(
-            v_params, grads, opt_v,
-            _lr(cfg.lr_v, cfg, opt_v, n_mb, cfg.n_epochs_value),
-            cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps
-        )
+        v_params, opt_v = _value_adam_step(
+            cfg, v_params, grads, opt_v, n_mb, axis_name)
         return (v_params, opt_v), loss
 
     def epoch(carry, key_e):
@@ -585,7 +607,8 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
         )
         grads = _prep_grads(grads, cfg, axis_name)
         new_params, new_opt_policy, new_opt_log_std = _policy_adam_step(
-            cfg, policy_params, grads, opt_policy, opt_log_std, n_mb)
+            cfg, policy_params, grads, opt_policy, opt_log_std, n_mb,
+            axis_name)
         if not use_kl:
             return (new_params, new_opt_policy, new_opt_log_std), (loss, ent)
         # once a minibatch's (dp-agreed) KL breaches the target, every later

@@ -238,10 +238,8 @@ def value_phase_rnn(cfg: PPOConfig, ts, traj, target: jax.Array, key,
         mb = _gather_seqs(cols, idx)
         loss, grads = jax.value_and_grad(loss_fn)(v_params, *mb)
         grads = ppo_mod._prep_grads(grads, cfg, axis_name)
-        v_params, opt_v = adam.update(
-            v_params, grads, opt_v,
-            ppo_mod._lr(cfg.lr_v, cfg, opt_v, n_mb, cfg.n_epochs_value),
-            cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
+        v_params, opt_v = ppo_mod._value_adam_step(
+            cfg, v_params, grads, opt_v, n_mb, axis_name)
         return (v_params, opt_v), loss
 
     def epoch(carry, key_e):
@@ -284,7 +282,8 @@ def policy_phase_rnn(cfg: PPOConfig, env: Env, ts, traj, adv: jax.Array, key,
         grads = ppo_mod._prep_grads(grads, cfg, axis_name)
         new_params, new_opt_policy, new_opt_log_std = \
             ppo_mod._policy_adam_step(
-                cfg, policy_params, grads, opt_policy, opt_log_std, n_mb)
+                cfg, policy_params, grads, opt_policy, opt_log_std, n_mb,
+                axis_name)
         if not use_kl:
             return (new_params, new_opt_policy, new_opt_log_std), (loss, ent)
         new_params = ppo_mod._freeze_where(stop, policy_params, new_params)

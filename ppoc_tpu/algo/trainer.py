@@ -170,6 +170,12 @@ class Trainer:
                 "tp_size and pp_size cannot both exceed 1: pick tensor OR "
                 "pipeline sharding for the model axis"
             )
+        if cfg.zero1 and (cfg.tp_size > 1 or cfg.pp_size > 1
+                          or cfg.ep_size > 1):
+            raise ValueError(
+                "zero1 cannot combine with tp_size/pp_size/ep_size: those "
+                "modes already shard optimizer state along the model axis"
+            )
         if cfg.ep_size > 1:
             if cfg.tp_size > 1 or cfg.pp_size > 1:
                 raise ValueError(
@@ -213,6 +219,13 @@ class Trainer:
             return
 
         n_dev = 1 if mesh is None else mesh.size
+        if cfg.zero1 and n_dev < 2:
+            raise ValueError(
+                "zero1=True shards optimizer state over a data-parallel "
+                "mesh; pass a multi-device mesh (single-device ZeRO is a "
+                "no-op)"
+            )
+        self._dp_state_spec = P()
         if n_dev > 1:
             if mesh.axis_names != (cfg.mesh_axis,):
                 raise ValueError(
@@ -225,6 +238,39 @@ class Trainer:
                     f"n_envs ({cfg.n_envs}), minibatch_size ({cfg.minibatch_size}) and "
                     f"eval_envs ({cfg.eval_envs}) must divide the mesh size {n_dev}"
                 )
+            if cfg.zero1:
+                # ZeRO-1: flat-packed trunk Adam moments placed P(dp); the
+                # logical (checkpoint) layout stays the parameter tree, so
+                # zero1 checkpoints interchange with plain-dp runs
+                from ppoc_tpu.ops import adam as adam_ops
+
+                def pack_state(ts):
+                    return ts._replace(
+                        opt_policy=adam_ops.pack_zero1(ts.opt_policy, n_dev),
+                        opt_v=adam_ops.pack_zero1(ts.opt_v, n_dev),
+                    )
+
+                def unshard(ts):
+                    return ts._replace(
+                        opt_policy=adam_ops.unpack_zero1(
+                            ts.opt_policy, ts.policy_params["mlp"]),
+                        opt_v=adam_ops.unpack_zero1(ts.opt_v, ts.v_params),
+                    )
+
+                shard = P(cfg.mesh_axis)
+                self._dp_state_spec = ppo.TrainState(
+                    policy_params=jax.tree.map(
+                        lambda _: P(), full_state.policy_params),
+                    v_params=jax.tree.map(lambda _: P(), full_state.v_params),
+                    opt_policy=full_state.opt_policy._replace(
+                        m=shard, v=shard, t=P()),
+                    opt_v=full_state.opt_v._replace(m=shard, v=shard, t=P()),
+                    opt_log_std=jax.tree.map(
+                        lambda _: P(), full_state.opt_log_std),
+                )
+                self._pack_state = pack_state
+                self._unshard_state = unshard
+                full_state = pack_state(full_state)
             epoch_local = functools.partial(
                 ppo.train_epoch, cfg, self.env,
                 axis_name=cfg.mesh_axis,
@@ -244,7 +290,9 @@ class Trainer:
                     mesh, in_specs=(P(), P()), out_specs=P()))
 
             self._train_epoch = jax.jit(
-                _shard_map(epoch_local, mesh, in_specs=(P(), P()), out_specs=(P(), P()))
+                _shard_map(epoch_local, mesh,
+                           in_specs=(self._dp_state_spec, P()),
+                           out_specs=(self._dp_state_spec, P()))
             )
             self._evaluate = make_eval(False)
             self._evaluate_det = make_eval(True)
@@ -668,8 +716,10 @@ class Trainer:
                     backend=self.backend,
                     eval_envs=self.cfg.eval_envs // n_dev,
                 )
+                spec = self._dp_state_spec
                 self._solve_fn = jax.jit(_shard_map(
-                    local, self.mesh, in_specs=(P(), P()), out_specs=(P(), P(), P())
+                    local, self.mesh, in_specs=(spec, P()),
+                    out_specs=(spec, P(), P())
                 ))
             else:
                 self._solve_fn = jax.jit(functools.partial(

@@ -127,6 +127,17 @@ class PPOConfig:
     attn_layers: int = 2          # Transformer blocks when attn_dim > 0
     attn_heads: int = 2           # attention heads (must divide attn_dim)
     attn_ff: int = 0              # FF hidden width per block; 0 = 4*attn_dim
+    zero1: bool = False           # ZeRO-1 / FSDP-style optimizer-state
+                                  # sharding over the dp mesh axis: params
+                                  # stay replicated for rollout/backprop,
+                                  # but each rank holds a 1/N slice of the
+                                  # two trunk Adams' m/v, updates its
+                                  # parameter slice and all_gathers
+                                  # (ops/adam.update_zero1).  Per-rank
+                                  # optimizer memory and math drop N-fold.
+                                  # Requires a multi-device mesh; cannot
+                                  # combine with tp/pp/ep (those pack
+                                  # optimizer state along the model axis)
     norm_adv_global: bool = True  # normalize advantages over the whole buffer
                                   # (reference: src/ppo.cu:355-368)
     reset_per_fit: bool = True    # reference resets env at every collection

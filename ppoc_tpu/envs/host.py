@@ -291,6 +291,11 @@ class HostTrainer:
             )
         if actor not in ("device", "host"):
             raise ValueError(f"actor must be 'device' or 'host', got {actor!r}")
+        if cfg.zero1:
+            raise ValueError(
+                "zero1 is not supported on the host bridge: its learner "
+                "runs single-device (no mesh to shard optimizer state over)"
+            )
         if cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
             raise ValueError(
                 "rnn_hidden/attn_dim > 0 (sequence trunks) is not supported "

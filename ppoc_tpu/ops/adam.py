@@ -66,6 +66,91 @@ def update(
     return new_p, AdamState(m=new_m, v=new_v, t=t)
 
 
+# --------------------------------------------------------------------------
+# ZeRO-1: optimizer-state sharding over the data-parallel axis
+# --------------------------------------------------------------------------
+#
+# The reference replicates nothing (single GPU); at scale, replicating Adam's
+# m/v on every data-parallel rank wastes 2x parameter memory per rank.  The
+# standard fix (ZeRO stage 1 / FSDP optimizer sharding) keeps params
+# replicated for the forward/backward but gives each rank a 1/N slice of the
+# flattened moment vectors: after the gradient pmean, every rank runs Adam on
+# its slice only and the updated parameter slices ride ONE all_gather back to
+# replication.  Per-rank optimizer math and memory drop N-fold; the
+# all_gather replaces no existing collective (grads were already pmean'd).
+
+def pack_zero1(state: AdamState, n_shards: int) -> AdamState:
+    """Tree-layout moments -> flat zero-padded [n_shards * L] arrays (the
+    logical <-> placed converter for checkpoints; order matches the
+    checkpoint's flat Adam serialization, jax tree-flatten order)."""
+    from jax.flatten_util import ravel_pytree
+
+    def flat_pad(tree):
+        flat = ravel_pytree(tree)[0]
+        pad = -flat.size % n_shards
+        return jnp.pad(flat, (0, pad))
+
+    return AdamState(m=flat_pad(state.m), v=flat_pad(state.v), t=state.t)
+
+
+def unpack_zero1(state: AdamState, params) -> AdamState:
+    """Flat packed moments -> the parameter tree layout (checkpoint form)."""
+    from jax.flatten_util import ravel_pytree
+
+    flat_p, unravel = ravel_pytree(params)
+
+    def unflat(flat):
+        return unravel(flat[: flat_p.size])
+
+    return AdamState(m=unflat(state.m), v=unflat(state.v), t=state.t)
+
+
+def update_zero1(
+    params,
+    grads,
+    state: AdamState,
+    lr: float,
+    beta1: float,
+    beta2: float,
+    eps: float,
+    axis_name: str,
+) -> Tuple[Any, AdamState]:
+    """One sharded Adam step inside shard_map: ``params``/``grads`` are
+    replicated pytrees, ``state.m``/``state.v`` are this rank's flat
+    [total_padded / N] slices.  Returns (replicated updated params, updated
+    local moment slices)."""
+    from jax.flatten_util import ravel_pytree
+
+    t = state.t + 1
+    tf = t.astype(jnp.float32)
+    bc1 = 1.0 - beta1 ** tf
+    bc2 = 1.0 - beta2 ** tf
+    step_size = lr / bc1
+
+    flat_p, unravel = ravel_pytree(params)
+    flat_g = ravel_pytree(grads)[0]
+    loc = state.m.shape[0]
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name) * loc
+    pad = n * loc - flat_p.size
+    p_loc = jax.lax.dynamic_slice(jnp.pad(flat_p, (0, pad)), (idx,), (loc,))
+    g_loc = jax.lax.dynamic_slice(jnp.pad(flat_g, (0, pad)), (idx,), (loc,))
+
+    m2 = beta1 * state.m + (1.0 - beta1) * g_loc
+    v2 = beta2 * state.v + (1.0 - beta2) * jnp.square(g_loc)
+    denom = jnp.sqrt(v2 / bc2) + eps
+    p2_loc = p_loc - step_size * m2 / denom
+
+    # all-gather the disjoint updated slices, expressed as a psum so the
+    # result is REPLICATED-typed under shard_map's varying-axes system (a
+    # raw all_gather would leave the params device-varying and fail the
+    # out_specs=P() replication check on the training state)
+    buf = jnp.zeros((n * loc,), p2_loc.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, p2_loc, (idx,))
+    p2_flat = jax.lax.psum(buf, axis_name)
+    return unravel(p2_flat[: flat_p.size]), AdamState(m=m2, v=v2, t=t)
+
+
 def clip_by_global_norm(grads, max_norm: float):
     """Scale the whole gradient pytree so its global L2 norm is at most
     ``max_norm`` (the standard PPO stabilizer; no reference counterpart —

@@ -89,6 +89,11 @@ def _validate(cfg: PPOConfig, seeds: Sequence[int]) -> None:
             "sweeps are single-device vmapped programs; tp_size/pp_size/"
             "ep_size must be 1"
         )
+    if cfg.zero1:
+        raise ValueError(
+            "zero1 shards optimizer state over a mesh; sweeps are "
+            "single-device vmapped programs"
+        )
     if cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
         kind = "rnn_hidden" if cfg.rnn_hidden > 0 else "attn_dim"
         if cfg.rnn_hidden > 0 and cfg.attn_dim > 0:
