@@ -669,14 +669,18 @@ def update_step(
         # row shuffling would destroy the history they need
         from ppoc_tpu.algo import recurrent
 
-        vpair = recurrent.compute_values_rnn(cfg, ts.v_params, traj)
+        seq_backend = "pallas" if backend == "pallas" else "jnp"
+        vpair = recurrent.compute_values_rnn(cfg, ts.v_params, traj,
+                                             backend=seq_backend)
         adv, target = compute_advantages(
             cfg, env, ts.v_params, traj, axis_name, "jnp", vpair)
         ts, v_loss = recurrent.value_phase_rnn(
             cfg, ts, traj, target, k_val, axis_name, mb_size,
-            v_old=vpair[0] if cfg.clip_value > 0.0 else None)
+            v_old=vpair[0] if cfg.clip_value > 0.0 else None,
+            backend=seq_backend)
         ts, p_loss, ent = recurrent.policy_phase_rnn(
-            cfg, env, ts, traj, adv, k_pol, axis_name, mb_size)
+            cfg, env, ts, traj, adv, k_pol, axis_name, mb_size,
+            backend=seq_backend)
         mean_rew = _pmean(jnp.mean(traj.reward), axis_name)
         return ts, FitMetrics(
             _pmean(v_loss, axis_name), _pmean(p_loss, axis_name),

@@ -44,13 +44,15 @@ from ppoc_tpu.ops import adam, losses
 LOG_2PI = math.log(2.0 * math.pi)
 
 
-def _seq_apply(trunk, xs, reset_after, activation):
+def _seq_apply(trunk, xs, reset_after, activation, backend: str = "jnp"):
     """Whole-window head outputs for either sequence family: the GRU/LSTM
     masked time scan or the attention causal-episode-masked parallel pass.
     Single dispatch point for the update phases, so both families share the
-    sequence-minibatch PPO machinery below."""
+    sequence-minibatch PPO machinery below.  ``backend="pallas"`` selects
+    the flash-attention kernel for attention trunks (GRU ignores it)."""
     if attn.is_attn(trunk):
-        return attn.apply_seq(trunk, xs, reset_after, activation)
+        return attn.apply_seq(trunk, xs, reset_after, activation,
+                              backend=backend)
     return gru.apply_seq(trunk, xs, reset_after, activation)
 
 
@@ -149,7 +151,7 @@ def rollout_rnn(
 # --------------------------------------------------------------------------
 
 def compute_values_rnn(
-    cfg: PPOConfig, v_params, traj
+    cfg: PPOConfig, v_params, traj, backend: str = "jnp"
 ) -> Tuple[jax.Array, jax.Array]:
     """(V(s_t), V(s'_t)) planes [T, E] for GAE with a sequence value net.
 
@@ -163,7 +165,8 @@ def compute_values_rnn(
     done = jnp.logical_or(traj.terminated, traj.truncated)
     if attn.is_attn(v_params):
         values, ks, vs = attn.apply_seq(
-            v_params, traj.obs, done, cfg.activation, with_cache=True)
+            v_params, traj.obs, done, cfg.activation, with_cache=True,
+            backend=backend)
         T = traj.obs.shape[0]
         pos_idx = jnp.minimum(jnp.arange(T) + 1, attn.window(v_params) - 1)
         mask = attn.causal_episode_mask(done)
@@ -190,12 +193,14 @@ def compute_values_rnn(
 
 
 def policy_log_probs_rnn(cfg: PPOConfig, policy_params, obs, action, done,
-                         discrete: bool) -> Tuple[jax.Array, jax.Array]:
+                         discrete: bool,
+                         backend: str = "jnp") -> Tuple[jax.Array, jax.Array]:
     """(log-probs [T, B], mean entropy) of stored actions under the current
     recurrent policy, replayed from h0=0 with episode-boundary masking —
     identical recurrence to rollout_rnn, so at epoch 0 the ratios are
     exactly 1."""
-    out = _seq_apply(policy_params["mlp"], obs, done, cfg.activation)
+    out = _seq_apply(policy_params["mlp"], obs, done, cfg.activation,
+                     backend)
     if discrete:
         logp_all = jax.nn.log_softmax(out, axis=-1)
         logp = jnp.take_along_axis(
@@ -214,7 +219,8 @@ def policy_log_probs_rnn(cfg: PPOConfig, policy_params, obs, action, done,
 # --------------------------------------------------------------------------
 
 def value_phase_rnn(cfg: PPOConfig, ts, traj, target: jax.Array, key,
-                    axis_name: Optional[str], mb_size: int, v_old=None):
+                    axis_name: Optional[str], mb_size: int, v_old=None,
+                    backend: str = "jnp"):
     """n_epochs_value shuffled passes fitting the recurrent V
     (src/ppo.cu:491-510 with sequence minibatches).  ``v_old`` ([T, E]
     rollout-time values) enables PPO2 value clipping (cfg.clip_value)."""
@@ -225,7 +231,7 @@ def value_phase_rnn(cfg: PPOConfig, ts, traj, target: jax.Array, key,
     seqs, n_mb = seq_minibatch_plan(E, T, mb_size)
 
     def loss_fn(v_params, o, d, t, vo=None):
-        v = _seq_apply(v_params, o, d, cfg.activation)[..., 0]
+        v = _seq_apply(v_params, o, d, cfg.activation, backend)[..., 0]
         if vo is not None:
             return losses.clipped_value_loss(v, vo, t, cfg.clip_value)
         return losses.value_loss(v, t)
@@ -252,7 +258,8 @@ def value_phase_rnn(cfg: PPOConfig, ts, traj, target: jax.Array, key,
 
 
 def policy_phase_rnn(cfg: PPOConfig, env: Env, ts, traj, adv: jax.Array, key,
-                     axis_name: Optional[str], mb_size: int):
+                     axis_name: Optional[str], mb_size: int,
+                     backend: str = "jnp"):
     """n_epochs_policy shuffled passes on the clipped surrogate
     (src/ppo.cu:512-533 with sequence minibatches + BPTT)."""
     from ppoc_tpu.algo import ppo as ppo_mod
@@ -263,7 +270,8 @@ def policy_phase_rnn(cfg: PPOConfig, env: Env, ts, traj, adv: jax.Array, key,
     seqs, n_mb = seq_minibatch_plan(E, T, mb_size)
 
     def loss_fn(policy_params, o, a, d, lp_old, ad, ent_c):
-        logp, ent = policy_log_probs_rnn(cfg, policy_params, o, a, d, discrete)
+        logp, ent = policy_log_probs_rnn(cfg, policy_params, o, a, d,
+                                         discrete, backend)
         surrogate = losses.clipped_surrogate_loss(logp, lp_old, ad, cfg.clip_eps)
         return surrogate - ent_c * ent, (ent, jnp.mean(lp_old - logp))
 

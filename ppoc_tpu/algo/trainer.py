@@ -162,9 +162,14 @@ class Trainer:
                     f"attn_dim ({cfg.attn_dim}) must be divisible by "
                     f"attn_heads ({cfg.attn_heads})"
                 )
-            # sequence trunks run the generic XLA path; the dense-MLP
-            # pallas/bf16 kernels don't apply
-            self.backend = "jnp"
+            # sequence trunks run the generic XLA path for everything except
+            # attention's parallel passes: with the pallas backend those use
+            # the flash kernel (ops/pallas_attn.py — score tiles in VMEM,
+            # the long-window path); the dense-MLP pallas/bf16 kernels don't
+            # apply
+            self.backend = ("pallas" if (cfg.attn_dim > 0
+                                         and self.backend == "pallas")
+                            else "jnp")
         if cfg.tp_size > 1 and cfg.pp_size > 1:
             raise ValueError(
                 "tp_size and pp_size cannot both exceed 1: pick tensor OR "

@@ -186,11 +186,15 @@ def apply_seq(
     reset_after: jax.Array,   # [T, ...] bool (see module docstring)
     activation: str,
     with_cache: bool = False,
+    backend: str = "jnp",
 ):
     """Head outputs [T, ..., out] for a whole window, all steps in parallel.
 
     ``with_cache=True`` additionally returns the per-layer key/value tensors
-    (lists of [T, ..., H, hd]) for :func:`decode_next`.
+    (lists of [T, ..., H, hd]) for :func:`decode_next`.  ``backend="pallas"``
+    routes the attention core through the flash kernel
+    (ops/pallas_attn.flash_mha): score tiles stay in VMEM instead of
+    materializing [T, T, ...] planes in HBM — the long-window path.
     """
     attn = params["attn"]
     T = xs.shape[0]
@@ -201,7 +205,17 @@ def apply_seq(
             f"init the trunk with t_max >= the rollout length")
     pos = attn["pos"][:T].reshape((T,) + (1,) * (xs.ndim - 2) + (-1,))
     h = _embed(attn, xs) + pos
-    mask = causal_episode_mask(reset_after)
+    # the flash kernel's lane tile is 128 (ops/pallas_attn.py), so shorter
+    # windows would mostly compute padding — and the materialized-mask XLA
+    # path is measured faster there anyway (chip crossover ~one tile)
+    if backend == "pallas" and T >= 128:
+        from ppoc_tpu.ops.pallas_attn import flash_mha
+
+        ep = episode_ids(reset_after)
+        mha = lambda q, k, v: flash_mha(q, k, v, ep)
+    else:
+        mask = causal_episode_mask(reset_after)
+        mha = lambda q, k, v: _mha(q, k, v, mask)
     ks, vs = [], []
     for blk in attn["blocks"]:
         u = _ln(h, blk["ln1"])
@@ -209,7 +223,7 @@ def apply_seq(
         if with_cache:
             ks.append(k)
             vs.append(v)
-        o = _mha(q, k, v, mask)
+        o = mha(q, k, v)
         h = h + o.reshape(o.shape[:-2] + (-1,)) @ blk["wo"] + blk["bo"]
         h = h + _ff(_ln(h, blk["ln2"]), blk, activation)
     out = mlp.apply(params["head"], _ln(h, attn["lnf"]), activation, "jnp")

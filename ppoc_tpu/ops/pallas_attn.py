@@ -1,0 +1,350 @@
+"""Flash attention for the attention model family (models/attn.py).
+
+The hot op of attention-trunk training is the causal episode-masked
+multi-head attention inside ``attn.apply_seq``: the XLA path materializes
+[T_q, T_k, B, H] score/weight planes in HBM (T=1024, B=16, H=4 in f32 is
+already ~270 MB per layer per direction), so long windows are
+bandwidth-bound.  This kernel computes attention the flash way — tiled over
+query blocks with the online-softmax recurrence, score tiles living only in
+VMEM — with the same masking semantics as models/attn.causal_episode_mask:
+query t attends key s iff s <= t AND both steps carry the same episode id.
+A custom VJP implements the standard flash backward (per-tile score
+recomputation from the forward's row logsumexp), so whole update phases
+BPTT through it.
+
+The reference has no attention (SURVEY §2a); this is the same hand-kernel
+ethos as its fused GAE/loss kernels (src/ppo.cu:109-251) applied to the new
+family's dominant op.  The jnp twin (models/attn._mha) stays the default
+and the correctness oracle, mirroring the reference's
+naive-kernel-beside-cuBLAS pattern.
+
+Layout (the hardware-probed lesson of this kernel): every in-kernel
+``dot_general`` must be MXU-native — A's contraction on LANES, B's on
+SUBLANES — or Mosaic inserts a [128, 128] relayout per loop iteration that
+costs more than the matmul (first cut ran 8-40x SLOWER than XLA that way).
+The wrapper therefore ships each tensor in the orientation(s) its dots
+need: row layout [BH, T, hd] where T is the M/N axis, column layout
+[BH, hd, T] where hd is contracted from the B side.  The lane padding of
+hd (8-64 here) to 128 costs idle MXU columns, not extra passes, and is the
+price of dense sequencing.
+
+Numerics: the online softmax reassociates the reduction, so outputs differ
+from the jnp twin by f32 rounding only (tested <= 1e-5 on CPU); stored
+rollout log-probs are produced by the jnp decode, giving first-epoch PPO
+ratios of 1 ± float noise.
+
+Off-TPU the kernel runs in Pallas interpret mode so the CPU test suite
+exercises the exact lowering.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+# Mosaic's stack allocator books ~24 MB of scoped VMEM at tile=128
+# (conservative per-op buffers, quadratic in the tile), tripping the default
+# 16 MB scoped limit even though the real working set fits v5e VMEM —
+# raise the per-kernel cap (hardware-probed: 32 MB suffices; 64 leaves
+# headroom for the two-loop backward)
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _qpos(tq, tile):
+    """Query positions as a [tile, 1] column."""
+    return tq * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+
+
+def _kpos(kt, tile):
+    """Key positions as a [1, tile] row."""
+    return kt * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(scale: float, t_real: int, tile: int,
+                q_ref, kc_ref, v_ref, epc_ref, epl_ref, out_ref, lse_ref):
+    """One (batch*head, query-tile) cell: online softmax over key tiles.
+
+    Blocks: q/out [1, TILE, hd] (row); kc [1, hd, T] (column);
+    v [1, T, hd] (row); epc [1, TILE, 1]; epl [1, 1, T];
+    lse out [1, TILE, 1].
+    """
+    tq = pl.program_id(1)
+    q = q_ref[0]                       # [TQ, hd]
+    epq = epc_ref[0]                   # [TQ, 1]
+    qpos = _qpos(tq, tile)
+    hd = q.shape[-1]
+
+    def body(kt, carry):
+        acc, m, l = carry
+        kc = kc_ref[0, :, pl.ds(kt * tile, tile)]     # [hd, TK]
+        v = v_ref[0, pl.ds(kt * tile, tile), :]       # [TK, hd]
+        epk = epl_ref[0, :, pl.ds(kt * tile, tile)]   # [1, TK]
+        kpos = _kpos(kt, tile)
+        s = jax.lax.dot_general(                       # [TQ, TK], MXU-native
+            q, kc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        valid = ((kpos <= qpos) & (epk == epq)
+                 & (kpos < t_real) & (qpos < t_real))
+        s = jnp.where(valid, s, NEG)
+        m2 = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))   # [TQ, 1]
+        # explicit zeroing of invalid lanes: exp(NEG - m2) underflows to 0
+        # whenever any valid key was seen, but an all-invalid row would give
+        # exp(NEG - NEG) = 1 — the classic flash masking trap
+        p = jnp.where(valid, jnp.exp(s - m2), 0.0)
+        alpha = jnp.exp(m - m2)
+        l2 = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc2 = acc * alpha + jax.lax.dot_general(      # [TQ, hd], MXU-native
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc2, m2, l2
+
+    acc0 = jnp.zeros((tile, hd), jnp.float32)
+    m0 = jnp.full((tile, 1), NEG, jnp.float32)
+    l0 = jnp.zeros((tile, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, tq + 1, body, (acc0, m0, l0))
+    l_safe = jnp.where(l == 0.0, 1.0, l)   # padded rows only
+    out_ref[0] = acc / l_safe
+    lse_ref[0] = m + jnp.log(l_safe)
+
+
+def _specs(T, hd, tile):
+    row_t = pl.BlockSpec((1, tile, hd), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM)
+    row_full = pl.BlockSpec((1, T, hd), lambda bh, t: (bh, 0, 0),
+                            memory_space=pltpu.VMEM)
+    col_full = pl.BlockSpec((1, hd, T), lambda bh, t: (bh, 0, 0),
+                            memory_space=pltpu.VMEM)
+    col_t = pl.BlockSpec((1, tile, 1), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM)
+    lane_full = pl.BlockSpec((1, 1, T), lambda bh, t: (bh, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return row_t, row_full, col_full, col_t, lane_full
+
+
+def _fwd(q, kc, v, epc, epl, scale: float, t_real: int, tile: int):
+    BH, T, hd = q.shape
+    row_t, row_full, col_full, col_t, lane_full = _specs(T, hd, tile)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale, t_real, tile),
+        grid=(BH, T // tile),
+        in_specs=[row_t, col_full, row_full, col_t, lane_full],
+        out_specs=[row_t, col_t],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, T, hd), jnp.float32),
+            jax.ShapeDtypeStruct((BH, T, 1), jnp.float32),
+        ],
+        compiler_params=_PARAMS,
+        interpret=_interpret(),
+    )(q, kc, v, epc, epl)
+    return out, lse
+
+
+# --------------------------------------------------------------------------
+# backward
+# --------------------------------------------------------------------------
+
+def _bwd_dq_kernel(scale: float, t_real: int, tile: int,
+                   q_ref, kr_ref, kc_ref, vc_ref, epc_ref, epl_ref,
+                   do_ref, dsum_ref, lse_ref, dq_ref):
+    """dq for one query tile.  Blocks: q/do/dq [1, TILE, hd] (row);
+    kr [1, T, hd]; kc/vc [1, hd, T]; dsum/lse/epc [1, TILE, 1];
+    epl [1, 1, T]."""
+    tq = pl.program_id(1)
+    q = q_ref[0]
+    do = do_ref[0]
+    dsum = dsum_ref[0]        # [TQ, 1] rowsum(dout * out)
+    lse = lse_ref[0]          # [TQ, 1]
+    epq = epc_ref[0]
+    qpos = _qpos(tq, tile)
+    hd = q.shape[-1]
+
+    def body(kt, dq):
+        kc = kc_ref[0, :, pl.ds(kt * tile, tile)]     # [hd, TK]
+        kr = kr_ref[0, pl.ds(kt * tile, tile), :]     # [TK, hd]
+        vc = vc_ref[0, :, pl.ds(kt * tile, tile)]     # [hd, TK]
+        epk = epl_ref[0, :, pl.ds(kt * tile, tile)]   # [1, TK]
+        kpos = _kpos(kt, tile)
+        s = jax.lax.dot_general(
+            q, kc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        valid = ((kpos <= qpos) & (epk == epq)
+                 & (kpos < t_real) & (qpos < t_real))
+        w = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(                      # [TQ, TK]
+            do, vc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = w * (dp - dsum) * scale
+        return dq + jax.lax.dot_general(               # [TQ, hd]
+            ds, kr, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq_ref[0] = jax.lax.fori_loop(
+        0, tq + 1, body, jnp.zeros((tile, hd), jnp.float32))
+
+
+def _bwd_dkv_kernel(scale: float, t_real: int, tile: int, n_tiles: int,
+                    qr_ref, qc_ref, kr_ref, vr_ref, epc_ref, epl_ref,
+                    dor_ref, doc_ref, dsum_ref, lse_ref, dk_ref, dv_ref):
+    """dk/dv for one key tile, computed in transposed score space so every
+    dot stays MXU-native.  Blocks: kr/vr/dk/dv [1, TILE, hd] (row, key
+    tile); qr/dor [1, T, hd]; qc/doc [1, hd, T]; epc [1, TILE, 1] (key);
+    epl/dsum/lse [1, 1, T] (lane-oriented, query side)."""
+    kt = pl.program_id(1)
+    kr = kr_ref[0]                     # [TK, hd]
+    vr = vr_ref[0]
+    epk = epc_ref[0]                   # [TK, 1]
+    kpos = _qpos(kt, tile)             # key positions as a column here
+    hd = kr.shape[-1]
+
+    def body(tq, carry):
+        dk, dv = carry
+        qc = qc_ref[0, :, pl.ds(tq * tile, tile)]      # [hd, TQ]
+        qr = qr_ref[0, pl.ds(tq * tile, tile), :]      # [TQ, hd]
+        doc = doc_ref[0, :, pl.ds(tq * tile, tile)]    # [hd, TQ]
+        dor = dor_ref[0, pl.ds(tq * tile, tile), :]    # [TQ, hd]
+        dsum = dsum_ref[0, :, pl.ds(tq * tile, tile)]  # [1, TQ]
+        lse = lse_ref[0, :, pl.ds(tq * tile, tile)]    # [1, TQ]
+        epq = epl_ref[0, :, pl.ds(tq * tile, tile)]    # [1, TQ]
+        qpos = _kpos(tq, tile)         # query positions as a row here
+        st = jax.lax.dot_general(                      # [TK, TQ]
+            kr, qc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        valid = ((kpos <= qpos) & (epk == epq)
+                 & (kpos < t_real) & (qpos < t_real))
+        wt = jnp.where(valid, jnp.exp(st - lse), 0.0)
+        dpt = jax.lax.dot_general(                     # [TK, TQ]
+            vr, doc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dst = wt * (dpt - dsum) * scale
+        dk2 = dk + jax.lax.dot_general(                # [TK, hd]
+            dst, qr, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv2 = dv + jax.lax.dot_general(                # [TK, hd]
+            wt, dor, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk2, dv2
+
+    # only query tiles at/after this key tile can attend it (causal)
+    dk, dv = jax.lax.fori_loop(
+        kt, n_tiles, body,
+        (jnp.zeros((tile, hd), jnp.float32),
+         jnp.zeros((tile, hd), jnp.float32)))
+    dk_ref[0] = dk
+    dv_ref[0] = dv
+
+
+def _col(x):
+    """[BH, T, hd] row layout -> [BH, hd, T] column layout."""
+    return jnp.swapaxes(x, 1, 2)
+
+
+def _bwd(res, g):
+    q, kc, v, epc, epl, out, lse, scale, t_real, tile = res
+    BH, T, hd = q.shape
+    n_tiles = T // tile
+    dsum = jnp.sum(g * out, axis=-1, keepdims=True)   # [BH, T, 1]
+    kr = _col(kc)                                     # [BH, T, hd]
+    row_t, row_full, col_full, col_t, lane_full = _specs(T, hd, tile)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale, t_real, tile),
+        grid=(BH, n_tiles),
+        in_specs=[row_t, row_full, col_full, col_full, col_t, lane_full,
+                  row_t, col_t, col_t],
+        out_specs=row_t,
+        out_shape=jax.ShapeDtypeStruct((BH, T, hd), jnp.float32),
+        compiler_params=_PARAMS,
+        interpret=_interpret(),
+    )(q, kr, kc, _col(v), epc, epl, g, dsum, lse)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale, t_real, tile, n_tiles),
+        grid=(BH, n_tiles),
+        in_specs=[row_full, col_full, row_t, row_t, col_t, lane_full,
+                  row_full, col_full, lane_full, lane_full],
+        out_specs=[row_t, row_t],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, T, hd), jnp.float32),
+            jax.ShapeDtypeStruct((BH, T, hd), jnp.float32),
+        ],
+        compiler_params=_PARAMS,
+        interpret=_interpret(),
+    )(q, _col(q), kr, v, epc, epl, g, _col(g),
+      _col(dsum), _col(lse))
+    # kc's gradient must come back in its (column) primal layout
+    return dq, _col(dk), dv, None, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash(q, kc, v, epc, epl, scale, t_real, tile):
+    return _fwd(q, kc, v, epc, epl, scale, t_real, tile)[0]
+
+
+def _flash_fwd(q, kc, v, epc, epl, scale, t_real, tile):
+    out, lse = _fwd(q, kc, v, epc, epl, scale, t_real, tile)
+    return out, (q, kc, v, epc, epl, out, lse, scale, t_real, tile)
+
+
+def _flash_bwd(scale, t_real, tile, res, g):
+    return _bwd(res, g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+# --------------------------------------------------------------------------
+# public entry
+# --------------------------------------------------------------------------
+
+def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
+              ep: jax.Array) -> jax.Array:
+    """Causal episode-masked multi-head attention, flash-tiled.
+
+    ``q``/``k``/``v``: [T, ..., H, hd] (any batch dims); ``ep``: [T, ...]
+    int32 episode ids (models/attn.episode_ids).  Exactly _mha's semantics:
+    query t attends key s iff s <= t and ep[s] == ep[t].  Returns
+    [T, ..., H, hd].
+    """
+    T = q.shape[0]
+    H, hd = q.shape[-2], q.shape[-1]
+    batch = q.shape[1:-2]
+    B = math.prod(batch) if batch else 1
+    scale = 1.0 / math.sqrt(hd)
+
+    # lane tiles are always 128: Mosaic requires dynamic lane-dim slice
+    # offsets (kt * tile inside the key loops) to be provable multiples of
+    # 128, so smaller windows pad up rather than shrink the tile
+    tile = 128
+    Tp = _round_up(T, tile)
+
+    def fold(x):  # [T, ..., H, hd] -> [B*H, Tp, hd] row layout
+        x = x.reshape(T, B, H, hd).transpose(1, 2, 0, 3).reshape(B * H, T, hd)
+        return jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+
+    ep_b = ep.reshape(T, B).T                            # [B, T]
+    ep_bh = jnp.repeat(ep_b[:, None, :], H, axis=1).reshape(B * H, T)
+    ep_bh = jnp.pad(ep_bh, ((0, 0), (0, Tp - T)), constant_values=-1)
+    epc = ep_bh[..., None]          # [BH, Tp, 1] column orientation
+    epl = ep_bh[:, None, :]         # [BH, 1, Tp] lane orientation
+
+    out = _flash(fold(q), _col(fold(k)), fold(v), epc, epl, scale, T, tile)
+    out = out[:, :T].reshape(B, H, T, hd).transpose(2, 0, 1, 3)
+    return out.reshape((T,) + batch + (H, hd))

@@ -1,0 +1,115 @@
+"""Flash-attention kernel (ops/pallas_attn.py) vs the jnp twin.
+
+Mirrors the reference's naive-kernel-beside-cuBLAS duality
+(src/mat_mul.cu:83-120): models/attn._mha + causal_episode_mask is the
+oracle; the flash kernel must reproduce its forward AND its gradients (the
+custom VJP) to float tolerance, across ragged window lengths (tile-size
+padding paths) and episode-mask patterns.  On CPU the kernel runs in
+Pallas interpret mode — the exact lowering the chip executes.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppoc_tpu.models import attn
+from ppoc_tpu.ops import pallas_attn
+
+
+def _case(T, B, H, hd, p_done, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed + T), 4)
+    q = jax.random.normal(ks[0], (T, B, H, hd))
+    k = jax.random.normal(ks[1], (T, B, H, hd))
+    v = jax.random.normal(ks[2], (T, B, H, hd))
+    done = jax.random.bernoulli(ks[3], p_done, (T, B))
+    return q, k, v, done
+
+
+@pytest.mark.parametrize("T,B,H,hd,p_done", [
+    (12, 3, 2, 8, 0.25),    # shorter than one tile, heavy masking
+    (50, 2, 1, 16, 0.1),    # odd length -> padded tile
+    (130, 2, 2, 8, 0.05),   # crosses the 128 tile boundary
+    (256, 2, 2, 16, 0.3),   # exactly two tiles, many episodes
+])
+def test_forward_matches_jnp_twin(T, B, H, hd, p_done):
+    q, k, v, done = _case(T, B, H, hd, p_done)
+    ep = attn.episode_ids(done)
+    mask = attn.causal_episode_mask(done)
+    ref = attn._mha(q, k, v, mask)
+    got = pallas_attn.flash_mha(q, k, v, ep)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("T,B,H,hd,p_done", [
+    (12, 3, 2, 8, 0.25),
+    (130, 2, 2, 8, 0.05),
+])
+def test_gradients_match_jnp_twin(T, B, H, hd, p_done):
+    """The custom VJP (flash backward: per-tile recomputation from the row
+    logsumexp) against autodiff through the materialized-mask twin."""
+    q, k, v, done = _case(T, B, H, hd, p_done)
+    ep = attn.episode_ids(done)
+    mask = attn.causal_episode_mask(done)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(attn._mha(q, k, v, mask)))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(pallas_attn.flash_mha(q, k, v, ep)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
+def test_apply_seq_backend_pallas_matches_jnp():
+    """The integration point: apply_seq(backend='pallas') equals the jnp
+    path for outputs and parameter gradients."""
+    T, E = 40, 4
+    p = attn.init(jax.random.PRNGKey(0), 3, 16, 2, 2, 32, T, (16, 8, 2))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (T, E, 3))
+    done = jax.random.bernoulli(jax.random.PRNGKey(2), 0.15, (T, E))
+
+    out_j = attn.apply_seq(p, xs, done, "relu", backend="jnp")
+    out_f = attn.apply_seq(p, xs, done, "relu", backend="pallas")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_j),
+                               atol=1e-5)
+
+    def loss(p, backend):
+        return jnp.sum(jnp.square(
+            attn.apply_seq(p, xs, done, "relu", backend=backend)))
+
+    gj = jax.grad(lambda p: loss(p, "jnp"))(p)
+    gf = jax.grad(lambda p: loss(p, "pallas"))(p)
+    for a, b in zip(jax.tree.leaves(gj), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_trainer_pallas_backend_learns_recall():
+    """End-to-end: an attention trainer on the flash path solves the recall
+    differentiator exactly like the jnp path (tests/test_attn.py)."""
+    from ppoc_tpu import PPOConfig
+    from ppoc_tpu.algo.trainer import Trainer
+
+    cfg = PPOConfig(env="recall", n_envs=128, rollout_len=6,
+                    minibatch_size=192, fits_per_epoch=8, eval_envs=256,
+                    eval_len=6, hidden=(32,), seed=0, lr_policy=1e-3,
+                    lr_v=1e-3, attn_dim=16, attn_layers=1, attn_heads=2,
+                    kernel_backend="pallas")
+    tr = Trainer(cfg)
+    assert tr.backend == "pallas"
+    hist = tr.train(n_epochs=5, log=False)
+    assert hist[-1]["R"] > 0.9, hist[-1]["R"]
+
+
+def test_fully_masked_rows_are_finite():
+    """Every query attends at least itself in real traces, but padded tiles
+    produce all-invalid rows — they must come back 0, never NaN (the
+    exp(NEG-NEG)=1 trap)."""
+    T, B, H, hd = 9, 2, 1, 8   # pads to a 16-row tile: 7 dead rows
+    q, k, v, done = _case(T, B, H, hd, 0.5)
+    ep = attn.episode_ids(done)
+    out = pallas_attn.flash_mha(q, k, v, ep)
+    assert np.isfinite(np.asarray(out)).all()
