@@ -42,25 +42,44 @@ def _reset(key: jax.Array):
     return st, _obs(st)
 
 
-def _step(st: RecallState, action: jax.Array, key: jax.Array):
-    del key
-    t = st.t + 1
-    last = t >= HORIZON
-    reward = jnp.where(
-        jnp.logical_and(last, st.b * action[0] > 0.0), 1.0, 0.0)
-    st2 = RecallState(st.b, t)
-    return st2, _obs(st2), reward, last, jnp.zeros((), bool)
+def _make_step(horizon: int):
+    def _step(st: RecallState, action: jax.Array, key: jax.Array):
+        del key
+        t = st.t + 1
+        last = t >= horizon
+        reward = jnp.where(
+            jnp.logical_and(last, st.b * action[0] > 0.0), 1.0, 0.0)
+        st2 = RecallState(st.b, t)
+        return st2, _obs(st2), reward, last, jnp.zeros((), bool)
+
+    return _step
 
 
-@register("recall")
-def make_recall() -> Env:
+_step = _make_step(HORIZON)
+
+
+def _make_recall(name: str, horizon: int) -> Env:
     spec = EnvSpec(
-        name="recall",
+        name=name,
         obs_dim=2,
         action_dim=1,
-        horizon=HORIZON,
+        horizon=horizon,
         gamma=0.99,
         action_low=-1.0,
         action_high=1.0,
     )
-    return Env(spec=spec, reset=_reset, step=_step)
+    return Env(spec=spec, reset=_reset, step=_make_step(horizon))
+
+
+@register("recall")
+def make_recall() -> Env:
+    return _make_recall("recall", HORIZON)
+
+
+@register("recall_long")
+def make_recall_long() -> Env:
+    """512-step recall: the LONG-CONTEXT differentiator.  The cue is 511
+    steps in the past at answer time — a one-hop attention lookup over the
+    window (the flash-kernel regime, ops/pallas_attn.py) but a 511-step
+    carry for a recurrent cell's BPTT."""
+    return _make_recall("recall_long", 512)

@@ -60,6 +60,10 @@ AttnParams = Dict[str, object]
 NEG_INF = -1e9  # large-negative mask value: exp() underflows to exactly 0 in
                 # f32, and (unlike -inf) keeps softmax gradients NaN-free
 
+FLASH_MIN_T = 1024  # chip-measured crossover: the flash kernel wins from
+                    # ~1024-step windows up (ops/pallas_attn.py); below, the
+                    # materialized-mask XLA path is faster
+
 
 def is_attn(params) -> bool:
     """Structural test: does this trunk pytree hold an attention encoder?"""
@@ -205,10 +209,7 @@ def apply_seq(
             f"init the trunk with t_max >= the rollout length")
     pos = attn["pos"][:T].reshape((T,) + (1,) * (xs.ndim - 2) + (-1,))
     h = _embed(attn, xs) + pos
-    # the flash kernel's lane tile is 128 (ops/pallas_attn.py), so shorter
-    # windows would mostly compute padding — and the materialized-mask XLA
-    # path is measured faster there anyway (chip crossover ~one tile)
-    if backend == "pallas" and T >= 128:
+    if backend == "pallas" and T >= FLASH_MIN_T:
         from ppoc_tpu.ops.pallas_attn import flash_mha
 
         ep = episode_ids(reset_after)
