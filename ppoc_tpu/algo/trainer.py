@@ -103,7 +103,7 @@ class Trainer:
     def __init__(self, cfg: PPOConfig, mesh: Optional[Mesh] = None):
         self.cfg = cfg
         self.mesh = mesh
-        self.env = envs.make(cfg.env)
+        self.env = envs.make_for(cfg)
         self.backend = resolve_backend(cfg.kernel_backend)
         self.key = jax.random.PRNGKey(cfg.seed)
         if cfg.num_minibatches < 1:

@@ -137,6 +137,12 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument(arg, type=int, default=None)
         elif isinstance(f.default, float):
             p.add_argument(arg, type=float, default=None)
+        elif isinstance(f.default, tuple):
+            # float-tuple fields (obs_loc/obs_scale): comma-separated
+            p.add_argument(arg,
+                           type=lambda s: tuple(float(x)
+                                                for x in s.split(",")),
+                           default=None, metavar="F[,F...]")
         else:
             p.add_argument(arg, type=str, default=None)
     return p

@@ -138,6 +138,14 @@ class PPOConfig:
                                   # Requires a multi-device mesh; cannot
                                   # combine with tp/pp/ep (those pack
                                   # optimizer state along the model axis)
+    obs_loc: Tuple[float, ...] = ()    # static observation normalization:
+    obs_scale: Tuple[float, ...] = ()  # the trainer/sweep/serving env maps
+                                  # obs -> (obs - loc) / scale when set
+                                  # (envs/wrappers.affine_obs).  Carried in
+                                  # the config so checkpoints, sweep lanes
+                                  # and served policies replay it exactly;
+                                  # fill with envs.wrappers.calibrate(cfg)
+                                  # (random-policy measurement)
     norm_adv_global: bool = True  # normalize advantages over the whole buffer
                                   # (reference: src/ppo.cu:355-368)
     reset_per_fit: bool = True    # reference resets env at every collection

@@ -16,10 +16,32 @@ from . import reacher as _reacher    # noqa: F401  (registers "reacher")
 from . import wrappers as _wrappers  # noqa: F401  (registers "mountain_car_norm", "pendulum_po")
 from . import recall as _recall      # noqa: F401  (registers "recall")
 
+
+def make_for(cfg) -> Env:
+    """Build the env a config describes: the registry env, wrapped in the
+    config-carried affine observation normalization when ``cfg.obs_loc`` is
+    set (envs/wrappers.affine_obs — usually from wrappers.calibrate).  The
+    single construction point for Trainer, sweeps and serving, so the
+    normalization can never apply in one consumer and not another."""
+    env = make(cfg.env)
+    loc = getattr(cfg, "obs_loc", ())
+    if loc:
+        from .wrappers import affine_obs
+
+        scale = cfg.obs_scale
+        if len(loc) != env.spec.obs_dim or len(scale) != len(loc):
+            raise ValueError(
+                f"obs_loc/obs_scale must have length obs_dim "
+                f"({env.spec.obs_dim}), got {len(loc)}/{len(scale)}")
+        env = affine_obs(env, loc, scale)
+    return env
+
+
 __all__ = [
     "Env",
     "EnvSpec",
     "make",
+    "make_for",
     "register",
     "registry",
     "vector_reset",

@@ -296,6 +296,12 @@ class HostTrainer:
                 "zero1 is not supported on the host bridge: its learner "
                 "runs single-device (no mesh to shard optimizer state over)"
             )
+        if getattr(cfg, "obs_loc", ()):
+            raise ValueError(
+                "obs_loc/obs_scale apply to on-device envs "
+                "(envs.make_for); host-bridge envs use the running "
+                "normalization wrappers (obs_norm=True)"
+            )
         if cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
             raise ValueError(
                 "rnn_hidden/attn_dim > 0 (sequence trunks) is not supported "

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,6 +62,94 @@ def normalize_obs(env: Env, low, high, name: str = None) -> Env:
         action_high=env.spec.action_high,
     )
     return Env(spec=spec, reset=reset, step=step)
+
+
+def affine_obs(env: Env, loc, scale, name: str = None) -> Env:
+    """Normalize observations as ``(obs - loc) / scale`` per dimension.
+
+    The config-carried form of static observation normalization
+    (PPOConfig.obs_loc / obs_scale): the statistics ride in the config — so
+    they replay bit-exactly through checkpoints, sweeps and serving — and
+    usually come from :func:`calibrate` (a random-policy measurement run).
+    Physics, rewards and episode structure are untouched.
+
+    The wrapped spec name gains an ``#affine`` suffix so the whole-rollout
+    Pallas kernels (ops/pallas_rollout.py, keyed by env name) correctly
+    fall back to the generic scan instead of emitting the BASE env's raw
+    observations.
+    """
+    loc = jnp.asarray(loc, jnp.float32)
+    scale = jnp.asarray(scale, jnp.float32)
+
+    def norm(obs):
+        return (obs - loc) / scale
+
+    def reset(key):
+        state, obs = env.reset(key)
+        return state, norm(obs)
+
+    def step(state, action, key):
+        state2, obs, reward, term, trunc = env.step(state, action, key)
+        return state2, norm(obs), reward, term, trunc
+
+    spec = EnvSpec(
+        name=name or env.spec.name + "#affine",
+        obs_dim=env.spec.obs_dim,
+        action_dim=env.spec.action_dim,
+        horizon=env.spec.horizon,
+        gamma=env.spec.gamma,
+        discrete=env.spec.discrete,
+        action_low=env.spec.action_low,
+        action_high=env.spec.action_high,
+    )
+    return Env(spec=spec, reset=reset, step=step)
+
+
+def calibrate(cfg, n_envs: int = 64, n_steps: int = 200, seed: int = 0):
+    """Measure observation statistics with a random policy and return a
+    config whose ``obs_loc`` / ``obs_scale`` normalize them.
+
+    The device-native route to observation normalization for on-device
+    envs: run ``n_envs`` x ``n_steps`` uniform-random-action steps of the
+    BASE env, take per-dimension mean/std, and bake them into the config —
+    a generic version of the hand-derived ``mountain_car_norm`` recipe
+    (docs/RESULTS.md).  Pure measurement: the training run itself stays
+    bit-replayable because the statistics are constants in the config.
+    """
+    from . import make
+    from .core import vector_autoreset_step, vector_reset
+
+    env = make(cfg.env)
+    spec = env.spec
+    key = jax.random.PRNGKey(seed)
+    k_reset, k_scan = jax.random.split(key)
+    state, obs = vector_reset(env, k_reset, n_envs)
+
+    def step_fn(carry, key_t):
+        state, obs = carry
+        k_act, k_env = jax.random.split(key_t)
+        if spec.discrete:
+            action = jax.random.randint(
+                k_act, (n_envs, 1), 0, spec.action_dim)
+        else:
+            action = jax.random.uniform(
+                k_act, (n_envs, spec.action_dim), jnp.float32,
+                spec.action_low, spec.action_high)
+        state2, obs2, _, _, _, _ = vector_autoreset_step(
+            env, state, action, k_env)
+        return (state2, obs2), obs
+
+    @jax.jit
+    def run():
+        _, all_obs = jax.lax.scan(
+            step_fn, (state, obs), jax.random.split(k_scan, n_steps))
+        flat = all_obs.reshape(-1, spec.obs_dim)
+        return jnp.mean(flat, axis=0), jnp.std(flat, axis=0)
+
+    mean, std = jax.device_get(run())
+    std = np.maximum(np.asarray(std), 1e-6)
+    return cfg.replace(obs_loc=tuple(float(x) for x in mean),
+                       obs_scale=tuple(float(x) for x in std))
 
 
 def mask_obs(env: Env, keep, name: Optional[str] = None) -> Env:

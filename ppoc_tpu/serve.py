@@ -90,9 +90,15 @@ def load_policy(path: str, deterministic: bool = True,
     key_holder = {"key": jax.random.PRNGKey(seed)}
 
     # a policy trained under RunningObsNorm (envs/wrappers.py) expects
-    # normalized inputs; HostTrainer.save writes the statistics as a sidecar
-    norm = None
+    # normalized inputs; HostTrainer.save writes the statistics as a sidecar.
+    # Config-carried affine normalization (cfg.obs_loc/obs_scale, the
+    # on-device-env form) replays from the checkpoint's config directly.
+    norm = _affine_norm(cfg)
     import os
+    if norm is not None and os.path.exists(path + ".obsnorm.npz"):
+        raise ValueError(
+            f"{path} carries BOTH config obs_loc/obs_scale and an "
+            f".obsnorm.npz sidecar; ambiguous normalization")
     if os.path.exists(path + ".obsnorm.npz"):
         import numpy as np
 
@@ -150,6 +156,22 @@ def load_policy(path: str, deterministic: bool = True,
     return act
 
 
+def _affine_norm(cfg):
+    """obs -> (obs - loc) / scale closure from the config, or None.
+
+    The serving twin of envs.make_for's affine_obs wrapper — a policy
+    trained on normalized observations must see normalized ones here too.
+    """
+    loc = getattr(cfg, "obs_loc", ())
+    if not loc:
+        return None
+    import numpy as np
+
+    loc_a = np.asarray(loc, np.float32)
+    scale_a = np.asarray(cfg.obs_scale, np.float32)
+    return lambda o: (np.asarray(o, np.float32) - loc_a) / scale_a
+
+
 def load_recurrent_policy(path: str, deterministic: bool = True,
                           seed: int = 0):
     """Load a GRU-trunk checkpoint (models/gru.py) and return a stateful
@@ -175,6 +197,7 @@ def load_recurrent_policy(path: str, deterministic: bool = True,
             f"{path} holds a feedforward policy; use serve.load_policy")
     discrete = ck.dims["discrete"]
     key_holder = {"key": jax.random.PRNGKey(seed)}
+    norm = _affine_norm(cfg)
 
     @jax.jit
     def _step(obs, h, key):
@@ -184,6 +207,8 @@ def load_recurrent_policy(path: str, deterministic: bool = True,
         return action, h2
 
     def act(obs, h, key: Optional[jax.Array] = None):
+        if norm is not None:
+            obs = norm(obs)
         obs = jnp.asarray(obs, jnp.float32)
         single = obs.ndim == 1
         if single:
@@ -235,6 +260,7 @@ def load_attention_policy(path: str, deterministic: bool = True,
             f"(feedforward/MoE) or serve.load_recurrent_policy (GRU/LSTM)")
     discrete = ck.dims["discrete"]
     key_holder = {"key": jax.random.PRNGKey(seed)}
+    norm = _affine_norm(cfg)
 
     @jax.jit
     def _step(obs, cache, key):
@@ -244,6 +270,8 @@ def load_attention_policy(path: str, deterministic: bool = True,
         return action, cache2
 
     def act(obs, cache, key: Optional[jax.Array] = None):
+        if norm is not None:
+            obs = norm(obs)
         obs = jnp.asarray(obs, jnp.float32)
         single = obs.ndim == 1
         if single:

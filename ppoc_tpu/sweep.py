@@ -177,7 +177,7 @@ def solve_many(cfg: PPOConfig, seeds: Sequence[int], target_R: float,
     Returns {"epochs": [S], "R": [S], "states": stacked TrainState}.
     """
     _validate(cfg, seeds)
-    env = envs.make(cfg.env)
+    env = envs.make_for(cfg)
     backend = _backend(cfg)
     states, k_run = _init_states(cfg, env, seeds)
 
@@ -204,7 +204,7 @@ def train_many(cfg: PPOConfig, seeds: Sequence[int],
     """
     n_epochs = cfg.n_epochs if n_epochs is None else n_epochs
     _validate(cfg, seeds)
-    env = envs.make(cfg.env)
+    env = envs.make_for(cfg)
     backend = _backend(cfg)
     states, k_run = _init_states(cfg, env, seeds)
 
@@ -250,7 +250,7 @@ def solve_grid(cfg: PPOConfig, axes: Dict[str, Sequence[float]],
     """
     _validate(cfg, seeds)
     names, hp, seed_list, combos = _expand_grid(axes, seeds)
-    env = envs.make(cfg.env)
+    env = envs.make_for(cfg)
     backend = _backend(cfg)
     states, k_run = _init_states(cfg, env, seed_list, hp)
 
@@ -283,7 +283,7 @@ def train_grid(cfg: PPOConfig, axes: Dict[str, Sequence[float]],
     n_epochs = cfg.n_epochs if n_epochs is None else n_epochs
     _validate(cfg, seeds)
     names, hp, seed_list, combos = _expand_grid(axes, seeds)
-    env = envs.make(cfg.env)
+    env = envs.make_for(cfg)
     backend = _backend(cfg)
     states, k_run = _init_states(cfg, env, seed_list, hp)
 

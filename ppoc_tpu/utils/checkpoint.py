@@ -444,7 +444,9 @@ def _load_stream(f, template=None) -> Checkpoint:
 
         blob = f.read(_r(f, "i"))
         d = json.loads(blob.decode("utf-8"))
-        d["hidden"] = tuple(d["hidden"])
+        for tup_field in ("hidden", "obs_loc", "obs_scale"):
+            if tup_field in d:
+                d[tup_field] = tuple(d[tup_field])
         meta = d.pop("_meta", {})
         cfg = PPOConfig(**d)
         nk = _r(f, "i")
