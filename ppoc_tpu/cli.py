@@ -115,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "transports); 'device': batched device sampling")
     p.add_argument("--vector-mode", choices=["sync", "async"], default="sync",
                    help="gym:* envs only — gymnasium.vector stepping mode")
+    p.add_argument("--calibrate", action="store_true",
+                   help="on-device envs only — measure observation "
+                        "statistics with a random policy before training "
+                        "and bake them into obs_loc/obs_scale "
+                        "(envs.wrappers.calibrate); the config-carried "
+                        "static normalization")
     p.add_argument("--obs-norm", action="store_true",
                    help="gym:* envs only — running observation normalization "
                         "(envs/wrappers.RunningObsNorm); statistics are "
@@ -243,6 +249,22 @@ def main(argv=None) -> int:
 
     from ppoc_tpu.algo.trainer import Trainer  # deferred: imports jax
 
+    if args.calibrate:
+        if cfg.env.startswith("gym:") or args.resume or args.import_ref:
+            parser.error("--calibrate applies to fresh on-device-env runs "
+                         "(gym:* envs use --obs-norm; --resume/--import-ref "
+                         "carry their own config)")
+        if cfg.obs_loc:
+            parser.error("--calibrate would overwrite the explicit "
+                         "--obs-loc/--obs-scale values; pass one or the "
+                         "other")
+        from ppoc_tpu.envs.wrappers import calibrate as _calibrate
+
+        cfg = _calibrate(cfg)
+        print(f"calibrated obs_loc={tuple(round(x, 4) for x in cfg.obs_loc)} "
+              f"obs_scale={tuple(round(x, 4) for x in cfg.obs_scale)}",
+              file=sys.stderr)
+
     if args.sweep or args.grid:
         if args.sweep and args.sweep < 1:
             parser.error(f"--sweep needs a positive seed count, got "
@@ -348,8 +370,8 @@ def main(argv=None) -> int:
             trainer.load(args.load)
     elif args.obs_norm or args.reward_norm:
         parser.error("--obs-norm/--reward-norm apply to gym:* host-bridge "
-                     "envs; on-device envs use the static wrappers "
-                     "(e.g. mountain_car_norm)")
+                     "envs; on-device envs use --calibrate (config-carried "
+                     "static normalization)")
     elif args.import_ref:
         if args.load or args.resume:
             parser.error("--import-ref replaces --load/--resume")

@@ -32,6 +32,14 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     if env is not None and env.lower() in ("0", "off", "none", ""):
         return None
     path = path or env or DEFAULT_DIR
+    # partition by platform WITHOUT initializing a backend (this runs
+    # before jax.distributed in the CLI): XLA:CPU AOT entries bake host
+    # machine features into the executable but not the cache key, so a
+    # TPU-session entry loaded by a CPU child (or vice versa) warns about
+    # SIGILL-capable feature mismatches
+    plat = (os.environ.get("PPOC_PLATFORM")
+            or os.environ.get("JAX_PLATFORMS") or "default")
+    path = os.path.join(path, plat.split(",")[0] or "default")
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

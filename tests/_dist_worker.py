@@ -71,6 +71,31 @@ def main() -> int:
         jax.distributed.shutdown()
         return 0
 
+    if mode == "zero1":
+        # ZeRO-1 across PROCESSES: each rank's flat Adam moment slices live
+        # on its own host's devices; the update's psum-gather of parameter
+        # slices crosses DCN (ops/adam.update_zero1)
+        from ppoc_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(coord, n_proc, pid)
+
+        from ppoc_tpu import PPOConfig
+        from ppoc_tpu.algo.trainer import Trainer
+        from ppoc_tpu.parallel import make_mesh
+        n_dev = len(jax.devices())
+        assert n_dev == 4 * n_proc, f"expected {4 * n_proc} devices, got {n_dev}"
+        cfg = PPOConfig(env="simple", n_envs=2 * n_dev, rollout_len=15,
+                        minibatch_size=2 * n_dev, fits_per_epoch=2,
+                        eval_envs=2 * n_dev, eval_len=15,
+                        hidden=(16, 16), kernel_backend="jnp", zero1=True)
+        tr = Trainer(cfg, mesh=make_mesh())
+        hist = tr.train(n_epochs=2, log=False)
+        r = hist[-1]["R"]
+        v = hist[-1]["value_loss"]
+        print(f"RESULT pid={pid} R={r:.6f} value_loss={v:.6f}", flush=True)
+        jax.distributed.shutdown()
+        return 0
+
     if mode == "ep":
         # expert parallelism across PROCESSES: the MoE trunk's experts
         # shard over an 'ep' mesh axis that spans both hosts' devices

@@ -89,6 +89,17 @@ def test_two_process_expert_parallel():
     assert vs[0] == pytest.approx(vs[1], rel=1e-6)
 
 
+def test_two_process_zero1():
+    """ZeRO-1 across processes: each rank's flat Adam moment shards live on
+    its own host; the parameter-slice psum-gather crosses DCN.  Replicated
+    metrics must agree across the two processes."""
+    lines = _run_workers("zero1")
+    rs = [float(l.split("R=")[1].split()[0]) for l in lines]
+    vs = [float(l.split("value_loss=")[1]) for l in lines]
+    assert rs[0] == pytest.approx(rs[1], rel=1e-6)
+    assert vs[0] == pytest.approx(vs[1], rel=1e-6)
+
+
 def test_two_process_cli():
     """The CLI's --coordinator/--num-processes/--process-id flags run the
     whole trainer multi-process; only rank 0 emits output."""
