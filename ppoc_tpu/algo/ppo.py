@@ -214,8 +214,11 @@ def init_train_state(cfg: PPOConfig, env: Env, key: jax.Array) -> TrainState:
         from ppoc_tpu.models import attn
 
         # positional table must cover the longest window either program
-        # rolls out (training fits use rollout_len, evaluation eval_len)
-        t_max = max(cfg.rollout_len, cfg.eval_len)
+        # rolls out (training fits use rollout_len, evaluation eval_len),
+        # PLUS one slot so compute_values_rnn's next-token decode at the
+        # final row gets position T instead of aliasing onto T-1 (which
+        # would bias the force-truncated row's V(s') bootstrap)
+        t_max = max(cfg.rollout_len, cfg.eval_len) + 1
         ff = cfg.attn_ff or 4 * cfg.attn_dim
         policy_params = {
             "mlp": attn.init(

@@ -25,14 +25,22 @@ def make_for(cfg) -> Env:
     normalization can never apply in one consumer and not another."""
     env = make(cfg.env)
     loc = getattr(cfg, "obs_loc", ())
+    scale = getattr(cfg, "obs_scale", ())
+    if bool(loc) != bool(scale):
+        raise ValueError(
+            "obs_loc and obs_scale must be set together (one without the "
+            "other would silently skip normalization)")
     if loc:
         from .wrappers import affine_obs
 
-        scale = cfg.obs_scale
         if len(loc) != env.spec.obs_dim or len(scale) != len(loc):
             raise ValueError(
                 f"obs_loc/obs_scale must have length obs_dim "
                 f"({env.spec.obs_dim}), got {len(loc)}/{len(scale)}")
+        if any(s == 0.0 for s in scale):
+            raise ValueError(
+                f"obs_scale contains a zero (division by zero in the "
+                f"affine map): {scale}")
         env = affine_obs(env, loc, scale)
     return env
 

@@ -84,7 +84,7 @@ def init(key: jax.Array, obs_dim: int, d: int, n_layers: int, n_heads: int,
         raise ValueError(f"attn_dim ({d}) must be divisible by attn_heads "
                          f"({n_heads})")
     hd = d // n_heads
-    keys = jax.random.split(key, 6 * n_layers + 3)
+    keys = jax.random.split(key, 8 * n_layers + 4)
 
     def unif(k, fan_in, fan_out, shape):
         bound = math.sqrt(3.0) * math.sqrt(2.0 / (fan_in + fan_out))
@@ -96,21 +96,21 @@ def init(key: jax.Array, obs_dim: int, d: int, n_layers: int, n_heads: int,
 
     blocks: List[Dict[str, object]] = []
     for i in range(n_layers):
-        k0, k1, k2, k3, k4, k5 = keys[6 * i : 6 * i + 6]
+        k0, k1, k2, k3, k4, k5, k6, k7 = keys[8 * i : 8 * i + 8]
         blocks.append({
             "wqkv": unif(k0, d, d, (d, 3, n_heads, hd)),
             "bqkv": bias(k1, d, (3, n_heads, hd)),
             "wo": unif(k2, d, d, (d, d)),
-            "bo": bias(k2, d, (d,)),
+            "bo": bias(k3, d, (d,)),
             "ln1": (jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32)),
             "ln2": (jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32)),
-            "ff1": (unif(k3, d, ff, (d, ff)), bias(k4, d, (ff,))),
-            "ff2": (unif(k5, ff, d, (ff, d)), bias(k5, ff, (d,))),
+            "ff1": (unif(k4, d, ff, (d, ff)), bias(k5, d, (ff,))),
+            "ff2": (unif(k6, ff, d, (ff, d)), bias(k7, ff, (d,))),
         })
-    k_e, k_p, k_h = keys[-3:]
+    k_e, k_eb, k_p, k_h = keys[-4:]
     attn = {
         "embed": (unif(k_e, obs_dim, d, (obs_dim, d)),
-                  bias(k_e, obs_dim, (d,))),
+                  bias(k_eb, obs_dim, (d,))),
         "pos": jax.random.uniform(k_p, (t_max, d), jnp.float32, -0.02, 0.02),
         "blocks": blocks,
         "lnf": (jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32)),
@@ -246,7 +246,36 @@ def decode_next(
     This computes V(s'_t) for the GAE bootstrap in ONE pass — the attention
     analogue of the GRU's one-extra-cell-step (algo/recurrent.py
     compute_values_rnn), vectorized over t.
+
+    Long windows process the query axis in chunks (``lax.map``): the
+    [T_q, T_k, ...] score planes would otherwise re-materialize in HBM the
+    very footprint the flash kernel removes from apply_seq.
     """
+    T = x_next.shape[0]
+    if T > 2 * _DECODE_CHUNK:
+        pad = -T % _DECODE_CHUNK
+        xp = jnp.pad(x_next, ((0, pad),) + ((0, 0),) * (x_next.ndim - 1))
+        pp = jnp.pad(pos_idx, (0, pad))
+        mp = jnp.pad(mask, ((0, pad),) + ((0, 0),) * (mask.ndim - 1))
+        n_chunks = xp.shape[0] // _DECODE_CHUNK
+
+        def one(args):
+            xc, pc, mc = args
+            return _decode_next(params, xc, pc, ks, vs, mc, activation)
+
+        out = jax.lax.map(one, (
+            xp.reshape((n_chunks, _DECODE_CHUNK) + xp.shape[1:]),
+            pp.reshape(n_chunks, _DECODE_CHUNK),
+            mp.reshape((n_chunks, _DECODE_CHUNK) + mp.shape[1:]),
+        ))
+        return out.reshape((xp.shape[0],) + out.shape[2:])[:T]
+    return _decode_next(params, x_next, pos_idx, ks, vs, mask, activation)
+
+
+_DECODE_CHUNK = 128
+
+
+def _decode_next(params, x_next, pos_idx, ks, vs, mask, activation):
     attn = params["attn"]
     h = _embed(attn, x_next) + attn["pos"][pos_idx].reshape(
         (x_next.shape[0],) + (1,) * (x_next.ndim - 2) + (-1,))
@@ -331,5 +360,14 @@ def step(params: AttnParams, cache: Dict, x: jax.Array,
 
 def reset_lanes(cache: Dict, done: jax.Array) -> Dict:
     """Advance per-lane episode starts past the just-written token for lanes
-    whose episode ended (the attention analogue of zeroing a GRU hidden)."""
-    return dict(cache, start=jnp.where(done, cache["t"], cache["start"]))
+    whose episode ended (the attention analogue of zeroing a GRU hidden).
+
+    The start clamps to the final window slot like :func:`step`'s write
+    position does: past the trained window an episode boundary must leave
+    the lane attending its (clamped) current token, not an empty set —
+    an unclamped start > t_max-1 would make every later softmax uniform
+    over stale cross-episode cache entries.
+    """
+    t_max = cache["k"].shape[1]
+    start = jnp.minimum(cache["t"], t_max - 1)
+    return dict(cache, start=jnp.where(done, start, cache["start"]))

@@ -125,7 +125,7 @@ def test_recall_differentiator():
     cfg = PPOConfig(env="recall", n_envs=128, rollout_len=6,
                     minibatch_size=192, fits_per_epoch=8, eval_envs=256,
                     eval_len=6, kernel_backend="jnp", hidden=(32,),
-                    seed=0, lr_policy=1e-3, lr_v=1e-3,
+                    seed=1, lr_policy=1e-3, lr_v=1e-3,
                     attn_dim=16, attn_layers=1, attn_heads=2)
     hist = Trainer(cfg).train(n_epochs=5, log=False)
     assert hist[-1]["R"] > 0.9, \
@@ -138,7 +138,7 @@ def test_attn_trains_on_dp_mesh():
     cfg = PPOConfig(env="recall", n_envs=128, rollout_len=6,
                     minibatch_size=192, fits_per_epoch=8, eval_envs=256,
                     eval_len=6, kernel_backend="jnp", hidden=(32,),
-                    seed=0, lr_policy=1e-3, lr_v=1e-3,
+                    seed=1, lr_policy=1e-3, lr_v=1e-3,
                     attn_dim=16, attn_layers=1, attn_heads=2)
     hist = Trainer(cfg, mesh=make_mesh()).train(n_epochs=5, log=False)
     assert hist[-1]["R"] > 0.9
@@ -167,7 +167,7 @@ def test_attention_serving(tmp_path):
     cfg = PPOConfig(env="recall", n_envs=128, rollout_len=6,
                     minibatch_size=192, fits_per_epoch=8, eval_envs=128,
                     eval_len=6, hidden=(32,), attn_dim=16, attn_layers=1,
-                    attn_heads=2, seed=0, lr_policy=1e-3, lr_v=1e-3)
+                    attn_heads=2, seed=1, lr_policy=1e-3, lr_v=1e-3)
     tr = Trainer(cfg)
     tr.train(n_epochs=4, log=False)
     path = str(tmp_path / "attn_serve.bin")

@@ -97,7 +97,7 @@ def test_trainer_pallas_backend_learns_recall():
 
     cfg = PPOConfig(env="recall", n_envs=128, rollout_len=6,
                     minibatch_size=192, fits_per_epoch=8, eval_envs=256,
-                    eval_len=6, hidden=(32,), seed=0, lr_policy=1e-3,
+                    eval_len=6, hidden=(32,), seed=1, lr_policy=1e-3,
                     lr_v=1e-3, attn_dim=16, attn_layers=1, attn_heads=2,
                     kernel_backend="pallas")
     tr = Trainer(cfg)
