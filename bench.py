@@ -184,6 +184,22 @@ def reference_schedule_config(seed: int) -> PPOConfig:
     return PPOConfig(env="pendulum", seed=seed)
 
 
+def tuned_config(seed: int) -> PPOConfig:
+    """The bench config with the hyperparameters the framework's own
+    tooling found: a 24-lane sweep.solve_grid dispatch (43 s on the chip)
+    picked lr 1e-3 / lr_v 1e-3 / clip 0.3, and a chip schedule probe cut
+    the update epochs to 5 value + 2 policy (the 10+4 reference schedule
+    over-fits each buffer at these learning rates — fewer, larger steps
+    solve in the same number of epochs at ~half the fit cost; the even
+    leaner 3+3 was faster still but lost a run on one probe seed, so the
+    tuned preset keeps the robust point).  NOT the headline (that keeps
+    the reference's exact hyperparameters and schedule); this is what a
+    user of the sweep tooling actually gets."""
+    return bench_config(seed).replace(lr_policy=1e-3, lr_v=1e-3,
+                                      clip_eps=0.3, n_epochs_value=5,
+                                      n_epochs_policy=2)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=BENCH_SEED)
@@ -193,13 +209,20 @@ def main(argv=None) -> int:
     ap.add_argument("--reference-schedule", action="store_true",
                     help="run the reference's exact 15x200/mb-64 schedule "
                          "instead of the vectorized bench config")
+    ap.add_argument("--tuned", action="store_true",
+                    help="use the grid-sweep-winner hyperparameters "
+                         "(lr 1e-3 / clip 0.3) instead of the reference's; "
+                         "reported as pendulum_solve_seconds_tuned")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
     log = (lambda *a: print(*a, file=sys.stderr, flush=True)) if args.verbose \
         else (lambda *a: None)
 
-    config_fn = reference_schedule_config if args.reference_schedule else None
+    if args.reference_schedule and args.tuned:
+        ap.error("--reference-schedule and --tuned are mutually exclusive")
+    config_fn = (reference_schedule_config if args.reference_schedule
+                 else tuned_config if args.tuned else None)
     detail = solve_benchmark(args.seed, args.max_epochs, log, config_fn)
     if args.throughput:
         detail["train_env_steps_per_s"] = throughput_benchmark(args.seed)
@@ -207,7 +230,9 @@ def main(argv=None) -> int:
     value = detail["wall_s"]
     out = {
         "metric": ("pendulum_solve_seconds_reference_schedule"
-                   if args.reference_schedule else "pendulum_solve_seconds"),
+                   if args.reference_schedule
+                   else "pendulum_solve_seconds_tuned" if args.tuned
+                   else "pendulum_solve_seconds"),
         "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / value, 2) if detail["solved"] and value > 0 else 0.0,
