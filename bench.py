@@ -37,11 +37,16 @@ def _start_watchdog():
     import threading
 
     budget = float(os.environ.get("PPOC_BENCH_TIMEOUT", "2400"))
+    # report under the metric the run was actually measuring
+    metric = ("pendulum_solve_seconds_reference_schedule"
+              if "--reference-schedule" in sys.argv
+              else "pendulum_solve_seconds_tuned" if "--tuned" in sys.argv
+              else "pendulum_solve_seconds")
 
     def fire():
         time.sleep(budget)
         print(json.dumps({
-            "metric": "pendulum_solve_seconds",
+            "metric": metric,
             "value": 0.0,
             "unit": "s",
             "vs_baseline": 0.0,

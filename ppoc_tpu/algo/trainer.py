@@ -751,8 +751,10 @@ class Trainer:
 
         # validate against the UNSHARDED view of the live state
         template = self._unshard_state(jax.device_get(self.state))
-        ck = checkpoint.load(path, template=template)
-        self.state = self._pack_state(ck.state)
+        ck = checkpoint.load(path)
+        state = checkpoint.adapt_to_template(ck.state, template)
+        checkpoint._check_template(state, template)
+        self.state = self._pack_state(state)
         if ck.key is not None:
             self.key = ck.key
 
@@ -781,8 +783,9 @@ class Trainer:
         cfg = ck.cfg.replace(**overrides) if overrides else ck.cfg
         tr = cls(cfg, mesh=mesh)
         template = tr._unshard_state(jax.device_get(tr.state))
-        checkpoint._check_template(ck.state, template)
-        tr.state = tr._pack_state(ck.state)
+        state = checkpoint.adapt_to_template(ck.state, template)
+        checkpoint._check_template(state, template)
+        tr.state = tr._pack_state(state)
         if ck.key is not None:
             tr.key = ck.key
         return tr

@@ -254,7 +254,7 @@ def main(argv=None) -> int:
             parser.error("--calibrate applies to fresh on-device-env runs "
                          "(gym:* envs use --obs-norm; --resume/--import-ref "
                          "carry their own config)")
-        if cfg.obs_loc:
+        if cfg.obs_loc or cfg.obs_scale:
             parser.error("--calibrate would overwrite the explicit "
                          "--obs-loc/--obs-scale values; pass one or the "
                          "other")

@@ -36,8 +36,16 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     # before jax.distributed in the CLI): XLA:CPU AOT entries bake host
     # machine features into the executable but not the cache key, so a
     # TPU-session entry loaded by a CPU child (or vice versa) warns about
-    # SIGILL-capable feature mismatches
-    plat = (os.environ.get("PPOC_PLATFORM")
+    # SIGILL-capable feature mismatches.  The jax config value wins over
+    # the env vars — the repo's mandated CPU pin is the config API, which
+    # leaves the ambient JAX_PLATFORMS=axon in place
+    try:
+        import jax
+
+        plat = jax.config.jax_platforms  # set via config API; None default
+    except Exception:
+        plat = None
+    plat = (plat or os.environ.get("PPOC_PLATFORM")
             or os.environ.get("JAX_PLATFORMS") or "default")
     path = os.path.join(path, plat.split(",")[0] or "default")
     try:

@@ -383,6 +383,56 @@ def _read_blob_python(path: str) -> bytes:
     return payload
 
 
+def adapt_to_template(state, template):
+    """Forward-compatibility shims applied before template validation.
+
+    Attention positional tables grew one row (the V(s') decode slot) after
+    the first kind-4 checkpoints shipped; a file whose ``pos`` is exactly
+    one row SHORT of the live template pads with a zero row (that position
+    was never trained — it only feeds the final bootstrap decode) instead
+    of failing the shape check with a misleading config-mismatch error.
+    """
+    from ppoc_tpu.models.attn import is_attn
+
+    def fix_trunk(trunk, tpl):
+        if not (is_attn(trunk) and is_attn(tpl)):
+            return trunk
+        pos, tp = trunk["attn"]["pos"], tpl["attn"]["pos"]
+        if pos.shape[-1] == tp.shape[-1] and pos.shape[0] + 1 == tp.shape[0]:
+            a = dict(trunk["attn"])
+            a["pos"] = jnp.pad(jnp.asarray(pos), ((0, 1), (0, 0)))
+            trunk = dict(trunk, attn=a)
+        return trunk
+
+    def fix_like(tree, new_params):
+        return jax.tree.map(
+            lambda x, n: (jnp.pad(jnp.asarray(x), ((0, 1), (0, 0)))
+                          if (np.ndim(x) == 2 and np.ndim(n) == 2
+                              and np.shape(x)[0] + 1 == np.shape(n)[0]
+                              and np.shape(x)[1] == np.shape(n)[1])
+                          else x),
+            tree, new_params)
+
+    pol_trunk = fix_trunk(state.policy_params["mlp"],
+                          template.policy_params["mlp"])
+    v_trunk = fix_trunk(state.v_params, template.v_params)
+    if (pol_trunk is state.policy_params["mlp"]
+            and v_trunk is state.v_params):
+        return state
+    pol = dict(state.policy_params)
+    pol["mlp"] = pol_trunk
+    # the Adam moment trees mirror the trunk; pad the matching pos rows so
+    # optimizer state stays aligned (zero moments for the new untrained row)
+    opt_policy = state.opt_policy._replace(
+        m=fix_like(state.opt_policy.m, pol_trunk),
+        v=fix_like(state.opt_policy.v, pol_trunk))
+    opt_v = state.opt_v._replace(
+        m=fix_like(state.opt_v.m, v_trunk),
+        v=fix_like(state.opt_v.v, v_trunk))
+    return state._replace(policy_params=pol, v_params=v_trunk,
+                          opt_policy=opt_policy, opt_v=opt_v)
+
+
 def _check_template(state, template) -> None:
     """Shape/structure validation so a mismatched checkpoint fails loudly at
     load time instead of as a cryptic XLA shape error inside the jit."""

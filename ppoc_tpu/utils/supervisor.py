@@ -116,6 +116,10 @@ def build_restart_argv(argv: Sequence[str], checkpoint_path: str,
     out: List[str] = []
     skip = False
     drop_with_value = {"--load", "--resume", "--import-ref", "--supervise"}
+    # --calibrate is a fresh-run flag (it measured statistics that now live
+    # in the checkpoint's config); a --resume restart would be rejected by
+    # the CLI's calibrate-vs-resume guard
+    drop_bare = {"--calibrate"}
     if not gym_env:
         # gym restarts run from flags (--load), so --n-epochs must survive
         drop_with_value.add("--n-epochs")
@@ -125,6 +129,8 @@ def build_restart_argv(argv: Sequence[str], checkpoint_path: str,
             continue
         if a in drop_with_value:
             skip = True
+            continue
+        if a in drop_bare:
             continue
         if any(a.startswith(d + "=") for d in drop_with_value):
             continue

@@ -44,12 +44,14 @@ def main() -> int:
         jax.distributed.shutdown()
         return rc
 
-    if mode == "trainer":
+    if mode in ("trainer", "zero1"):
         # full Trainer over the 2-process global mesh through the public
-        # API (train_epoch + evaluate), bootstrapped by our wrapper.
-        # initialize_distributed must precede the trainer/envs imports —
-        # the env registry builds jnp constants at import time, which
-        # initializes the XLA backend.
+        # API (train_epoch + evaluate), bootstrapped by our wrapper;
+        # mode "zero1" additionally shards the trunk Adams' moments per
+        # rank so the parameter-slice psum-gather crosses DCN
+        # (ops/adam.update_zero1).  initialize_distributed must precede
+        # the trainer/envs imports — the env registry builds jnp constants
+        # at import time, which initializes the XLA backend.
         from ppoc_tpu.parallel.mesh import initialize_distributed
 
         initialize_distributed(coord, n_proc, pid)
@@ -62,32 +64,8 @@ def main() -> int:
         cfg = PPOConfig(env="simple", n_envs=2 * n_dev, rollout_len=15,
                         minibatch_size=2 * n_dev, fits_per_epoch=2,
                         eval_envs=2 * n_dev, eval_len=15,
-                        hidden=(16, 16), kernel_backend="jnp")
-        tr = Trainer(cfg, mesh=make_mesh())
-        hist = tr.train(n_epochs=2, log=False)
-        r = hist[-1]["R"]
-        v = hist[-1]["value_loss"]
-        print(f"RESULT pid={pid} R={r:.6f} value_loss={v:.6f}", flush=True)
-        jax.distributed.shutdown()
-        return 0
-
-    if mode == "zero1":
-        # ZeRO-1 across PROCESSES: each rank's flat Adam moment slices live
-        # on its own host's devices; the update's psum-gather of parameter
-        # slices crosses DCN (ops/adam.update_zero1)
-        from ppoc_tpu.parallel.mesh import initialize_distributed
-
-        initialize_distributed(coord, n_proc, pid)
-
-        from ppoc_tpu import PPOConfig
-        from ppoc_tpu.algo.trainer import Trainer
-        from ppoc_tpu.parallel import make_mesh
-        n_dev = len(jax.devices())
-        assert n_dev == 4 * n_proc, f"expected {4 * n_proc} devices, got {n_dev}"
-        cfg = PPOConfig(env="simple", n_envs=2 * n_dev, rollout_len=15,
-                        minibatch_size=2 * n_dev, fits_per_epoch=2,
-                        eval_envs=2 * n_dev, eval_len=15,
-                        hidden=(16, 16), kernel_backend="jnp", zero1=True)
+                        hidden=(16, 16), kernel_backend="jnp",
+                        zero1=(mode == "zero1"))
         tr = Trainer(cfg, mesh=make_mesh())
         hist = tr.train(n_epochs=2, log=False)
         r = hist[-1]["R"]

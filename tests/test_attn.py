@@ -73,6 +73,70 @@ def test_decode_next_matches_shifted_parallel():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_decode_next_chunked_matches_direct():
+    """The T > 256 path pads/reshapes the query axis through lax.map; it
+    must equal the direct (unchunked) computation exactly."""
+    T, E = 300, 2
+    p = _params(T=T + 1, out=1)
+    xs = jax.random.normal(jax.random.PRNGKey(8), (T, E, 4))
+    done = jax.random.bernoulli(jax.random.PRNGKey(9), 0.1, (T, E))
+    _, ks, vs = attn.apply_seq(p, xs, done, "relu", with_cache=True)
+    mask = attn.causal_episode_mask(done)
+    pos_idx = jnp.arange(T) + 1
+    nxt = jnp.roll(xs, -1, axis=0)
+    chunked = attn.decode_next(p, nxt, pos_idx, ks, vs, mask, "relu")
+    direct = attn._decode_next(p, nxt, pos_idx, ks, vs, mask, "relu")
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(direct),
+                               atol=1e-6)
+
+
+def test_old_checkpoint_pos_table_migrates(tmp_path):
+    """Attention checkpoints written before the +1 positional-table change
+    load via the adapt_to_template shim (zero-padded pos row + aligned
+    Adam moments) instead of failing the shape check."""
+    import dataclasses
+    import io
+
+    from ppoc_tpu.utils import checkpoint as ck_mod
+
+    cfg = PPOConfig(env="recall", n_envs=8, rollout_len=6, minibatch_size=24,
+                    fits_per_epoch=1, eval_envs=8, eval_len=6, hidden=(8,),
+                    attn_dim=8, attn_layers=1, attn_heads=2, seed=0)
+    tr = Trainer(cfg)
+    # forge the OLD layout: strip the extra pos row from a fresh state
+    old = jax.device_get(tr.state)
+
+    def strip(trunk):
+        a = dict(trunk["attn"])
+        a["pos"] = a["pos"][:-1]
+        return dict(trunk, attn=a)
+
+    pol = dict(old.policy_params)
+    pol["mlp"] = strip(old.policy_params["mlp"])
+    fixm = lambda t, ref: jax.tree.map(
+        lambda x, n: x[:-1] if (np.ndim(x) == 2 and np.ndim(n) == 2
+                                and np.shape(x)[0] == np.shape(n)[0] + 1
+                                ) else x, t, ref)
+    old = old._replace(
+        policy_params=pol,
+        v_params=strip(old.v_params),
+        opt_policy=old.opt_policy._replace(
+            m=fixm(old.opt_policy.m, pol["mlp"]),
+            v=fixm(old.opt_policy.v, pol["mlp"])),
+        opt_v=old.opt_v._replace(
+            m=fixm(old.opt_v.m, strip(jax.device_get(tr.state).v_params)),
+            v=fixm(old.opt_v.v, strip(jax.device_get(tr.state).v_params))),
+    )
+    path = str(tmp_path / "old_attn.bin")
+    ck_mod.save(path, cfg, tr.env.spec, old, key=tr.key)
+    tr2 = Trainer.from_checkpoint(path)
+    # padded row is zeros; everything else byte-identical
+    pos2 = jax.device_get(tr2.state.policy_params["mlp"]["attn"]["pos"])
+    pos_old = jax.device_get(old.policy_params["mlp"]["attn"]["pos"])
+    assert pos2.shape[0] == pos_old.shape[0] + 1
+    assert np.array_equal(pos2[:-1], pos_old) and (pos2[-1] == 0).all()
+
+
 def test_mask_blocks_cross_episode_attention():
     """Tokens after a done must be unaffected by anything before it: replace
     the pre-boundary observations with noise and the post-boundary outputs
