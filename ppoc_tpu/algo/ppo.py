@@ -672,7 +672,7 @@ def update_step(
         # row shuffling would destroy the history they need
         from ppoc_tpu.algo import recurrent
 
-        seq_backend = "pallas" if backend == "pallas" else "jnp"
+        seq_backend = backend if backend in ("pallas", "bf16") else "jnp"
         vpair = recurrent.compute_values_rnn(cfg, ts.v_params, traj,
                                              backend=seq_backend)
         adv, target = compute_advantages(

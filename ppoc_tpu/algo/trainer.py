@@ -163,12 +163,14 @@ class Trainer:
                     f"attn_heads ({cfg.attn_heads})"
                 )
             # sequence trunks run the generic XLA path for everything except
-            # attention's parallel passes: with the pallas backend those use
-            # the flash kernel (ops/pallas_attn.py — score tiles in VMEM,
-            # the long-window path); the dense-MLP pallas/bf16 kernels don't
-            # apply
-            self.backend = ("pallas" if (cfg.attn_dim > 0
-                                         and self.backend == "pallas")
+            # attention's parallel passes: the pallas backend routes them
+            # through the flash kernel (ops/pallas_attn.py — score tiles in
+            # VMEM, the long-window path) and bf16 carries the attention
+            # operands in bf16 with f32 softmax/accumulation; the dense-MLP
+            # pallas/bf16 kernels don't apply
+            self.backend = (self.backend
+                            if (cfg.attn_dim > 0
+                                and self.backend in ("pallas", "bf16"))
                             else "jnp")
         if cfg.tp_size > 1 and cfg.pp_size > 1:
             raise ValueError(

@@ -80,6 +80,13 @@ def make_recall() -> Env:
 def make_recall_long() -> Env:
     """512-step recall: the LONG-CONTEXT differentiator.  The cue is 511
     steps in the past at answer time — a one-hop attention lookup over the
-    window (the flash-kernel regime, ops/pallas_attn.py) but a 511-step
-    carry for a recurrent cell's BPTT."""
+    window but a 511-step carry for a recurrent cell's BPTT."""
     return _make_recall("recall_long", 512)
+
+
+@register("recall_xl")
+def make_recall_xl() -> Env:
+    """1024-step recall: the window length where the flash-attention
+    kernel engages in training (T >= models/attn.FLASH_MIN_T,
+    ops/pallas_attn.py) — the kernel's production workload."""
+    return _make_recall("recall_xl", 1024)

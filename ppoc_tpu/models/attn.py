@@ -134,17 +134,28 @@ def _ln(x: jax.Array, gb) -> jax.Array:
     return (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + b
 
 
-def _ff(x: jax.Array, blk, activation: str) -> jax.Array:
+def _dot(a: jax.Array, w: jax.Array, bf16: bool) -> jax.Array:
+    """a @ w, optionally with bf16 MXU inputs and f32 accumulation (the
+    mixed-precision recipe of mlp.apply's bf16 backend: f32 matmuls run as
+    multi-pass bf16 on the MXU; casting halves the passes)."""
+    if bf16:
+        return jnp.dot(a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return a @ w
+
+
+def _ff(x: jax.Array, blk, activation: str, bf16: bool = False) -> jax.Array:
     from .mlp import _ACTIVATIONS
 
     w1, b1 = blk["ff1"]
     w2, b2 = blk["ff2"]
-    return _ACTIVATIONS[activation](x @ w1 + b1) @ w2 + b2
+    return _dot(_ACTIVATIONS[activation](_dot(x, w1, bf16) + b1),
+                w2, bf16) + b2
 
 
-def _embed(attn, x: jax.Array) -> jax.Array:
+def _embed(attn, x: jax.Array, bf16: bool = False) -> jax.Array:
     we, be = attn["embed"]
-    return x @ we + be
+    return _dot(x, we, bf16) + be
 
 
 def episode_ids(reset_after: jax.Array) -> jax.Array:
@@ -173,14 +184,24 @@ def _mha(q: jax.Array, k: jax.Array, v: jax.Array,
     """Masked multi-head attention on [T, ..., H, hd] tensors with a
     [T_q, T_k, ...] mask; returns [T_q, ..., H, hd]."""
     hd = q.shape[-1]
-    scores = jnp.einsum("t...hk,s...hk->ts...h", q, k) / math.sqrt(hd)
+    # f32 scores/softmax regardless of the q/k dtype (bf16 inputs keep the
+    # MXU pass cheap; the softmax statistics must not round to bf16)
+    scores = jnp.einsum("t...hk,s...hk->ts...h", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
     scores = jnp.where(mask[..., None], scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=1)
-    return jnp.einsum("ts...h,s...hk->t...hk", w, v)
+    return jnp.einsum("ts...h,s...hk->t...hk", w.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
 
 
-def _qkv(blk, u: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    qkv = jnp.einsum("...d,dchk->...chk", u, blk["wqkv"]) + blk["bqkv"]
+def _qkv(blk, u: jax.Array,
+         bf16: bool = False) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    w = blk["wqkv"]
+    if bf16:
+        u = u.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
+    qkv = jnp.einsum("...d,dchk->...chk", u, w,
+                     preferred_element_type=jnp.float32) + blk["bqkv"]
     return qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
 
 
@@ -207,27 +228,39 @@ def apply_seq(
         raise ValueError(
             f"window length {T} exceeds the positional table ({t_max}); "
             f"init the trunk with t_max >= the rollout length")
+    bf16 = backend == "bf16"
     pos = attn["pos"][:T].reshape((T,) + (1,) * (xs.ndim - 2) + (-1,))
-    h = _embed(attn, xs) + pos
-    if backend == "pallas" and T >= FLASH_MIN_T:
+    h = _embed(attn, xs, bf16) + pos
+    if backend in ("pallas", "bf16") and T >= FLASH_MIN_T:
         from ppoc_tpu.ops.pallas_attn import flash_mha
 
         ep = episode_ids(reset_after)
-        mha = lambda q, k, v: flash_mha(q, k, v, ep)
+        dt = jnp.bfloat16 if bf16 else None
+        mha = lambda q, k, v: flash_mha(q, k, v, ep, compute_dtype=dt)
+    elif bf16:
+        # short windows: the XLA path with bf16 q/k/v (f32 accumulation) —
+        # halves the score-plane operand traffic
+        mask = causal_episode_mask(reset_after)
+
+        def mha(q, k, v):
+            return _mha(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                        v.astype(jnp.bfloat16), mask).astype(jnp.float32)
     else:
         mask = causal_episode_mask(reset_after)
         mha = lambda q, k, v: _mha(q, k, v, mask)
     ks, vs = [], []
     for blk in attn["blocks"]:
         u = _ln(h, blk["ln1"])
-        q, k, v = _qkv(blk, u)
+        q, k, v = _qkv(blk, u, bf16)
         if with_cache:
             ks.append(k)
             vs.append(v)
         o = mha(q, k, v)
-        h = h + o.reshape(o.shape[:-2] + (-1,)) @ blk["wo"] + blk["bo"]
-        h = h + _ff(_ln(h, blk["ln2"]), blk, activation)
-    out = mlp.apply(params["head"], _ln(h, attn["lnf"]), activation, "jnp")
+        h = h + _dot(o.reshape(o.shape[:-2] + (-1,)), blk["wo"], bf16) \
+            + blk["bo"]
+        h = h + _ff(_ln(h, blk["ln2"]), blk, activation, bf16)
+    out = mlp.apply(params["head"], _ln(h, attn["lnf"]), activation,
+                    "bf16" if bf16 else "jnp")
     return (out, ks, vs) if with_cache else out
 
 

@@ -60,7 +60,8 @@ enum EnvId {
   ENV_ACROBOT = 4,      // Acrobot-v1 (book dynamics, RK4)
   ENV_REACHER = 5,      // in-repo two-link reacher (envs/reacher.py)
   ENV_RECALL = 6,       // cue-memory task (envs/recall.py)
-  ENV_RECALL_LONG = 7   // 512-step variant (envs/recall.py make_recall_long)
+  ENV_RECALL_LONG = 7,  // 512-step variant (envs/recall.py make_recall_long)
+  ENV_RECALL_XL = 8     // 1024-step variant (envs/recall.py make_recall_xl)
 };
 
 static inline float angle_normalize(float x) {
@@ -82,6 +83,7 @@ int ppoc_env_state_dim(int env_id) {
     case ENV_REACHER: return 6;       // q1, q2, qd1, qd2, target x, target y
     case ENV_RECALL: return 2;        // cue b, first-step flag
     case ENV_RECALL_LONG: return 2;
+    case ENV_RECALL_XL: return 2;
     default: return -1;
   }
 }
@@ -96,6 +98,7 @@ int ppoc_env_obs_dim(int env_id) {
     case ENV_REACHER: return 10;
     case ENV_RECALL: return 2;        // [b * first, first]
     case ENV_RECALL_LONG: return 2;
+    case ENV_RECALL_XL: return 2;
     default: return -1;
   }
 }
@@ -110,6 +113,7 @@ int ppoc_env_action_dim(int env_id) {
     case ENV_REACHER: return 2;
     case ENV_RECALL: return 1;
     case ENV_RECALL_LONG: return 1;
+    case ENV_RECALL_XL: return 1;
     default: return -1;
   }
 }
@@ -124,6 +128,7 @@ int ppoc_env_horizon(int env_id) {
     case ENV_REACHER: return 150;
     case ENV_RECALL: return 6;        // envs/recall.py HORIZON
     case ENV_RECALL_LONG: return 512;  // envs/recall.py make_recall_long
+    case ENV_RECALL_XL: return 1024;   // envs/recall.py make_recall_xl
     default: return -1;
   }
 }
@@ -204,6 +209,7 @@ static void obs_from_state(int env_id, const float* st, float* obs) {
     }
     case ENV_RECALL:
     case ENV_RECALL_LONG:
+    case ENV_RECALL_XL:
       // envs/recall.py:_obs — cue visible only while the first-step flag
       // (st[1]) is up
       obs[0] = st[0] * st[1];
@@ -256,6 +262,7 @@ void ppoc_env_reset(int env_id, int n, uint64_t seed,
       }
       case ENV_RECALL:
       case ENV_RECALL_LONG:
+      case ENV_RECALL_XL:
         st[0] = uniform(&rng, 0.0f, 1.0f) < 0.5f ? -1.0f : 1.0f;
         st[1] = 1.0f;  // first-step flag: the cue is visible
         break;
@@ -405,7 +412,8 @@ void ppoc_env_step(int env_id, int n,
         break;
       }
       case ENV_RECALL:
-      case ENV_RECALL_LONG: {
+      case ENV_RECALL_LONG:
+      case ENV_RECALL_XL: {
         // envs/recall.py:_step — fixed-length episode TERMINATING at the
         // horizon; reward 1 at the final step iff sign(action) matches the
         // cue; observations go blank after t = 0.

@@ -112,7 +112,7 @@ def _fwd_kernel(scale: float, t_real: int, tile: int,
         alpha = jnp.exp(m - m2)
         l2 = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc2 = acc * alpha + jax.lax.dot_general(      # [TQ, hd], MXU-native
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc2, m2, l2
 
@@ -121,7 +121,7 @@ def _fwd_kernel(scale: float, t_real: int, tile: int,
     l0 = jnp.zeros((tile, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, tq + 1, body, (acc0, m0, l0))
     l_safe = jnp.where(l == 0.0, 1.0, l)   # padded rows only
-    out_ref[0] = acc / l_safe
+    out_ref[0] = (acc / l_safe).astype(out_ref.dtype)
     lse_ref[0] = m + jnp.log(l_safe)
 
 
@@ -189,15 +189,16 @@ def _bwd_dq_kernel(scale: float, t_real: int, tile: int,
                  & (kpos < t_real) & (qpos < t_real))
         w = jnp.where(valid, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(                      # [TQ, TK]
-            do, vc, (((1,), (0,)), ((), ())),
+            do.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = w * (dp - dsum) * scale
         return dq + jax.lax.dot_general(               # [TQ, hd]
-            ds, kr, (((1,), (0,)), ((), ())),
+            ds.astype(kr.dtype), kr, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     dq_ref[0] = jax.lax.fori_loop(
-        0, tq + 1, body, jnp.zeros((tile, hd), jnp.float32))
+        0, tq + 1, body,
+        jnp.zeros((tile, hd), jnp.float32)).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(scale: float, t_real: int, tile: int, n_tiles: int,
@@ -235,10 +236,10 @@ def _bwd_dkv_kernel(scale: float, t_real: int, tile: int, n_tiles: int,
             preferred_element_type=jnp.float32)
         dst = wt * (dpt - dsum) * scale
         dk2 = dk + jax.lax.dot_general(                # [TK, hd]
-            dst, qr, (((1,), (0,)), ((), ())),
+            dst.astype(qr.dtype), qr, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dv2 = dv + jax.lax.dot_general(                # [TK, hd]
-            wt, dor, (((1,), (0,)), ((), ())),
+            wt.astype(dor.dtype), dor, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return dk2, dv2
 
@@ -247,8 +248,8 @@ def _bwd_dkv_kernel(scale: float, t_real: int, tile: int, n_tiles: int,
         kt, n_tiles, body,
         (jnp.zeros((tile, hd), jnp.float32),
          jnp.zeros((tile, hd), jnp.float32)))
-    dk_ref[0] = dk
-    dv_ref[0] = dv
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _col(x):
@@ -261,6 +262,7 @@ def _bwd(res, g):
     BH, T, hd = q.shape
     n_tiles = T // tile
     dsum = jnp.sum(g * out, axis=-1, keepdims=True)   # [BH, T, 1]
+    g = g.astype(q.dtype)   # bf16 blocks: cotangents ride at block dtype
     kr = _col(kc)                                     # [BH, T, hd]
     row_t, row_full, col_full, col_t, lane_full = _specs(T, hd, tile)
 
@@ -270,7 +272,7 @@ def _bwd(res, g):
         in_specs=[row_t, row_full, col_full, col_full, col_t, lane_full,
                   row_t, col_t, col_t],
         out_specs=row_t,
-        out_shape=jax.ShapeDtypeStruct((BH, T, hd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BH, T, hd), q.dtype),
         compiler_params=_PARAMS,
         interpret=_interpret(),
     )(q, kr, kc, _col(v), epc, epl, g, dsum, lse)
@@ -282,8 +284,8 @@ def _bwd(res, g):
                   row_full, col_full, lane_full, lane_full],
         out_specs=[row_t, row_t],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, T, hd), jnp.float32),
-            jax.ShapeDtypeStruct((BH, T, hd), jnp.float32),
+            jax.ShapeDtypeStruct((BH, T, hd), q.dtype),
+            jax.ShapeDtypeStruct((BH, T, hd), q.dtype),
         ],
         compiler_params=_PARAMS,
         interpret=_interpret(),
@@ -315,13 +317,17 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # --------------------------------------------------------------------------
 
 def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
-              ep: jax.Array) -> jax.Array:
+              ep: jax.Array, compute_dtype=None) -> jax.Array:
     """Causal episode-masked multi-head attention, flash-tiled.
 
     ``q``/``k``/``v``: [T, ..., H, hd] (any batch dims); ``ep``: [T, ...]
     int32 episode ids (models/attn.episode_ids).  Exactly _mha's semantics:
     query t attends key s iff s <= t and ep[s] == ep[t].  Returns
-    [T, ..., H, hd].
+    [T, ..., H, hd] in the input dtype.
+
+    ``compute_dtype=jnp.bfloat16`` carries the q/k/v blocks (and the MXU
+    contractions' inputs) in bf16 — half the VMEM/HBM block traffic —
+    while softmax statistics and all accumulations stay f32.
     """
     T = q.shape[0]
     H, hd = q.shape[-2], q.shape[-1]
@@ -335,8 +341,12 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
     tile = 128
     Tp = _round_up(T, tile)
 
+    in_dtype = q.dtype
+
     def fold(x):  # [T, ..., H, hd] -> [B*H, Tp, hd] row layout
         x = x.reshape(T, B, H, hd).transpose(1, 2, 0, 3).reshape(B * H, T, hd)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
         return jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
 
     ep_b = ep.reshape(T, B).T                            # [B, T]
@@ -347,4 +357,4 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
 
     out = _flash(fold(q), _col(fold(k)), fold(v), epc, epl, scale, T, tile)
     out = out[:, :T].reshape(B, H, T, hd).transpose(2, 0, 1, 3)
-    return out.reshape((T,) + batch + (H, hd))
+    return out.reshape((T,) + batch + (H, hd)).astype(in_dtype)

@@ -115,3 +115,43 @@ def test_fully_masked_rows_are_finite():
     ep = attn.episode_ids(done)
     out = pallas_attn.flash_mha(q, k, v, ep)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bf16_compute_dtype_close_to_f32():
+    """compute_dtype=bf16 carries the q/k/v blocks in bf16 with f32
+    softmax/accumulation: outputs and (f32) gradients track the f32 oracle
+    at bf16 rounding scale, and gradient dtypes stay f32."""
+    T, B, H, hd = 130, 2, 2, 8
+    q, k, v, done = _case(T, B, H, hd, 0.1)
+    ep = attn.episode_ids(done)
+    mask = attn.causal_episode_mask(done)
+    ref = attn._mha(q, k, v, mask)
+    got = pallas_attn.flash_mha(q, k, v, ep, compute_dtype=jnp.bfloat16)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.05)
+
+    gb = jax.grad(lambda q, k, v: jnp.sum(jnp.sin(
+        pallas_attn.flash_mha(q, k, v, ep, compute_dtype=jnp.bfloat16))),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(jnp.sin(attn._mha(q, k, v, mask))),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gb):
+        assert b.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=0.1)
+
+
+def test_apply_seq_bf16_backend_close_to_f32(monkeypatch):
+    """backend='bf16' (XLA short-window path and flash long-window path)
+    tracks the f32 outputs at bf16 rounding scale."""
+    T, E = 40, 4
+    p = attn.init(jax.random.PRNGKey(0), 3, 16, 2, 2, 32, T, (16, 8, 2))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (T, E, 3))
+    done = jax.random.bernoulli(jax.random.PRNGKey(2), 0.15, (T, E))
+    out_j = attn.apply_seq(p, xs, done, "relu", backend="jnp")
+    out_b = attn.apply_seq(p, xs, done, "relu", backend="bf16")
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_j),
+                               atol=0.05)
+    monkeypatch.setattr(attn, "FLASH_MIN_T", 8)  # engage the bf16 flash path
+    out_bf = attn.apply_seq(p, xs, done, "relu", backend="bf16")
+    np.testing.assert_allclose(np.asarray(out_bf), np.asarray(out_j),
+                               atol=0.05)
