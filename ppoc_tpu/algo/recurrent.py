@@ -171,7 +171,7 @@ def compute_values_rnn(
         pos_idx = jnp.minimum(jnp.arange(T) + 1, attn.window(v_params) - 1)
         mask = attn.causal_episode_mask(done)
         nv = attn.decode_next(v_params, traj.next_obs, pos_idx, ks, vs,
-                              mask, cfg.activation)
+                              mask, cfg.activation, backend=backend)
         return values[..., 0], nv[..., 0]
     # zero state derived from the (possibly device-varying) observations —
     # see gru.apply_seq

@@ -243,8 +243,10 @@ def apply_seq(
         mask = causal_episode_mask(reset_after)
 
         def mha(q, k, v):
+            # _mha's einsums carry preferred_element_type=f32, so the
+            # result is already f32
             return _mha(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-                        v.astype(jnp.bfloat16), mask).astype(jnp.float32)
+                        v.astype(jnp.bfloat16), mask)
     else:
         mask = causal_episode_mask(reset_after)
         mha = lambda q, k, v: _mha(q, k, v, mask)
@@ -272,6 +274,7 @@ def decode_next(
     vs: List[jax.Array],
     mask: jax.Array,          # [T_q, T_k, ...]: which CONTEXT keys each sees
     activation: str,
+    backend: str = "jnp",
 ) -> jax.Array:
     """One-step decode for all T slots at once: next-token t attends the
     masked context (from :func:`apply_seq` ``with_cache=True``) plus itself.
@@ -294,7 +297,8 @@ def decode_next(
 
         def one(args):
             xc, pc, mc = args
-            return _decode_next(params, xc, pc, ks, vs, mc, activation)
+            return _decode_next(params, xc, pc, ks, vs, mc, activation,
+                                backend)
 
         out = jax.lax.map(one, (
             xp.reshape((n_chunks, _DECODE_CHUNK) + xp.shape[1:]),
@@ -302,30 +306,35 @@ def decode_next(
             mp.reshape((n_chunks, _DECODE_CHUNK) + mp.shape[1:]),
         ))
         return out.reshape((xp.shape[0],) + out.shape[2:])[:T]
-    return _decode_next(params, x_next, pos_idx, ks, vs, mask, activation)
+    return _decode_next(params, x_next, pos_idx, ks, vs, mask, activation,
+                        backend)
 
 
 _DECODE_CHUNK = 128
 
 
-def _decode_next(params, x_next, pos_idx, ks, vs, mask, activation):
+def _decode_next(params, x_next, pos_idx, ks, vs, mask, activation,
+                 backend="jnp"):
+    bf16 = backend == "bf16"
     attn = params["attn"]
-    h = _embed(attn, x_next) + attn["pos"][pos_idx].reshape(
+    h = _embed(attn, x_next, bf16) + attn["pos"][pos_idx].reshape(
         (x_next.shape[0],) + (1,) * (x_next.ndim - 2) + (-1,))
     hd = attn["blocks"][0]["wqkv"].shape[-1]
     scale = 1.0 / math.sqrt(hd)
     for blk, k_ctx, v_ctx in zip(attn["blocks"], ks, vs):
         u = _ln(h, blk["ln1"])
-        q, k_self, v_self = _qkv(blk, u)
+        q, k_self, v_self = _qkv(blk, u, bf16)
         s_ctx = jnp.einsum("t...hk,s...hk->ts...h", q, k_ctx) * scale
         s_ctx = jnp.where(mask[..., None], s_ctx, NEG_INF)
         s_self = jnp.sum(q * k_self, axis=-1, keepdims=False)[:, None] * scale
         w = jax.nn.softmax(jnp.concatenate([s_ctx, s_self], axis=1), axis=1)
         o = (jnp.einsum("ts...h,s...hk->t...hk", w[:, :-1], v_ctx)
              + w[:, -1][..., None] * v_self)
-        h = h + o.reshape(o.shape[:-2] + (-1,)) @ blk["wo"] + blk["bo"]
-        h = h + _ff(_ln(h, blk["ln2"]), blk, activation)
-    return mlp.apply(params["head"], _ln(h, attn["lnf"]), activation, "jnp")
+        h = h + _dot(o.reshape(o.shape[:-2] + (-1,)), blk["wo"], bf16) \
+            + blk["bo"]
+        h = h + _ff(_ln(h, blk["ln2"]), blk, activation, bf16)
+    return mlp.apply(params["head"], _ln(h, attn["lnf"]), activation,
+                     "bf16" if bf16 else "jnp")
 
 
 # --------------------------------------------------------------------------
