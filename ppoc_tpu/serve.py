@@ -284,6 +284,7 @@ def load_attention_policy(path: str, deterministic: bool = True,
     act.initial_state = lambda batch_size=None: attn.initial_cache(
         params["mlp"], (1,) if batch_size is None else (batch_size,))
     act.reset_lanes = attn.reset_lanes
+    act.window = attn.window(params["mlp"])
     act.recurrent = True
     act.cfg = cfg
     act.spec = _resolve_spec(cfg, ck.dims)
@@ -309,6 +310,15 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8000,
                      reply {"action": ..., "h": ...?}   (h: recurrent only;
                      omit h (or null) at episode start — zeros are used)
 
+    Attention checkpoints serve STATEFULLY: their per-step KV cache is too
+    large to round-trip as JSON, so the server keeps it per session —
+      POST /act {"obs": ..., "session": "my-id", "done": [bools]?}
+    creates the session's cache on first use (batch size fixed by that
+    call), advances it each call, and moves finished lanes' episode starts
+    when "done" is given (the rollout contract, attn.reset_lanes);
+    {"session": "my-id", "close": true} frees it.  At most 64 live
+    sessions (LRU-evicted).
+
     Device calls are serialized with a lock (one chip, one program); batch
     your observations client-side for throughput.  Returns the configured
     HTTPServer — call serve_forever() (blocking) or run it in a thread.
@@ -326,18 +336,16 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8000,
     # ValueError would mask unrelated load failures (corrupt file/sidecar)
     # behind a misleading "use the other loader" message
     trunk = checkpoint.load(path).state.policy_params["mlp"]
-    if attn_mod.is_attn(trunk):
-        raise ValueError(
-            f"{path} holds an attention policy; its per-step state is a KV "
-            f"cache too large to round-trip as JSON — serve it in-process "
-            f"with serve.load_attention_policy"
-        )
+    attention = attn_mod.is_attn(trunk)
     recurrent = gru.is_rnn(trunk)
-    loader = load_recurrent_policy if recurrent else load_policy
+    loader = (load_attention_policy if attention
+              else load_recurrent_policy if recurrent else load_policy)
     act = loader(path, deterministic=deterministic, seed=seed)
     spec = act.spec
     lock = threading.Lock()
     rnn_hidden = int(act.cfg.rnn_hidden) if recurrent else 0
+    sessions = {}  # attention: session id -> KV cache (insertion = LRU)
+    MAX_SESSIONS = 64
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -354,12 +362,16 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8000,
         def do_GET(self):
             if self.path != "/spec":
                 return self._reply(404, {"error": f"unknown path {self.path}"})
-            self._reply(200, {
+            info = {
                 "env": spec.name, "obs_dim": spec.obs_dim,
                 "action_dim": spec.action_dim, "discrete": spec.discrete,
                 "recurrent": recurrent, "rnn_hidden": rnn_hidden,
                 "deterministic": deterministic,
-            })
+            }
+            if attention:
+                info.update(attention=True, protocol="session",
+                            window=int(act.window))
+            self._reply(200, info)
 
         def do_POST(self):
             if self.path != "/act":
@@ -367,6 +379,12 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8000,
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n).decode("utf-8"))
+                if attention and req.get("close"):
+                    sid = req.get("session")
+                    with lock:
+                        existed = sessions.pop(sid, None) is not None
+                    return self._reply(200, {"session": sid,
+                                             "closed": existed})
                 obs = np.asarray(req["obs"], np.float32)
                 single = obs.ndim == 1
                 if single:
@@ -374,6 +392,8 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8000,
                 if obs.ndim != 2 or obs.shape[1] != spec.obs_dim:
                     raise ValueError(
                         f"obs must be [B, {spec.obs_dim}], got {obs.shape}")
+                if attention:
+                    return self._act_attention(req, obs, single)
                 h = None
                 if recurrent:
                     h = req.get("h")
@@ -407,6 +427,45 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8000,
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
                 # not a dropped socket (the non-Python client this server
                 # exists for cannot read a Python traceback)
+
+        def _act_attention(self, req, obs, single):
+            """Session-stateful attention acting: the KV cache lives
+            server-side, advanced one step per call (see make_server
+            docstring for the protocol)."""
+            sid = req.get("session")
+            if not isinstance(sid, str) or not sid:
+                raise ValueError(
+                    "attention serving is stateful: pass a non-empty "
+                    "'session' string; the server keeps that session's "
+                    "KV cache")
+            done = req.get("done")
+            if done is not None:
+                done = np.asarray(done, bool)
+                if done.shape != (obs.shape[0],):
+                    raise ValueError(
+                        f"done must be [{obs.shape[0]}] bools (one per "
+                        f"obs row), got {done.shape}")
+            with lock:
+                cache = sessions.pop(sid, None)  # pop: re-insert = LRU bump
+                if cache is None:
+                    while len(sessions) >= MAX_SESSIONS:
+                        sessions.pop(next(iter(sessions)))
+                    cache = act.initial_state(obs.shape[0])
+                elif cache["start"].shape[0] != obs.shape[0]:
+                    sessions[sid] = cache
+                    raise ValueError(
+                        f"session {sid!r} was created with batch size "
+                        f"{cache['start'].shape[0]}, got {obs.shape[0]} "
+                        f"obs rows; close it or use a new session")
+                a, cache = act(obs, cache)
+                if done is not None:
+                    cache = act.reset_lanes(cache, jnp.asarray(done))
+                sessions[sid] = cache
+            out = {"action": np.asarray(a).tolist(), "session": sid,
+                   "t": int(jax.device_get(cache["t"]))}
+            if single:
+                out["action"] = out["action"][0]
+            self._reply(200, out)
 
     server = http.server.ThreadingHTTPServer((host, port), Handler)
     return server

@@ -173,3 +173,69 @@ def test_actor_recurrent_flag(ckpts):
     ff, rnn = ckpts
     assert serve.load_policy(ff).recurrent is False
     assert serve.load_recurrent_policy(rnn).recurrent is True
+
+
+def test_http_attention_sessions(tmp_path):
+    """Attention checkpoints serve statefully: the KV cache lives
+    server-side per session, advanced by /act, lanes reset via 'done',
+    freed via 'close'."""
+    cfg = PPOConfig(env="recall", n_envs=128, rollout_len=6,
+                    minibatch_size=192, fits_per_epoch=8, eval_envs=128,
+                    eval_len=6, hidden=(32,), attn_dim=16, attn_layers=1,
+                    attn_heads=2, seed=1, lr_policy=1e-3, lr_v=1e-3)
+    tr = Trainer(cfg)
+    tr.train(n_epochs=3, log=False, initial_eval=False)
+    path = str(tmp_path / "attn_http.bin")
+    tr.save(path)
+
+    server, url = _serve(path)
+    try:
+        spec = _get(url + "/spec")
+        assert spec["attention"] and spec["protocol"] == "session"
+        assert spec["window"] >= 6
+
+        # session required
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(url + "/act", {"obs": [[0.0, 1.0]]})
+        assert ei.value.code == 400
+        assert "session" in json.loads(ei.value.read().decode())["error"]
+
+        # the cache advances per call (t counts steps)
+        r1 = _post(url + "/act", {"obs": [[1.0, 1.0], [-1.0, 1.0]],
+                                  "session": "s1"})
+        assert r1["t"] == 1 and np.asarray(r1["action"]).shape == (2, 1)
+        r2 = _post(url + "/act", {"obs": [[0.0, 0.0], [0.0, 0.0]],
+                                  "session": "s1",
+                                  "done": [True, False]})
+        assert r2["t"] == 2
+
+        # batch-size mismatch is a clean 400, session intact
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(url + "/act", {"obs": [[0.0, 0.0]], "session": "s1"})
+        assert ei.value.code == 400
+        r3 = _post(url + "/act", {"obs": [[0.0, 0.0], [0.0, 0.0]],
+                                  "session": "s1"})
+        assert r3["t"] == 3
+
+        # close frees it; a new session starts at t=1 again
+        rc = _post(url + "/act", {"session": "s1", "close": True})
+        assert rc["closed"]
+        r4 = _post(url + "/act", {"obs": [[0.0, 0.0], [0.0, 0.0]],
+                                  "session": "s1"})
+        assert r4["t"] == 1
+
+        # served session policy answers recall correctly: drive a full
+        # episode through the wire and check the final action matches cue
+        correct = 0
+        for seed in range(6):
+            cue = 1.0 if seed % 2 == 0 else -1.0
+            sid = f"ep{seed}"
+            obs = [[cue, 1.0]]
+            for t in range(6):
+                r = _post(url + "/act", {"obs": obs, "session": sid})
+                obs = [[0.0, 0.0]]
+            correct += int(float(np.asarray(r["action"])[0, 0]) * cue > 0)
+            _post(url + "/act", {"session": sid, "close": True})
+        assert correct >= 5
+    finally:
+        server.shutdown()
