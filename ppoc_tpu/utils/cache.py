@@ -47,7 +47,17 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         plat = None
     plat = (plat or os.environ.get("PPOC_PLATFORM")
             or os.environ.get("JAX_PLATFORMS") or "default")
-    path = os.path.join(path, plat.split(",")[0] or "default")
+    plat = plat.split(",")[0] or "default"
+    if plat == "cpu":
+        # XLA:CPU AOT entries bake compile-TIME preference flags
+        # (prefer-no-scatter/gather) into the executable but not the cache
+        # key; a reader whose flags differ gets machine-feature-mismatch
+        # refusals and pathological slowdowns (hardware-observed: a CPU
+        # child re-reading its own partition stalled a 1 s epoch past
+        # 120 s).  CPU compiles are seconds — the cache exists for the
+        # chip's — so off-TPU runs go uncached.
+        return None
+    path = os.path.join(path, plat)
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
