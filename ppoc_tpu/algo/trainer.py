@@ -27,6 +27,14 @@ from ppoc_tpu.config import PPOConfig
 from ppoc_tpu.ops import resolve_backend
 
 
+class EvalWindowWarning(UserWarning):
+    """cfg.eval_len < env horizon: evaluation counts only episodes that
+    COMPLETE inside the window, so long episodes are censored.  A scoped
+    category so harnesses that use deliberately tiny eval windows (the test
+    suite, the driver dryrun) can filter it precisely without masking other
+    warnings."""
+
+
 def _shard_map(fn, mesh, in_specs, out_specs):
     try:
         return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
@@ -120,6 +128,7 @@ class Trainer:
                 f"({self.env.spec.horizon}): evaluation counts only episodes "
                 f"that COMPLETE within the window, so long episodes are "
                 f"censored; set eval_len >= the horizon for unbiased R/J",
+                EvalWindowWarning,
                 stacklevel=2,
             )
 

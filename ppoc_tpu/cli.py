@@ -250,10 +250,13 @@ def main(argv=None) -> int:
     from ppoc_tpu.algo.trainer import Trainer  # deferred: imports jax
 
     if args.calibrate:
-        if cfg.env.startswith("gym:") or args.resume or args.import_ref:
+        if cfg.env.startswith("gym:") or args.resume or args.import_ref \
+                or args.load:
             parser.error("--calibrate applies to fresh on-device-env runs "
-                         "(gym:* envs use --obs-norm; --resume/--import-ref "
-                         "carry their own config)")
+                         "(gym:* envs use --obs-norm; --resume/--import-ref/"
+                         "--load carry weights trained under their OWN "
+                         "normalization — calibrating underneath them would "
+                         "skew every observation the policy sees)")
         if cfg.obs_loc or cfg.obs_scale:
             parser.error("--calibrate would overwrite the explicit "
                          "--obs-loc/--obs-scale values; pass one or the "

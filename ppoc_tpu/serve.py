@@ -457,10 +457,17 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8000,
                         f"session {sid!r} was created with batch size "
                         f"{cache['start'].shape[0]}, got {obs.shape[0]} "
                         f"obs rows; close it or use a new session")
-                a, cache = act(obs, cache)
-                if done is not None:
-                    cache = act.reset_lanes(cache, jnp.asarray(done))
-                sessions[sid] = cache
+                # the cache is popped above; if the device call fails the
+                # finally re-inserts the PRE-STEP cache so a transient error
+                # doesn't silently drop the session's episode context (the
+                # client can retry the same step)
+                try:
+                    a, cache2 = act(obs, cache)
+                    if done is not None:
+                        cache2 = act.reset_lanes(cache2, jnp.asarray(done))
+                    cache = cache2
+                finally:
+                    sessions[sid] = cache
             out = {"action": np.asarray(a).tolist(), "session": sid,
                    "t": int(jax.device_get(cache["t"]))}
             if single:
