@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ppoc_tpu import envs
+from ppoc_tpu import config as config_mod, envs
 from ppoc_tpu.algo import ppo
 from ppoc_tpu.config import PPOConfig
 from ppoc_tpu.ops import resolve_backend
@@ -114,12 +114,10 @@ class Trainer:
         self.env = envs.make_for(cfg)
         self.backend = resolve_backend(cfg.kernel_backend)
         self.key = jax.random.PRNGKey(cfg.seed)
-        if cfg.num_minibatches < 1:
-            raise ValueError(
-                f"minibatch_size ({cfg.minibatch_size}) exceeds steps_per_fit "
-                f"({cfg.steps_per_fit} = n_envs * rollout_len): zero "
-                f"minibatches per epoch, nothing would train"
-            )
+        # config-consistency checks: the shared bank (config.validate) —
+        # sweep and the CLI run the IDENTICAL definition, so the three
+        # surfaces cannot drift; only mesh-dependent checks live below
+        config_mod.validate(cfg)
         if cfg.eval_len < self.env.spec.horizon:
             import warnings
 
@@ -143,34 +141,6 @@ class Trainer:
         self._mp_ctx = None  # set by _finalize_mp in tp/pp/ep modes
 
         if cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
-            kind = "rnn_hidden" if cfg.rnn_hidden > 0 else "attn_dim"
-            if cfg.rnn_hidden > 0 and cfg.attn_dim > 0:
-                raise ValueError(
-                    "rnn_hidden and attn_dim cannot both be set: pick ONE "
-                    "sequence family (recurrent or attention) per run"
-                )
-            if cfg.n_experts > 1 or cfg.tp_size > 1 or cfg.pp_size > 1 \
-                    or cfg.ep_size > 1:
-                raise ValueError(
-                    f"{kind} > 0 (sequence trunks) cannot combine with "
-                    f"n_experts/tp_size/pp_size/ep_size; sequence training "
-                    f"shards over the data axis only"
-                )
-            if not cfg.reset_per_fit:
-                raise ValueError(
-                    f"{kind} > 0 requires reset_per_fit=True: sequence "
-                    f"updates replay each window from an empty state, so "
-                    f"windows must start at episode starts"
-                )
-            if cfg.rnn_hidden > 0 and cfg.rnn_cell not in ("gru", "lstm"):
-                raise ValueError(
-                    f"rnn_cell must be 'gru' or 'lstm', got {cfg.rnn_cell!r}"
-                )
-            if cfg.attn_dim > 0 and cfg.attn_dim % cfg.attn_heads:
-                raise ValueError(
-                    f"attn_dim ({cfg.attn_dim}) must be divisible by "
-                    f"attn_heads ({cfg.attn_heads})"
-                )
             # sequence trunks run the generic XLA path for everything except
             # attention's parallel passes: the pallas backend routes them
             # through the flash kernel (ops/pallas_attn.py — score tiles in
@@ -181,40 +151,12 @@ class Trainer:
                             if (cfg.attn_dim > 0
                                 and self.backend in ("pallas", "bf16"))
                             else "jnp")
-        if cfg.tp_size > 1 and cfg.pp_size > 1:
-            raise ValueError(
-                "tp_size and pp_size cannot both exceed 1: pick tensor OR "
-                "pipeline sharding for the model axis"
-            )
-        if cfg.zero1 and (cfg.tp_size > 1 or cfg.pp_size > 1
-                          or cfg.ep_size > 1):
-            raise ValueError(
-                "zero1 cannot combine with tp_size/pp_size/ep_size: those "
-                "modes already shard optimizer state along the model axis"
-            )
         if cfg.ep_size > 1:
-            if cfg.tp_size > 1 or cfg.pp_size > 1:
-                raise ValueError(
-                    "ep_size cannot combine with tp_size/pp_size: the model "
-                    "axis is experts OR tensor OR pipeline"
-                )
-            if cfg.n_experts <= 1:
-                raise ValueError("ep_size > 1 requires n_experts > 1")
-            if cfg.n_experts % cfg.ep_size:
-                raise ValueError(
-                    f"n_experts ({cfg.n_experts}) must be divisible by "
-                    f"ep_size ({cfg.ep_size})"
-                )
             self._init_ep(full_state, mesh)
             self._solve_fn = None
             self._solve_args = None
             return
         if cfg.n_experts > 1:
-            if cfg.tp_size > 1 or cfg.pp_size > 1:
-                raise ValueError(
-                    "n_experts > 1 (MoE trunks) cannot combine with "
-                    "tp_size/pp_size; shard experts with ep_size instead"
-                )
             # single-device / pure-dp MoE: encode gating options into the
             # backend string (mlp.apply dispatches on the params structure);
             # the fused dense-MLP pallas kernels don't apply to MoE trunks,
@@ -496,12 +438,6 @@ class Trainer:
 
         cfg = self.cfg
         S = cfg.pp_size
-        n_layers = len(cfg.hidden) + 1
-        if n_layers % S:
-            raise ValueError(
-                f"{n_layers} MLP layers (hidden={cfg.hidden}) do not "
-                f"partition into pp_size={S} contiguous stages"
-            )
         dp_size = self._build_mp_mesh(mesh, "pp", S)
         M = cfg.pp_microbatches or S
         for nm, val in (("n_envs", cfg.n_envs),

@@ -213,6 +213,15 @@ def main(argv=None) -> int:
               "(the solve loop is one device program; a checkpoint is "
               "written at the end when --save is given)", file=sys.stderr)
     cfg = config_from_args(args)
+    # fail fast on inconsistent flag combinations with the SAME validation
+    # bank Trainer and sweep run (config.validate — one definition), surfaced
+    # as a parser error instead of a traceback mid-startup
+    from ppoc_tpu import config as _config_mod
+
+    try:
+        _config_mod.validate(cfg)
+    except ValueError as e:
+        parser.error(str(e))
 
     if args.supervise:
         # elastic mode: this process becomes the supervisor; training runs

@@ -170,6 +170,90 @@ class PPOConfig:
         return dataclasses.replace(self, **kw)
 
 
+def validate(cfg: PPOConfig) -> PPOConfig:
+    """Config-consistency validation bank — the SINGLE definition.
+
+    Shared by ``Trainer.__init__``, ``ppoc_tpu.sweep`` and the CLI so the
+    three surfaces can never drift in what they accept (a bare "jnp" sweep
+    silently degrading sparse MoE to dense gating was exactly this hazard).
+    Only checks that depend on the config alone live here; checks that need
+    a mesh (device counts, axis names, per-shard divisibility) stay with the
+    consumer that owns the mesh.  Returns ``cfg`` so call sites can chain.
+    """
+    if cfg.num_minibatches < 1:
+        raise ValueError(
+            f"minibatch_size ({cfg.minibatch_size}) exceeds steps_per_fit "
+            f"({cfg.steps_per_fit} = n_envs * rollout_len): zero "
+            f"minibatches per epoch, nothing would train"
+        )
+    if cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
+        kind = "rnn_hidden" if cfg.rnn_hidden > 0 else "attn_dim"
+        if cfg.rnn_hidden > 0 and cfg.attn_dim > 0:
+            raise ValueError(
+                "rnn_hidden and attn_dim cannot both be set: pick ONE "
+                "sequence family (recurrent or attention) per run"
+            )
+        if cfg.n_experts > 1 or cfg.tp_size > 1 or cfg.pp_size > 1 \
+                or cfg.ep_size > 1:
+            raise ValueError(
+                f"{kind} > 0 (sequence trunks) cannot combine with "
+                f"n_experts/tp_size/pp_size/ep_size; sequence training "
+                f"shards over the data axis only"
+            )
+        if not cfg.reset_per_fit:
+            raise ValueError(
+                f"{kind} > 0 requires reset_per_fit=True: sequence "
+                f"updates replay each window from an empty state, so "
+                f"windows must start at episode starts"
+            )
+        if cfg.rnn_hidden > 0 and cfg.rnn_cell not in ("gru", "lstm"):
+            raise ValueError(
+                f"rnn_cell must be 'gru' or 'lstm', got {cfg.rnn_cell!r}"
+            )
+        if cfg.attn_dim > 0 and cfg.attn_dim % cfg.attn_heads:
+            raise ValueError(
+                f"attn_dim ({cfg.attn_dim}) must be divisible by "
+                f"attn_heads ({cfg.attn_heads})"
+            )
+    if cfg.tp_size > 1 and cfg.pp_size > 1:
+        raise ValueError(
+            "tp_size and pp_size cannot both exceed 1: pick tensor OR "
+            "pipeline sharding for the model axis"
+        )
+    if cfg.zero1 and (cfg.tp_size > 1 or cfg.pp_size > 1
+                      or cfg.ep_size > 1):
+        raise ValueError(
+            "zero1 cannot combine with tp_size/pp_size/ep_size: those "
+            "modes already shard optimizer state along the model axis"
+        )
+    if cfg.ep_size > 1:
+        if cfg.tp_size > 1 or cfg.pp_size > 1:
+            raise ValueError(
+                "ep_size cannot combine with tp_size/pp_size: the model "
+                "axis is experts OR tensor OR pipeline"
+            )
+        if cfg.n_experts <= 1:
+            raise ValueError("ep_size > 1 requires n_experts > 1")
+        if cfg.n_experts % cfg.ep_size:
+            raise ValueError(
+                f"n_experts ({cfg.n_experts}) must be divisible by "
+                f"ep_size ({cfg.ep_size})"
+            )
+    if cfg.n_experts > 1 and (cfg.tp_size > 1 or cfg.pp_size > 1):
+        raise ValueError(
+            "n_experts > 1 (MoE trunks) cannot combine with "
+            "tp_size/pp_size; shard experts with ep_size instead"
+        )
+    if cfg.pp_size > 1:
+        n_layers = len(cfg.hidden) + 1
+        if n_layers % cfg.pp_size:
+            raise ValueError(
+                f"{n_layers} MLP layers (hidden={cfg.hidden}) do not "
+                f"partition into pp_size={cfg.pp_size} contiguous stages"
+            )
+    return cfg
+
+
 # Presets ------------------------------------------------------------------
 
 def reference_preset(env: str = "pendulum", seed: int = 0) -> PPOConfig:

@@ -32,7 +32,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ppoc_tpu import envs
+from ppoc_tpu import config, envs
 from ppoc_tpu.algo import ppo
 from ppoc_tpu.config import PPOConfig
 
@@ -76,14 +76,12 @@ def _backend(cfg: PPOConfig) -> str:
 
 
 def _validate(cfg: PPOConfig, seeds: Sequence[int]) -> None:
-    """The Trainer.__init__ config checks the sweep path must not bypass."""
+    """Config validation for the sweep path: the SAME shared bank Trainer
+    runs (config.validate — one definition, no drift) plus the sweep's own
+    execution-model constraints (single-device vmapped programs)."""
     if not len(seeds):
         raise ValueError("sweep needs at least one seed")
-    if cfg.num_minibatches < 1:
-        raise ValueError(
-            f"minibatch_size ({cfg.minibatch_size}) exceeds steps_per_fit "
-            f"({cfg.steps_per_fit}): zero minibatches, nothing would train"
-        )
+    config.validate(cfg)
     if cfg.tp_size > 1 or cfg.pp_size > 1 or cfg.ep_size > 1:
         raise ValueError(
             "sweeps are single-device vmapped programs; tp_size/pp_size/"
@@ -94,28 +92,6 @@ def _validate(cfg: PPOConfig, seeds: Sequence[int]) -> None:
             "zero1 shards optimizer state over a mesh; sweeps are "
             "single-device vmapped programs"
         )
-    if cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
-        kind = "rnn_hidden" if cfg.rnn_hidden > 0 else "attn_dim"
-        if cfg.rnn_hidden > 0 and cfg.attn_dim > 0:
-            raise ValueError(
-                "rnn_hidden and attn_dim cannot both be set: pick ONE "
-                "sequence family per run")
-        if cfg.n_experts > 1:
-            raise ValueError(f"{kind} > 0 cannot combine with n_experts")
-        if not cfg.reset_per_fit:
-            raise ValueError(
-                f"{kind} > 0 requires reset_per_fit=True (windows must "
-                f"start at episode starts for the empty-state replay)"
-            )
-        if cfg.rnn_hidden > 0 and cfg.rnn_cell not in ("gru", "lstm"):
-            raise ValueError(
-                f"rnn_cell must be 'gru' or 'lstm', got {cfg.rnn_cell!r}"
-            )
-        if cfg.attn_dim > 0 and cfg.attn_dim % cfg.attn_heads:
-            raise ValueError(
-                f"attn_dim ({cfg.attn_dim}) must be divisible by "
-                f"attn_heads ({cfg.attn_heads})"
-            )
 
 
 def _init_states(cfg: PPOConfig, env, seeds: Sequence[int],
