@@ -44,13 +44,19 @@ from ppoc_tpu.ops import adam, losses
 LOG_2PI = math.log(2.0 * math.pi)
 
 
-def _seq_apply(trunk, xs, reset_after, activation, backend: str = "jnp"):
+def _seq_apply(trunk, xs, reset_after, activation, backend: str = "jnp",
+               sp_axis: Optional[str] = None):
     """Whole-window head outputs for either sequence family: the GRU/LSTM
     masked time scan or the attention causal-episode-masked parallel pass.
     Single dispatch point for the update phases, so both families share the
     sequence-minibatch PPO machinery below.  ``backend="pallas"`` selects
-    the flash-attention kernel for attention trunks (GRU ignores it)."""
+    the flash-attention kernel for attention trunks (GRU ignores it);
+    ``sp_axis`` (attention only) runs the window time-sharded over that
+    mesh axis via ring attention (models/attn.apply_seq_sp)."""
     if attn.is_attn(trunk):
+        if sp_axis is not None:
+            return attn.apply_seq_sp(trunk, xs, reset_after, activation,
+                                     sp_axis)
         return attn.apply_seq(trunk, xs, reset_after, activation,
                               backend=backend)
     return gru.apply_seq(trunk, xs, reset_after, activation)
@@ -192,15 +198,44 @@ def compute_values_rnn(
     return values, next_values
 
 
+def compute_values_sp(cfg: PPOConfig, v_params, traj,
+                      sp_axis: str) -> Tuple[jax.Array, jax.Array]:
+    """(V(s_t), V(s'_t)) [T_local, E] planes for a TIME-sharded window.
+
+    The sequence-parallel form of :func:`compute_values_rnn`'s attention
+    branch: the parallel pass runs as ring attention with the local K/V
+    blocks kept (models/attn.apply_seq_sp with_cache), then the next-token
+    decode rings the same context past every shard's V(s') queries
+    (models/attn.decode_next_sp).
+    """
+    done = jnp.logical_or(traj.terminated, traj.truncated)
+    values, ks, vs, ep = attn.apply_seq_sp(
+        v_params, traj.obs, done, cfg.activation, sp_axis, with_cache=True)
+    nv = attn.decode_next_sp(v_params, traj.next_obs, ks, vs, ep,
+                             cfg.activation, sp_axis)
+    return values[..., 0], nv[..., 0]
+
+
+def _plan_T(rollout_len_local: int, sp_axis: Optional[str]) -> int:
+    """GLOBAL window length for the minibatch plan: a local [T_local, E]
+    column under sp is one T_local*sp_size-step sequence's shard, and
+    ``minibatch_size`` counts GLOBAL transitions per sequence."""
+    if sp_axis is None:
+        return rollout_len_local
+    return rollout_len_local * jax.lax.axis_size(sp_axis)
+
+
 def policy_log_probs_rnn(cfg: PPOConfig, policy_params, obs, action, done,
                          discrete: bool,
-                         backend: str = "jnp") -> Tuple[jax.Array, jax.Array]:
+                         backend: str = "jnp",
+                         sp_axis: Optional[str] = None,
+                         ) -> Tuple[jax.Array, jax.Array]:
     """(log-probs [T, B], mean entropy) of stored actions under the current
     recurrent policy, replayed from h0=0 with episode-boundary masking —
     identical recurrence to rollout_rnn, so at epoch 0 the ratios are
     exactly 1."""
     out = _seq_apply(policy_params["mlp"], obs, done, cfg.activation,
-                     backend)
+                     backend, sp_axis)
     if discrete:
         logp_all = jax.nn.log_softmax(out, axis=-1)
         logp = jnp.take_along_axis(
@@ -219,19 +254,24 @@ def policy_log_probs_rnn(cfg: PPOConfig, policy_params, obs, action, done,
 # --------------------------------------------------------------------------
 
 def value_phase_rnn(cfg: PPOConfig, ts, traj, target: jax.Array, key,
-                    axis_name: Optional[str], mb_size: int, v_old=None,
-                    backend: str = "jnp"):
+                    axis_name, mb_size: int, v_old=None,
+                    backend: str = "jnp", sp_axis: Optional[str] = None):
     """n_epochs_value shuffled passes fitting the recurrent V
     (src/ppo.cu:491-510 with sequence minibatches).  ``v_old`` ([T, E]
-    rollout-time values) enables PPO2 value clipping (cfg.clip_value)."""
+    rollout-time values) enables PPO2 value clipping (cfg.clip_value).
+    Under sequence parallelism (``sp_axis``) the planes are time shards,
+    every shard of an sp group runs the SAME env-column minibatches (the
+    caller passes a group-common key) and ``axis_name`` is the (dp, sp)
+    tuple the gradients pmean over."""
     from ppoc_tpu.algo import ppo as ppo_mod
 
     T, E = target.shape
     done = jnp.logical_or(traj.terminated, traj.truncated)
-    seqs, n_mb = seq_minibatch_plan(E, T, mb_size)
+    seqs, n_mb = seq_minibatch_plan(E, _plan_T(T, sp_axis), mb_size)
 
     def loss_fn(v_params, o, d, t, vo=None):
-        v = _seq_apply(v_params, o, d, cfg.activation, backend)[..., 0]
+        v = _seq_apply(v_params, o, d, cfg.activation, backend,
+                       sp_axis)[..., 0]
         if vo is not None:
             return losses.clipped_value_loss(v, vo, t, cfg.clip_value)
         return losses.value_loss(v, t)
@@ -258,20 +298,21 @@ def value_phase_rnn(cfg: PPOConfig, ts, traj, target: jax.Array, key,
 
 
 def policy_phase_rnn(cfg: PPOConfig, env: Env, ts, traj, adv: jax.Array, key,
-                     axis_name: Optional[str], mb_size: int,
-                     backend: str = "jnp"):
+                     axis_name, mb_size: int,
+                     backend: str = "jnp", sp_axis: Optional[str] = None):
     """n_epochs_policy shuffled passes on the clipped surrogate
-    (src/ppo.cu:512-533 with sequence minibatches + BPTT)."""
+    (src/ppo.cu:512-533 with sequence minibatches + BPTT).  ``sp_axis``
+    as in :func:`value_phase_rnn`."""
     from ppoc_tpu.algo import ppo as ppo_mod
 
     T, E = adv.shape
     discrete = env.spec.discrete
     done = jnp.logical_or(traj.terminated, traj.truncated)
-    seqs, n_mb = seq_minibatch_plan(E, T, mb_size)
+    seqs, n_mb = seq_minibatch_plan(E, _plan_T(T, sp_axis), mb_size)
 
     def loss_fn(policy_params, o, a, d, lp_old, ad, ent_c):
         logp, ent = policy_log_probs_rnn(cfg, policy_params, o, a, d,
-                                         discrete, backend)
+                                         discrete, backend, sp_axis)
         surrogate = losses.clipped_surrogate_loss(logp, lp_old, ad, cfg.clip_eps)
         return surrogate - ent_c * ent, (ent, jnp.mean(lp_old - logp))
 

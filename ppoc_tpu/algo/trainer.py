@@ -151,6 +151,11 @@ class Trainer:
                             if (cfg.attn_dim > 0
                                 and self.backend in ("pallas", "bf16"))
                             else "jnp")
+        if cfg.sp_size > 1:
+            self._init_sp(full_state, mesh)
+            self._solve_fn = None
+            self._solve_args = None
+            return
         if cfg.ep_size > 1:
             self._init_ep(full_state, mesh)
             self._solve_fn = None
@@ -531,6 +536,62 @@ class Trainer:
 
         self._finalize_mp(full_state, dp_size, "ep", ep_backend, state_spec)
 
+    # -- sequence parallelism (algo/seqpar.py) -------------------------------
+
+    def _init_sp(self, full_state: ppo.TrainState, mesh: Optional[Mesh]):
+        """Attention trunks over a (dp, sp) mesh: the rollout window itself
+        time-shards — ring attention (parallel/ring_attn.py) for every
+        parallel pass, the cross-shard GAE affine merge (parallel/sp.py),
+        one tiled all_to_all per fit resharding the env-sharded rollout
+        time-major (algo/seqpar.py).  Parameters and optimizer state stay
+        replicated (gradients pmean over BOTH axes), so checkpoints are
+        interchangeable with every other trainer mode as-is."""
+        from ppoc_tpu.algo import seqpar
+
+        cfg = self.cfg
+        dp_size = self._build_mp_mesh(mesh, "sp", cfg.sp_size)
+        total = dp_size * cfg.sp_size
+        if cfg.n_envs % total or cfg.eval_envs % total:
+            raise ValueError(
+                f"n_envs ({cfg.n_envs}) and eval_envs ({cfg.eval_envs}) "
+                f"must divide the WHOLE mesh ({total} devices): sp rollouts "
+                f"shard envs over the flattened (dp, sp) mesh"
+            )
+        if cfg.minibatch_size % dp_size:
+            raise ValueError(
+                f"minibatch_size ({cfg.minibatch_size}) must divide the dp "
+                f"size ({dp_size})"
+            )
+        self.backend = "jnp"  # ring passes are their own path; the flash /
+        # bf16 kernels apply to the single-device window only
+        self._sp_ctx = dp_size
+        n_envs_dp = cfg.n_envs // dp_size
+        mb_dp = cfg.minibatch_size // dp_size
+
+        def epoch_local(ts, key):
+            return seqpar.train_epoch_sp(
+                cfg, self.env, ts, key, cfg.mesh_axis, "sp",
+                n_envs_dp, mb_dp)
+
+        self._train_epoch = jax.jit(_shard_map(
+            epoch_local, self.mesh, in_specs=(P(), P()),
+            out_specs=(P(), P())))
+
+        def make_eval(det):
+            return jax.jit(_shard_map(
+                functools.partial(
+                    ppo.evaluate, cfg, self.env,
+                    backend="jnp",
+                    n_envs=cfg.eval_envs // total,
+                    axis_name=(cfg.mesh_axis, "sp"),
+                    deterministic=det,
+                ),
+                self.mesh, in_specs=(P(), P()), out_specs=P()))
+
+        self._evaluate = make_eval(False)
+        self._evaluate_det = make_eval(True)
+        self.state = full_state
+
     # -- public API ---------------------------------------------------------
 
     def evaluate(self, deterministic: bool = False) -> ppo.EvalMetrics:
@@ -632,7 +693,26 @@ class Trainer:
             self._solve_fn = None
         self._solve_args = (target_R, max_epochs)
         if self._solve_fn is None:
-            if getattr(self, "_mp_ctx", None) is not None:
+            if getattr(self, "_sp_ctx", None) is not None:
+                from ppoc_tpu.algo import seqpar
+
+                cfg = self.cfg
+                dp_size = self._sp_ctx
+                total = self.mesh.size
+
+                def solve_local_sp(ts, key):
+                    return seqpar.train_until_sp(
+                        cfg, self.env, ts, key, target_R, max_epochs,
+                        cfg.mesh_axis, "sp",
+                        cfg.n_envs // dp_size,
+                        cfg.minibatch_size // dp_size,
+                        cfg.eval_envs // total,
+                    )
+
+                self._solve_fn = jax.jit(_shard_map(
+                    solve_local_sp, self.mesh,
+                    in_specs=(P(), P()), out_specs=(P(), P(), P())))
+            elif getattr(self, "_mp_ctx", None) is not None:
                 # any model-parallel mode (tp/pp/ep): one shard_map'd
                 # train_until over the stored 2-D mesh context
                 dp_size, model_axis, unpack_local, repack_local = self._mp_ctx

@@ -127,6 +127,17 @@ class PPOConfig:
     attn_layers: int = 2          # Transformer blocks when attn_dim > 0
     attn_heads: int = 2           # attention heads (must divide attn_dim)
     attn_ff: int = 0              # FF hidden width per block; 0 = 4*attn_dim
+    sp_size: int = 1              # sequence-parallel degree (attention
+                                  # trunks only): shard the rollout WINDOW
+                                  # over a mesh axis "sp" — parallel
+                                  # attention passes run as ring attention
+                                  # (parallel/ring_attn.py), GAE merges its
+                                  # affine carry across shards
+                                  # (parallel/sp.py), rollouts shard envs
+                                  # over the flattened (dp, sp) mesh and
+                                  # reshard time-major with one all_to_all
+                                  # per fit (algo/seqpar.py).  Must divide
+                                  # rollout_len; requires attn_dim > 0
     zero1: bool = False           # ZeRO-1 / FSDP-style optimizer-state
                                   # sharding over the dp mesh axis: params
                                   # stay replicated for rollout/backprop,
@@ -214,6 +225,26 @@ def validate(cfg: PPOConfig) -> PPOConfig:
             raise ValueError(
                 f"attn_dim ({cfg.attn_dim}) must be divisible by "
                 f"attn_heads ({cfg.attn_heads})"
+            )
+    if cfg.sp_size > 1:
+        if cfg.attn_dim <= 0:
+            raise ValueError(
+                "sp_size > 1 (sequence parallelism) requires attn_dim > 0: "
+                "only the attention family computes over the window in "
+                "parallel (ring attention); GRU/LSTM scans and feedforward "
+                "trunks have no time axis to shard"
+            )
+        if cfg.rollout_len % cfg.sp_size:
+            raise ValueError(
+                f"rollout_len ({cfg.rollout_len}) must be divisible by "
+                f"sp_size ({cfg.sp_size}): the window shards into "
+                f"contiguous equal time blocks"
+            )
+        if cfg.zero1:
+            raise ValueError(
+                "sp_size > 1 cannot combine with zero1: the sp update's "
+                "gradient reduction spans the (dp, sp) mesh while ZeRO-1 "
+                "shards optimizer state over dp alone"
             )
     if cfg.tp_size > 1 and cfg.pp_size > 1:
         raise ValueError(

@@ -266,6 +266,88 @@ def apply_seq(
     return (out, ks, vs) if with_cache else out
 
 
+def apply_seq_sp(
+    params: AttnParams,
+    xs: jax.Array,            # [T_local, ..., in]: this device's TIME shard
+    reset_after: jax.Array,   # [T_local, ...] bool
+    activation: str,
+    axis_name: str = "sp",
+    with_cache: bool = False,
+):
+    """Sequence-parallel :func:`apply_seq`: the window is time-sharded over
+    mesh axis ``axis_name`` and every attention core runs as ring attention
+    (parallel/ring_attn.ring_mha_ids) — K/V blocks rotate over ICI while
+    LayerNorm/FF/head stay position-local.  Positions and episode ids are
+    GLOBAL (shard offset = axis_index * T_local), so the result equals the
+    unsharded apply_seq on the gathered window up to f32 reassociation.
+
+    ``with_cache=True`` returns ``(out, ks, vs, ep)``: the LOCAL per-layer
+    K/V time blocks plus the global episode ids, the context
+    :func:`decode_next_sp` rings around for the V(s') bootstrap.
+    """
+    from ppoc_tpu.parallel import ring_attn
+
+    attn = params["attn"]
+    T = xs.shape[0]
+    n = jax.lax.axis_size(axis_name)
+    t_max = attn["pos"].shape[0]
+    if T * n > t_max:
+        raise ValueError(
+            f"global window {T} x {n} shards exceeds the positional table "
+            f"({t_max}); init the trunk with t_max >= the rollout length")
+    i = jax.lax.axis_index(axis_name)
+    pos = jax.lax.dynamic_slice_in_dim(attn["pos"], i * T, T, 0)
+    h = _embed(attn, xs) + pos.reshape((T,) + (1,) * (xs.ndim - 2) + (-1,))
+    ep = ring_attn.global_episode_ids(reset_after, axis_name)
+    ks, vs = [], []
+    for blk in attn["blocks"]:
+        u = _ln(h, blk["ln1"])
+        q, k, v = _qkv(blk, u)
+        if with_cache:
+            ks.append(k)
+            vs.append(v)
+        o = ring_attn.ring_mha_ids(q, k, v, ep, ep, axis_name)
+        h = h + _dot(o.reshape(o.shape[:-2] + (-1,)), blk["wo"], False) \
+            + blk["bo"]
+        h = h + _ff(_ln(h, blk["ln2"]), blk, activation)
+    out = mlp.apply(params["head"], _ln(h, attn["lnf"]), activation, "jnp")
+    return (out, ks, vs, ep) if with_cache else out
+
+
+def decode_next_sp(
+    params: AttnParams,
+    x_next: jax.Array,        # [T_local, ..., in]: next-token per local slot
+    ks: List[jax.Array],
+    vs: List[jax.Array],
+    ep: jax.Array,            # [T_local, ...] GLOBAL episode ids of the slots
+    activation: str,
+    axis_name: str = "sp",
+) -> jax.Array:
+    """Sequence-parallel :func:`decode_next`: next-token t attends the
+    time-sharded context (global keys s <= t of the same episode, ringing
+    over ``axis_name``) plus itself — the self token seeds the ring's
+    online-softmax carry (ring_mha_ids ``self_kv``), so the softmax is
+    globally exact.  Computes V(s'_t) for GAE in one pass per layer.
+    """
+    from ppoc_tpu.parallel import ring_attn
+
+    attn = params["attn"]
+    T = x_next.shape[0]
+    t_max = attn["pos"].shape[0]
+    i = jax.lax.axis_index(axis_name)
+    pos_idx = jnp.minimum(i * T + jnp.arange(T) + 1, t_max - 1)
+    h = _embed(attn, x_next) + attn["pos"][pos_idx].reshape(
+        (T,) + (1,) * (x_next.ndim - 2) + (-1,))
+    for blk, k_ctx, v_ctx in zip(attn["blocks"], ks, vs):
+        u = _ln(h, blk["ln1"])
+        q, k_self, v_self = _qkv(blk, u)
+        o = ring_attn.ring_mha_ids(q, k_ctx, v_ctx, ep, ep, axis_name,
+                                   self_kv=(k_self, v_self))
+        h = h + o.reshape(o.shape[:-2] + (-1,)) @ blk["wo"] + blk["bo"]
+        h = h + _ff(_ln(h, blk["ln2"]), blk, activation)
+    return mlp.apply(params["head"], _ln(h, attn["lnf"]), activation, "jnp")
+
+
 def decode_next(
     params: AttnParams,
     x_next: jax.Array,        # [T, ..., in]: one candidate "next token" per slot

@@ -21,10 +21,11 @@ global — each shard's exclusive done-cumsum plus the done-count of every
 earlier shard (one all_gather of N scalars, the same trick sp.gae_sp uses
 for its affine carry).
 
-Like sp.gae_sp this ships as a building block with exactness tests and a
-driver-dryrun leg rather than a Trainer mode: one chip holds every window
-the in-repo envs produce, but the collective pattern is the part that
-needs proving for scale.
+Product surface: ``PPOConfig(sp_size=N)`` trains attention trunks over a
+(dp, sp) mesh end-to-end — algo/seqpar.py reshards rollouts time-major and
+routes every parallel attention pass through :func:`ring_mha` /
+:func:`ring_mha_ids` (the V(s') bootstrap decode folds its self-token into
+the online-softmax carry, see ``self_kv``).
 """
 from __future__ import annotations
 
@@ -68,13 +69,36 @@ def ring_mha(
     attn.causal_episode_mask(done_full))`` restricted to this shard's
     queries.
     """
+    ep = global_episode_ids(reset_after, axis_name)
+    return ring_mha_ids(q, k, v, ep, ep, axis_name)
+
+
+def ring_mha_ids(
+    q: jax.Array,             # [T_local, ..., H, hd]
+    k: jax.Array,
+    v: jax.Array,
+    q_ep: jax.Array,          # [T_local, ...] int32 GLOBAL episode id per query
+    k_ep: jax.Array,          # [T_local, ...] int32 GLOBAL episode id per key
+    axis_name: str,
+    self_kv: Tuple[jax.Array, jax.Array] = None,
+) -> jax.Array:
+    """Ring attention with explicit episode ids (the general core).
+
+    Query slot t (global position ``axis_index * T_local + t``) attends key
+    slot s iff ``s_global <= t_global`` and ``k_ep[s] == q_ep[t]``.  With
+    ``self_kv=(k_self, v_self)`` ([T_local, ..., H, hd]) each query
+    ADDITIONALLY attends its own private token — the V(s') bootstrap decode
+    (algo/recurrent.compute_values_rnn's decode_next taken cross-device):
+    the self score seeds the online-softmax carry, so it joins the global
+    softmax exactly.
+    """
     T = q.shape[0]
     hd = q.shape[-1]
     scale = 1.0 / math.sqrt(hd)
     n = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
 
-    ep = global_episode_ids(reset_after, axis_name)
+    ep = k_ep
     qpos = me * T + jnp.arange(T)
 
     # fold batch dims into the einsum-free core: work on [T, ..., H, hd]
@@ -85,7 +109,7 @@ def ring_mha(
         s = jnp.einsum("t...hk,s...hk->ts...h", q, k_b) * scale
         causal = (kpos.reshape((1, T) + (1,) * (s.ndim - 3))
                   <= qpos.reshape((T, 1) + (1,) * (s.ndim - 3)))
-        valid = jnp.logical_and(causal, ep_b[None] == ep[:, None])
+        valid = jnp.logical_and(causal, ep_b[None] == q_ep[:, None])
         # broadcast the [Tq, Tk, ...] mask over heads
         s = jnp.where(valid[..., None], s, NEG)
         m2 = jnp.maximum(m, jnp.max(s, axis=1))        # [Tq, ..., H]
@@ -99,9 +123,18 @@ def ring_mha(
     # derive the initial statistics from q so they inherit its
     # device-varying type under shard_map (plain zeros would be
     # replicated-typed and fail the fori_loop carry typecheck)
-    acc0 = jnp.zeros_like(q)
-    l0 = 0.0 * q[..., 0]          # [T, ..., H]
-    m0 = l0 + NEG
+    if self_kv is not None:
+        # seed the carry with the query's private self-token: weight
+        # exp(s_self - m0) = 1, so after the ring it participates in the
+        # global softmax exactly
+        k_self, v_self = self_kv
+        m0 = jnp.sum(q * k_self, axis=-1) * scale      # [T, ..., H]
+        l0 = jnp.ones_like(m0)
+        acc0 = v_self + 0.0 * q
+    else:
+        acc0 = jnp.zeros_like(q)
+        l0 = 0.0 * q[..., 0]          # [T, ..., H]
+        m0 = l0 + NEG
 
     def ring_step(r, state):
         (acc, m, l), (k_b, v_b, ep_b, src) = state

@@ -82,10 +82,11 @@ def _validate(cfg: PPOConfig, seeds: Sequence[int]) -> None:
     if not len(seeds):
         raise ValueError("sweep needs at least one seed")
     config.validate(cfg)
-    if cfg.tp_size > 1 or cfg.pp_size > 1 or cfg.ep_size > 1:
+    if cfg.tp_size > 1 or cfg.pp_size > 1 or cfg.ep_size > 1 \
+            or cfg.sp_size > 1:
         raise ValueError(
             "sweeps are single-device vmapped programs; tp_size/pp_size/"
-            "ep_size must be 1"
+            "ep_size/sp_size must be 1"
         )
     if cfg.zero1:
         raise ValueError(
