@@ -482,25 +482,101 @@ def compute_advantages(
 # update phases
 # --------------------------------------------------------------------------
 
-def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
-                axis_name: Optional[str], backend: str, n_mb: int, mb_size: int):
-    """n_epochs_value shuffled passes fitting V (src/ppo.cu:491-510).
+def _replicate_equal(tree, axis_name: str):
+    """Re-type a device-varying tree whose values are PROVABLY identical on
+    every shard as replicated.  pmax of identical values is bit-exact for
+    every dtype and mesh size (a pmean would divide — 1-ulp noise on
+    non-power-of-2 meshes — and reject the int32 Adam timestep)."""
+    return jax.tree.map(lambda x: jax.lax.pmax(x, axis_name), tree)
 
-    With the pallas backend on a single device and a latency-bound
-    minibatch size, the ENTIRE phase (all epochs x minibatches of forward +
-    backward + Adam) runs as one fused kernel with weights and moments
-    resident in VMEM (ops/pallas_update.py); same permutation stream and
-    update sequence.  Measured on a v5e chip: 1.8x faster at mb<=~2k (the
-    solve config), slower at mb>=8k where XLA's pipelined big matmuls win —
-    hence the size gate (docs/RESULTS.md perf X-ray).  Sharded runs keep
-    the scan (gradient pmean must cross shards before Adam).
+
+def fused_dp_engages(cfg: PPOConfig, backend: str) -> bool:
+    """Config-only gate: will the replicated fused update phases engage
+    under data parallelism?  The Trainer consults this to build its dp
+    shard_map with ``check_vma=False`` — Pallas kernels cannot trace under
+    the varying-axes checker (literals inside a kernel carry no vma), so
+    the pallas-dp mode trades the type check for the fused path; its
+    correctness is pinned by bit-equality tests instead
+    (tests/test_pallas_update.py::test_fused_dp_*).  This is the VALUE
+    phase's gate (the weaker one): target_kl/ent_anneal additionally send
+    just the policy phase to the scan."""
+    if backend != "pallas" or cfg.zero1:
+        return False
+    if cfg.n_experts > 1 or cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
+        return False
+    if cfg.max_grad_norm > 0.0 or cfg.lr_anneal or cfg.clip_value > 0.0:
+        return False
+    from ppoc_tpu.ops import pallas_update as _pu
+
+    return cfg.minibatch_size <= _pu._MAX_TILE
+
+
+def _fused_dp_ready(cfg: PPOConfig, trunk, axis_name, backend: str,
+                    key_common, n_mb: int) -> bool:
+    """Gate for the REPLICATED fused update under data parallelism.
+
+    At the latency-bound minibatch sizes where the fused whole-phase
+    kernels win (mb <= ~2k), sharding the update is the wrong parallelism:
+    the scan path pays (n_epochs_value + n_epochs_policy) * n_mb per-
+    minibatch gradient pmeans (644 collective latencies per fit on the
+    reference schedule) to split GEMMs that are overhead-bound anyway.
+    Instead the rollout stays sharded (that is where the work scales) and
+    the update REPLICATES: one all_gather of the small buffer per phase,
+    every shard runs the identical fused kernel under a shard-COMMON
+    permutation key, and the identical results re-type as replicated —
+    zero per-minibatch collectives.  Exactness: bit-equal to the
+    single-device fused phase on the gathered buffer
+    (tests/test_pallas_update.py::test_fused_dp_*).
     """
     from ppoc_tpu.models import moe as _moe
 
+    if not (backend == "pallas" and axis_name is not None
+            and isinstance(axis_name, str) and key_common is not None):
+        return False
+    if _moe.is_moe(trunk) or cfg.zero1:
+        return False
+    from ppoc_tpu.ops import pallas_update as _pu
+
+    return (cfg.minibatch_size <= _pu._MAX_TILE
+            and n_mb == cfg.num_minibatches)
+
+
+def _gather_rows(buf, axis_name: str):
+    """all_gather the per-shard row buffers back into the global buffer
+    (tiled over the row axis) — the one collective of a replicated phase."""
+    return jax.tree.map(
+        lambda a: jax.lax.all_gather(a, axis_name, tiled=True), buf)
+
+
+def _vary_all(tree, axis_name: str):
+    """Type every leaf as device-varying so the fused kernel's operands
+    carry a uniform vma (the gathered rows are varying; params/keys are
+    replicated-typed and would otherwise fail dot_general's vma match)."""
+    return _pvary(tree, axis_name)
+
+
+def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
+                axis_name: Optional[str], backend: str, n_mb: int,
+                mb_size: int, key_common=None):
+    """n_epochs_value shuffled passes fitting V (src/ppo.cu:491-510).
+
+    With the pallas backend and a latency-bound minibatch size, the ENTIRE
+    phase (all epochs x minibatches of forward + backward + Adam) runs as
+    one fused kernel with weights and moments resident in VMEM
+    (ops/pallas_update.py); same permutation stream and update sequence.
+    Measured on a v5e chip: 1.8x faster at mb<=~2k (the solve config),
+    slower at mb>=8k where XLA's pipelined big matmuls win — hence the
+    size gate (docs/RESULTS.md perf X-ray).  Under data parallelism the
+    phase REPLICATES instead of sharding (see _fused_dp_ready); sharded
+    runs outside the fused regime keep the scan (gradient pmean must cross
+    shards before Adam).
+    """
+    from ppoc_tpu.models import moe as _moe
+
+    _stab_ok = (cfg.max_grad_norm == 0.0 and not cfg.lr_anneal
+                and cfg.clip_value == 0.0)
     if (backend == "pallas" and axis_name is None
-            and not _moe.is_moe(ts.v_params)
-            and cfg.max_grad_norm == 0.0 and not cfg.lr_anneal
-            and cfg.clip_value == 0.0):
+            and not _moe.is_moe(ts.v_params) and _stab_ok):
         from ppoc_tpu.ops import pallas_update as _pu
 
         if (mb_size <= _pu._MAX_TILE
@@ -510,6 +586,17 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
                 cfg, ts.v_params, ts.opt_v, buf, key
             )
             return ts._replace(v_params=v2, opt_v=opt2), loss
+    if (_stab_ok and _fused_dp_ready(cfg, ts.v_params, axis_name, backend,
+                                     key_common, n_mb)):
+        from ppoc_tpu.ops import pallas_update as _pu
+
+        v_in, opt_in, k_in = _vary_all(
+            (ts.v_params, ts.opt_v, key_common), axis_name)
+        v2, opt2, loss = _pu.value_phase_fused(
+            cfg, v_in, opt_in, _gather_rows(buf, axis_name), k_in,
+        )
+        v2, opt2, loss = _replicate_equal((v2, opt2, loss), axis_name)
+        return ts._replace(v_params=v2, opt_v=opt2), loss
     n_rows = buf.obs.shape[0]
     aux_coeff, moe_topk = _moe.aux_setup(cfg, ts.v_params, backend)
 
@@ -548,39 +635,57 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
 
 def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer,
                  key, axis_name: Optional[str],
-                 backend: str, n_mb: int, mb_size: int):
+                 backend: str, n_mb: int, mb_size: int, key_common=None):
     """n_epochs_policy shuffled passes on the clipped surrogate
     (src/ppo.cu:512-533).
 
-    With the pallas backend on a single device (small-minibatch gate as in
-    value_phase), the whole phase runs as one fused kernel — Gaussian and
-    categorical policies both (closed-form surrogate + entropy gradients,
-    ops/pallas_update.py).
+    With the pallas backend (small-minibatch gate as in value_phase), the
+    whole phase runs as one fused kernel — Gaussian and categorical
+    policies both (closed-form surrogate + entropy gradients,
+    ops/pallas_update.py); under dp it replicates (_fused_dp_ready).
     """
     n_rows = buf.obs.shape[0]
     discrete = env.spec.discrete
     from ppoc_tpu.models import moe as _moe
 
+    _stab_ok = (cfg.max_grad_norm == 0.0 and not cfg.lr_anneal
+                and cfg.target_kl == 0.0 and not cfg.ent_anneal)
+
+    def _run_fused(pol_in, opt_p_in, opt_ls_in, buf_in, key_in):
+        if discrete:
+            pol2, opt_p2, loss, ent = _pu.policy_phase_fused_categorical(
+                cfg, pol_in, opt_p_in, buf_in, key_in
+            )
+            return (pol2, opt_p2, opt_ls_in), (loss, ent)
+        pol2, opt_p2, opt_ls2, loss, ent = _pu.policy_phase_fused(
+            cfg, pol_in, opt_p_in, opt_ls_in, buf_in, key_in,
+        )
+        return (pol2, opt_p2, opt_ls2), (loss, ent)
+
     if (backend == "pallas" and axis_name is None
-            and not _moe.is_moe(ts.policy_params["mlp"])
-            and cfg.max_grad_norm == 0.0 and not cfg.lr_anneal
-            and cfg.target_kl == 0.0 and not cfg.ent_anneal):
+            and not _moe.is_moe(ts.policy_params["mlp"]) and _stab_ok):
         from ppoc_tpu.ops import pallas_update as _pu
 
         if (mb_size <= _pu._MAX_TILE
                 and mb_size == cfg.minibatch_size
                 and n_mb == cfg.num_minibatches):
-            if discrete:
-                pol2, opt_p2, loss, ent = _pu.policy_phase_fused_categorical(
-                    cfg, ts.policy_params, ts.opt_policy, buf, key
-                )
-                return (ts._replace(policy_params=pol2, opt_policy=opt_p2),
-                        loss, ent)
-            pol2, opt_p2, opt_ls2, loss, ent = _pu.policy_phase_fused(
-                cfg, ts.policy_params, ts.opt_policy, ts.opt_log_std, buf, key
-            )
+            (pol2, opt_p2, opt_ls2), (loss, ent) = _run_fused(
+                ts.policy_params, ts.opt_policy, ts.opt_log_std, buf, key)
             return ts._replace(policy_params=pol2, opt_policy=opt_p2,
                                opt_log_std=opt_ls2), loss, ent
+    if (_stab_ok and _fused_dp_ready(cfg, ts.policy_params["mlp"], axis_name,
+                                     backend, key_common, n_mb)):
+        from ppoc_tpu.ops import pallas_update as _pu
+
+        pol_in, opt_p_in, opt_ls_in, k_in = _vary_all(
+            (ts.policy_params, ts.opt_policy, ts.opt_log_std, key_common),
+            axis_name)
+        out = _run_fused(pol_in, opt_p_in, opt_ls_in,
+                         _gather_rows(buf, axis_name), k_in)
+        ((pol2, opt_p2, opt_ls2), (loss, ent)) = _replicate_equal(
+            out, axis_name)
+        return ts._replace(policy_params=pol2, opt_policy=opt_p2,
+                           opt_log_std=opt_ls2), loss, ent
 
     aux_coeff, moe_topk = _moe.aux_setup(cfg, ts.policy_params["mlp"], backend)
 
@@ -651,6 +756,7 @@ def update_step(
     mb_size: Optional[int] = None,
     backend: str = "jnp",
     values_pair=None,
+    key_common=None,
 ) -> Tuple[TrainState, FitMetrics]:
     """Learner half of a fit: GAE + advantage normalization + value/policy
     epochs on an already-collected trajectory (the work of
@@ -658,11 +764,16 @@ def update_step(
 
     Used by :func:`fit_step` with on-device rollouts and by the Gymnasium
     host bridge (ppoc_tpu.envs.gym_bridge) with host-collected ones —
-    ``env`` only contributes its spec (gamma, discrete).
+    ``env`` only contributes its spec (gamma, discrete).  ``key_common``
+    (dp runs) is the shard-INVARIANT update key the replicated fused
+    phases permute with (see _fused_dp_ready).
     """
     mb_size = cfg.minibatch_size if mb_size is None else mb_size
     n_mb = cfg.num_minibatches  # identical globally and per shard
     k_val, k_pol = jax.random.split(key)
+    k_val_c = k_pol_c = None
+    if key_common is not None:
+        k_val_c, k_pol_c = jax.random.split(key_common)
 
     from ppoc_tpu.models import attn as _attn, gru as _gru
 
@@ -705,10 +816,12 @@ def update_step(
         v_old=values_pair[0] if cfg.clip_value > 0.0 else None)
 
     ts, v_loss = value_phase(
-        cfg, ts, buf, k_val, axis_name, backend, n_mb, mb_size
+        cfg, ts, buf, k_val, axis_name, backend, n_mb, mb_size,
+        key_common=k_val_c,
     )
     ts, p_loss, ent = policy_phase(
         cfg, env, ts, buf, k_pol, axis_name, backend, n_mb, mb_size,
+        key_common=k_pol_c,
     )
     mean_rew = _pmean(jnp.mean(traj.reward), axis_name)
     # pmean the scalar diagnostics so they are replicated across shards
@@ -737,6 +850,10 @@ def fit_step(
     thread persistent env state across fits (cfg.reset_per_fit=False).
     """
     n_envs = cfg.n_envs if n_envs is None else n_envs
+    # shard-invariant update key for the replicated fused phases (derived
+    # BEFORE the per-device fold; mirrors k_upd's split position so the
+    # single-device stream is unchanged)
+    k_upd_common = jax.random.split(key)[1] if axis_name is not None else None
     key = _device_key(key, axis_name)
     k_roll, k_upd = jax.random.split(key)
     traj, env_carry, vpair = rollout(
@@ -745,7 +862,7 @@ def fit_step(
     )
     ts, metrics = update_step(
         cfg, env, ts, traj, k_upd, axis_name, mb_size, backend,
-        values_pair=vpair)
+        values_pair=vpair, key_common=k_upd_common)
     return (ts, env_carry, metrics) if return_env_carry else (ts, metrics)
 
 

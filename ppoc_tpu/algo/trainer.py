@@ -35,13 +35,18 @@ class EvalWindowWarning(UserWarning):
     warnings."""
 
 
-def _shard_map(fn, mesh, in_specs, out_specs):
+def _shard_map(fn, mesh, in_specs, out_specs, check_vma: bool = True):
+    """check_vma=False only for the pallas-dp mode: the fused update
+    kernels cannot trace under the varying-axes checker (see
+    ppo.fused_dp_engages); every other mode keeps the type check."""
     try:
-        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=check_vma)
     except AttributeError:  # older jax
         from jax.experimental.shard_map import shard_map as _sm
 
-        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=check_vma)
 
 
 def _map_train_state(ts: "ppo.TrainState", param_fn, moment_fn=None,
@@ -234,6 +239,10 @@ class Trainer:
                 self._pack_state = pack_state
                 self._unshard_state = unshard
                 full_state = pack_state(full_state)
+            # pallas-dp: the replicated fused update phases engage, which
+            # requires the shard_map built without the varying-axes checker
+            # (ppo.fused_dp_engages)
+            self._dp_check_vma = not ppo.fused_dp_engages(cfg, self.backend)
             epoch_local = functools.partial(
                 ppo.train_epoch, cfg, self.env,
                 axis_name=cfg.mesh_axis,
@@ -250,12 +259,14 @@ class Trainer:
                         axis_name=cfg.mesh_axis,
                         deterministic=det,
                     ),
-                    mesh, in_specs=(P(), P()), out_specs=P()))
+                    mesh, in_specs=(P(), P()), out_specs=P(),
+                    check_vma=self._dp_check_vma))
 
             self._train_epoch = jax.jit(
                 _shard_map(epoch_local, mesh,
                            in_specs=(self._dp_state_spec, P()),
-                           out_specs=(self._dp_state_spec, P()))
+                           out_specs=(self._dp_state_spec, P()),
+                           check_vma=self._dp_check_vma)
             )
             self._evaluate = make_eval(False)
             self._evaluate_det = make_eval(True)
@@ -751,7 +762,8 @@ class Trainer:
                 spec = self._dp_state_spec
                 self._solve_fn = jax.jit(_shard_map(
                     local, self.mesh, in_specs=(spec, P()),
-                    out_specs=(spec, P(), P())
+                    out_specs=(spec, P(), P()),
+                    check_vma=getattr(self, "_dp_check_vma", True),
                 ))
             else:
                 self._solve_fn = jax.jit(functools.partial(

@@ -29,9 +29,17 @@ caller pre-gathers with buffer.permutation_minibatches under the same
 keys), same update order, same Adam timestep sequence.  Cross-checked
 against the jnp twin in tests/test_pallas_update.py.
 
-Data-parallel caveat: the fused step applies Adam locally, so it composes
-with dp only when gradients need no cross-shard pmean — i.e. single-device
-(the headline solve path).  Sharded runs keep the generic scan phase.
+Data parallelism: at the latency-bound minibatch sizes where these kernels
+win, sharding the update is the wrong parallelism — the scan path pays
+(n_epochs_value + n_epochs_policy) * n_mb per-minibatch gradient pmeans
+(644 collective latencies per fit on the reference schedule) to split
+GEMMs that are overhead-bound anyway.  Under dp the phases therefore
+REPLICATE (algo/ppo._fused_dp_ready): one all_gather of the small row
+buffer, every shard runs this identical kernel under a shard-common
+permutation key, and the provably identical results re-type as replicated
+via pmax — zero per-minibatch collectives, bit-equal to the single-device
+fused phase on the gathered buffer (tests/test_pallas_update.py
+::test_fused_dp_*).  Rollouts stay sharded (that is where work scales).
 """
 from __future__ import annotations
 
@@ -53,6 +61,20 @@ _MAX_TILE = 2048  # sub-tile rows: bounds VMEM for activations
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _sds(shape, dtype, like) -> jax.ShapeDtypeStruct:
+    """Output struct inheriting the varying-axes type of the kernel inputs:
+    under shard_map (the replicated dp fused phases, algo/ppo._fused_dp_ready)
+    pallas_call must declare how outputs vary across mesh axes; outside
+    shard_map vma is absent and the plain struct is returned."""
+    try:
+        vma = frozenset().union(*(jax.typeof(a).vma for a in like))
+    except AttributeError:
+        vma = frozenset()
+    if not vma:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
 
 
 def _act(h, activation):
@@ -307,11 +329,11 @@ def _run_value_phase(params: Params, opt: AdamState, obs_seq, tgt_seq,
             aliases[len(inputs)] = len(out_shapes)
             inputs.append(arr)
             in_specs.append(const(arr.shape))
-            out_shapes.append(jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+            out_shapes.append(_sds(arr.shape, jnp.float32, inputs))
             out_specs.append(const(arr.shape))
             flat_par.append(arr)
     # loss accumulator
-    out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    out_shapes.append(_sds((1, 1), jnp.float32, inputs))
     out_specs.append(smem_spec)
 
     scratch = []
@@ -650,7 +672,7 @@ def policy_phase_fused(cfg, policy_params, opt_policy: AdamState,
             aliases[len(inputs)] = len(out_shapes)
             inputs.append(arr)
             in_specs.append(const(arr.shape))
-            out_shapes.append(jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+            out_shapes.append(_sds(arr.shape, jnp.float32, inputs))
             out_specs.append(const(arr.shape))
     for arr in (log_std.reshape(1, -1),
                 jax.tree.leaves(opt_log_std.m)[0].reshape(1, -1),
@@ -658,11 +680,11 @@ def policy_phase_fused(cfg, policy_params, opt_policy: AdamState,
         aliases[len(inputs)] = len(out_shapes)
         inputs.append(arr)
         in_specs.append(const(arr.shape))
-        out_shapes.append(jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+        out_shapes.append(_sds(arr.shape, jnp.float32, inputs))
         out_specs.append(const(arr.shape))
     # loss + entropy accumulators
     for _ in range(2):
-        out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_shapes.append(_sds((1, 1), jnp.float32, inputs))
         out_specs.append(smem)
 
     scratch = []
@@ -857,10 +879,10 @@ def policy_phase_fused_categorical(cfg, policy_params,
             aliases[len(inputs)] = len(out_shapes)
             inputs.append(arr)
             in_specs.append(const(arr.shape))
-            out_shapes.append(jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+            out_shapes.append(_sds(arr.shape, jnp.float32, inputs))
             out_specs.append(const(arr.shape))
     for _ in range(2):   # loss + entropy accumulators
-        out_shapes.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_shapes.append(_sds((1, 1), jnp.float32, inputs))
         out_specs.append(smem)
 
     scratch = []

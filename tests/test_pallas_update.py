@@ -179,3 +179,116 @@ def test_fused_categorical_policy_phase_matches_scan(env_name, ent_coeff):
         np.testing.assert_allclose(np.asarray(ab), np.asarray(bb),
                                    rtol=1e-4, atol=1e-6)
     assert int(ts_r.opt_policy.t) == int(ts_p.opt_policy.t)
+
+
+# ---------------------------------------------------------------------------
+# replicated fused phases under data parallelism (algo/ppo._fused_dp_ready)
+# ---------------------------------------------------------------------------
+
+def _dp_mesh(n):
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()[:n]), ("dp",))
+
+
+def test_fused_dp_value_phase_bit_equals_single_device():
+    """The dp value phase with the pallas backend must REPLICATE: one
+    all_gather of the rows, the identical fused kernel on every shard under
+    the shard-common key, results re-typed via pmax — BIT-equal to the
+    single-device fused phase on the same global buffer."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = PPOConfig(env="pendulum", hidden=(16, 16), n_envs=8,
+                    rollout_len=32, minibatch_size=32, n_epochs_value=2,
+                    kernel_backend="pallas")
+    env, ts, buf = _setup(cfg)
+    k = jax.random.PRNGKey(7)
+    v_ref, opt_ref, loss_ref = pallas_update.value_phase_fused(
+        cfg, ts.v_params, ts.opt_v, buf, k)
+
+    N = 4
+
+    def local(ts_in, buf_local, k_common):
+        # per-device key differs (as in the dp fit); key_common is shared
+        k_dev = jax.random.fold_in(k_common, jax.lax.axis_index("dp"))
+        ts2, loss = ppo.value_phase(
+            cfg, ts_in, buf_local, k_dev, "dp", "pallas",
+            cfg.num_minibatches, cfg.minibatch_size // N,
+            key_common=k_common)
+        return ts2, loss
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=_dp_mesh(N), in_specs=(P(), P("dp"), P()),
+        out_specs=(P(), P()), check_vma=False))
+    ts_dp, loss_dp = fn(ts, buf, k)
+    for (a, ab), (b, bb) in zip(jax.device_get(v_ref),
+                                jax.device_get(ts_dp.v_params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert np.array_equal(np.asarray(ab), np.asarray(bb))
+    assert np.array_equal(np.asarray(loss_ref),
+                          np.asarray(jax.device_get(loss_dp)))
+    assert int(jax.device_get(ts_dp.opt_v.t)) == int(opt_ref.t)
+
+
+def test_fused_dp_policy_phase_bit_equals_single_device():
+    from jax.sharding import PartitionSpec as P
+
+    cfg = PPOConfig(env="pendulum", hidden=(16, 16), n_envs=8,
+                    rollout_len=32, minibatch_size=32, n_epochs_policy=2,
+                    ent_coeff=0.01, kernel_backend="pallas")
+    env, ts, buf = _setup(cfg)
+    k = jax.random.PRNGKey(11)
+    pol_ref, optp_ref, optl_ref, loss_ref, ent_ref = \
+        pallas_update.policy_phase_fused(
+            cfg, ts.policy_params, ts.opt_policy, ts.opt_log_std, buf, k)
+
+    N = 4
+
+    def local(ts_in, buf_local, k_common):
+        k_dev = jax.random.fold_in(k_common, jax.lax.axis_index("dp"))
+        ts2, loss, ent = ppo.policy_phase(
+            cfg, env, ts_in, buf_local, k_dev, "dp", "pallas",
+            cfg.num_minibatches, cfg.minibatch_size // N,
+            key_common=k_common)
+        return ts2, loss, ent
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=_dp_mesh(N), in_specs=(P(), P("dp"), P()),
+        out_specs=(P(), P(), P()), check_vma=False))
+    ts_dp, loss_dp, ent_dp = fn(ts, buf, k)
+    for (a, _), (b, _b) in zip(jax.device_get(pol_ref["mlp"]),
+                               jax.device_get(ts_dp.policy_params["mlp"])):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(np.asarray(pol_ref["log_std"]),
+                          np.asarray(jax.device_get(
+                              ts_dp.policy_params["log_std"])))
+    assert np.array_equal(np.asarray(loss_ref),
+                          np.asarray(jax.device_get(loss_dp)))
+    assert np.array_equal(np.asarray(ent_ref),
+                          np.asarray(jax.device_get(ent_dp)))
+
+
+def test_fused_dp_trainer_epoch_runs_and_learns_shape():
+    """Full dp Trainer epoch with kernel_backend='pallas': the fused
+    replicated phases engage (ppo.fused_dp_engages) and the epoch produces
+    finite metrics; the scan path still serves when a stabilizer is on."""
+    import warnings
+
+    from ppoc_tpu.algo.trainer import Trainer
+
+    assert ppo.fused_dp_engages(
+        PPOConfig(kernel_backend="pallas"), "pallas")
+    assert not ppo.fused_dp_engages(
+        PPOConfig(kernel_backend="pallas", max_grad_norm=0.5), "pallas")
+    assert not ppo.fused_dp_engages(
+        PPOConfig(kernel_backend="pallas", zero1=True), "pallas")
+
+    cfg = PPOConfig(env="pendulum", hidden=(16, 16), n_envs=8,
+                    rollout_len=32, minibatch_size=32, fits_per_epoch=2,
+                    n_epochs_value=2, n_epochs_policy=2, eval_envs=8,
+                    eval_len=16, kernel_backend="pallas", seed=0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tr = Trainer(cfg, mesh=_dp_mesh(4))
+    m = jax.tree.map(float, jax.device_get(tr.train_epoch()))
+    assert np.isfinite(m.value_loss) and np.isfinite(m.policy_loss)
