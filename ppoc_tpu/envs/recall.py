@@ -90,3 +90,10 @@ def make_recall_xl() -> Env:
     kernel engages in training (T >= models/attn.FLASH_MIN_T,
     ops/pallas_attn.py) — the kernel's production workload."""
     return _make_recall("recall_xl", 1024)
+
+
+@register("recall_xxl")
+def make_recall_xxl() -> Env:
+    """2048-step recall: the long-window stress variant (train + serve at
+    T=2048, examples/recall_xl_curriculum.py taken one doubling further)."""
+    return _make_recall("recall_xxl", 2048)

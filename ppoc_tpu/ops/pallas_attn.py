@@ -74,30 +74,47 @@ def _kpos(kt, tile):
     return kt * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
 
 
+def _tiles(T: int):
+    """(query tile, key tile) for a window: a TPU grid cell costs ~2-4 us
+    of sequencing regardless of its math, and at (T=2048, BH=128) the
+    128x128 tiling spends ~25 ms — the whole flash-op budget — on
+    (BH * T/128) cells x 3 kernels of overhead.  Growing tiles with T
+    divides the cell count (and the overhead) by up to 16x while the score
+    tile (qt x kt f32 <= 1 MB) stays far inside VMEM; key tiles stay
+    multiples of 128 (Mosaic lane-slice constraint).  Chip-measured at
+    (T=2048, B=16, d=512): 128->512 tiles take the flash op 25.6 -> 7.9 ms
+    (fwd+bwd) and the 2-block encoder to >35% of bf16 peak."""
+    if T >= 2048:
+        return 512, 512
+    if T >= 1024:
+        return 256, 256
+    return 128, 128
+
+
 # --------------------------------------------------------------------------
 # forward
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(scale: float, t_real: int, tile: int,
+def _fwd_kernel(scale: float, t_real: int, qt: int, kt: int,
                 q_ref, kc_ref, v_ref, epc_ref, epl_ref, out_ref, lse_ref):
     """One (batch*head, query-tile) cell: online softmax over key tiles.
 
-    Blocks: q/out [1, TILE, hd] (row); kc [1, hd, T] (column);
-    v [1, T, hd] (row); epc [1, TILE, 1]; epl [1, 1, T];
-    lse out [1, TILE, 1].
+    Blocks: q/out [1, QT, hd] (row); kc [1, hd, T] (column);
+    v [1, T, hd] (row); epc [1, QT, 1]; epl [1, 1, T];
+    lse out [1, QT, 1].
     """
     tq = pl.program_id(1)
-    q = q_ref[0]                       # [TQ, hd]
-    epq = epc_ref[0]                   # [TQ, 1]
-    qpos = _qpos(tq, tile)
+    q = q_ref[0]                       # [QT, hd]
+    epq = epc_ref[0]                   # [QT, 1]
+    qpos = _qpos(tq, qt)
     hd = q.shape[-1]
 
-    def body(kt, carry):
+    def body(ki, carry):
         acc, m, l = carry
-        kc = kc_ref[0, :, pl.ds(kt * tile, tile)]     # [hd, TK]
-        v = v_ref[0, pl.ds(kt * tile, tile), :]       # [TK, hd]
-        epk = epl_ref[0, :, pl.ds(kt * tile, tile)]   # [1, TK]
-        kpos = _kpos(kt, tile)
+        kc = kc_ref[0, :, pl.ds(ki * kt, kt)]     # [hd, KT]
+        v = v_ref[0, pl.ds(ki * kt, kt), :]       # [KT, hd]
+        epk = epl_ref[0, :, pl.ds(ki * kt, kt)]   # [1, KT]
+        kpos = _kpos(ki, kt)
         s = jax.lax.dot_general(                       # [TQ, TK], MXU-native
             q, kc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -116,10 +133,12 @@ def _fwd_kernel(scale: float, t_real: int, tile: int,
             preferred_element_type=jnp.float32)
         return acc2, m2, l2
 
-    acc0 = jnp.zeros((tile, hd), jnp.float32)
-    m0 = jnp.full((tile, 1), NEG, jnp.float32)
-    l0 = jnp.zeros((tile, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, tq + 1, body, (acc0, m0, l0))
+    acc0 = jnp.zeros((qt, hd), jnp.float32)
+    m0 = jnp.full((qt, 1), NEG, jnp.float32)
+    l0 = jnp.zeros((qt, 1), jnp.float32)
+    # visit every key tile overlapping [0, (tq+1)*qt) — causal bound
+    n_kt = ((tq + 1) * qt + kt - 1) // kt
+    acc, m, l = jax.lax.fori_loop(0, n_kt, body, (acc0, m0, l0))
     l_safe = jnp.where(l == 0.0, 1.0, l)   # padded rows only
     out_ref[0] = (acc / l_safe).astype(out_ref.dtype)
     lse_ref[0] = m + jnp.log(l_safe)
@@ -139,12 +158,12 @@ def _specs(T, hd, tile):
     return row_t, row_full, col_full, col_t, lane_full
 
 
-def _fwd(q, kc, v, epc, epl, scale: float, t_real: int, tile: int):
+def _fwd(q, kc, v, epc, epl, scale: float, t_real: int, qt: int, kt: int):
     BH, T, hd = q.shape
-    row_t, row_full, col_full, col_t, lane_full = _specs(T, hd, tile)
+    row_t, row_full, col_full, col_t, lane_full = _specs(T, hd, qt)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale, t_real, tile),
-        grid=(BH, T // tile),
+        functools.partial(_fwd_kernel, scale, t_real, qt, kt),
+        grid=(BH, T // qt),
         in_specs=[row_t, col_full, row_full, col_t, lane_full],
         out_specs=[row_t, col_t],
         out_shape=[
@@ -161,27 +180,27 @@ def _fwd(q, kc, v, epc, epl, scale: float, t_real: int, tile: int):
 # backward
 # --------------------------------------------------------------------------
 
-def _bwd_dq_kernel(scale: float, t_real: int, tile: int,
+def _bwd_dq_kernel(scale: float, t_real: int, qt: int, kt: int,
                    q_ref, kr_ref, kc_ref, vc_ref, epc_ref, epl_ref,
                    do_ref, dsum_ref, lse_ref, dq_ref):
-    """dq for one query tile.  Blocks: q/do/dq [1, TILE, hd] (row);
-    kr [1, T, hd]; kc/vc [1, hd, T]; dsum/lse/epc [1, TILE, 1];
+    """dq for one query tile.  Blocks: q/do/dq [1, QT, hd] (row);
+    kr [1, T, hd]; kc/vc [1, hd, T]; dsum/lse/epc [1, QT, 1];
     epl [1, 1, T]."""
     tq = pl.program_id(1)
     q = q_ref[0]
     do = do_ref[0]
-    dsum = dsum_ref[0]        # [TQ, 1] rowsum(dout * out)
-    lse = lse_ref[0]          # [TQ, 1]
+    dsum = dsum_ref[0]        # [QT, 1] rowsum(dout * out)
+    lse = lse_ref[0]          # [QT, 1]
     epq = epc_ref[0]
-    qpos = _qpos(tq, tile)
+    qpos = _qpos(tq, qt)
     hd = q.shape[-1]
 
-    def body(kt, dq):
-        kc = kc_ref[0, :, pl.ds(kt * tile, tile)]     # [hd, TK]
-        kr = kr_ref[0, pl.ds(kt * tile, tile), :]     # [TK, hd]
-        vc = vc_ref[0, :, pl.ds(kt * tile, tile)]     # [hd, TK]
-        epk = epl_ref[0, :, pl.ds(kt * tile, tile)]   # [1, TK]
-        kpos = _kpos(kt, tile)
+    def body(ki, dq):
+        kc = kc_ref[0, :, pl.ds(ki * kt, kt)]     # [hd, KT]
+        kr = kr_ref[0, pl.ds(ki * kt, kt), :]     # [KT, hd]
+        vc = vc_ref[0, :, pl.ds(ki * kt, kt)]     # [hd, KT]
+        epk = epl_ref[0, :, pl.ds(ki * kt, kt)]   # [1, KT]
+        kpos = _kpos(ki, kt)
         s = jax.lax.dot_general(
             q, kc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -196,35 +215,38 @@ def _bwd_dq_kernel(scale: float, t_real: int, tile: int,
             ds.astype(kr.dtype), kr, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
+    n_kt = ((tq + 1) * qt + kt - 1) // kt
     dq_ref[0] = jax.lax.fori_loop(
-        0, tq + 1, body,
-        jnp.zeros((tile, hd), jnp.float32)).astype(dq_ref.dtype)
+        0, n_kt, body,
+        jnp.zeros((qt, hd), jnp.float32)).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(scale: float, t_real: int, tile: int, n_tiles: int,
+def _bwd_dkv_kernel(scale: float, t_real: int, qt: int, kt: int,
+                    n_qtiles: int,
                     qr_ref, qc_ref, kr_ref, vr_ref, epc_ref, epl_ref,
                     dor_ref, doc_ref, dsum_ref, lse_ref, dk_ref, dv_ref):
     """dk/dv for one key tile, computed in transposed score space so every
-    dot stays MXU-native.  Blocks: kr/vr/dk/dv [1, TILE, hd] (row, key
-    tile); qr/dor [1, T, hd]; qc/doc [1, hd, T]; epc [1, TILE, 1] (key);
-    epl/dsum/lse [1, 1, T] (lane-oriented, query side)."""
-    kt = pl.program_id(1)
-    kr = kr_ref[0]                     # [TK, hd]
+    dot stays MXU-native.  Blocks: kr/vr/dk/dv [1, KT, hd] (row, key
+    tile); qr/dor [1, T, hd]; qc/doc [1, hd, T]; epc [1, KT, 1] (key);
+    epl/dsum/lse [1, 1, T] (lane-oriented, query side).  NOTE the query
+    slices ride the LANE dim, so qt must be a multiple of 128 too."""
+    ki = pl.program_id(1)
+    kr = kr_ref[0]                     # [KT, hd]
     vr = vr_ref[0]
-    epk = epc_ref[0]                   # [TK, 1]
-    kpos = _qpos(kt, tile)             # key positions as a column here
+    epk = epc_ref[0]                   # [KT, 1]
+    kpos = _qpos(ki, kt)               # key positions as a column here
     hd = kr.shape[-1]
 
     def body(tq, carry):
         dk, dv = carry
-        qc = qc_ref[0, :, pl.ds(tq * tile, tile)]      # [hd, TQ]
-        qr = qr_ref[0, pl.ds(tq * tile, tile), :]      # [TQ, hd]
-        doc = doc_ref[0, :, pl.ds(tq * tile, tile)]    # [hd, TQ]
-        dor = dor_ref[0, pl.ds(tq * tile, tile), :]    # [TQ, hd]
-        dsum = dsum_ref[0, :, pl.ds(tq * tile, tile)]  # [1, TQ]
-        lse = lse_ref[0, :, pl.ds(tq * tile, tile)]    # [1, TQ]
-        epq = epl_ref[0, :, pl.ds(tq * tile, tile)]    # [1, TQ]
-        qpos = _kpos(tq, tile)         # query positions as a row here
+        qc = qc_ref[0, :, pl.ds(tq * qt, qt)]      # [hd, QT]
+        qr = qr_ref[0, pl.ds(tq * qt, qt), :]      # [QT, hd]
+        doc = doc_ref[0, :, pl.ds(tq * qt, qt)]    # [hd, QT]
+        dor = dor_ref[0, pl.ds(tq * qt, qt), :]    # [QT, hd]
+        dsum = dsum_ref[0, :, pl.ds(tq * qt, qt)]  # [1, QT]
+        lse = lse_ref[0, :, pl.ds(tq * qt, qt)]    # [1, QT]
+        epq = epl_ref[0, :, pl.ds(tq * qt, qt)]    # [1, QT]
+        qpos = _kpos(tq, qt)           # query positions as a row here
         st = jax.lax.dot_general(                      # [TK, TQ]
             kr, qc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -244,10 +266,11 @@ def _bwd_dkv_kernel(scale: float, t_real: int, tile: int, n_tiles: int,
         return dk2, dv2
 
     # only query tiles at/after this key tile can attend it (causal)
+    tq0 = (ki * kt) // qt
     dk, dv = jax.lax.fori_loop(
-        kt, n_tiles, body,
-        (jnp.zeros((tile, hd), jnp.float32),
-         jnp.zeros((tile, hd), jnp.float32)))
+        tq0, n_qtiles, body,
+        (jnp.zeros((kt, hd), jnp.float32),
+         jnp.zeros((kt, hd), jnp.float32)))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -258,31 +281,31 @@ def _col(x):
 
 
 def _bwd(res, g):
-    q, kc, v, epc, epl, out, lse, scale, t_real, tile = res
+    q, kc, v, epc, epl, out, lse, scale, t_real, qt, kt = res
     BH, T, hd = q.shape
-    n_tiles = T // tile
     dsum = jnp.sum(g * out, axis=-1, keepdims=True)   # [BH, T, 1]
     g = g.astype(q.dtype)   # bf16 blocks: cotangents ride at block dtype
     kr = _col(kc)                                     # [BH, T, hd]
-    row_t, row_full, col_full, col_t, lane_full = _specs(T, hd, tile)
+    row_q, row_full, col_full, col_q, lane_full = _specs(T, hd, qt)
+    row_k, _, _, col_k, _ = _specs(T, hd, kt)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale, t_real, tile),
-        grid=(BH, n_tiles),
-        in_specs=[row_t, row_full, col_full, col_full, col_t, lane_full,
-                  row_t, col_t, col_t],
-        out_specs=row_t,
+        functools.partial(_bwd_dq_kernel, scale, t_real, qt, kt),
+        grid=(BH, T // qt),
+        in_specs=[row_q, row_full, col_full, col_full, col_q, lane_full,
+                  row_q, col_q, col_q],
+        out_specs=row_q,
         out_shape=jax.ShapeDtypeStruct((BH, T, hd), q.dtype),
         compiler_params=_PARAMS,
         interpret=_interpret(),
     )(q, kr, kc, _col(v), epc, epl, g, dsum, lse)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale, t_real, tile, n_tiles),
-        grid=(BH, n_tiles),
-        in_specs=[row_full, col_full, row_t, row_t, col_t, lane_full,
+        functools.partial(_bwd_dkv_kernel, scale, t_real, qt, kt, T // qt),
+        grid=(BH, T // kt),
+        in_specs=[row_full, col_full, row_k, row_k, col_k, lane_full,
                   row_full, col_full, lane_full, lane_full],
-        out_specs=[row_t, row_t],
+        out_specs=[row_k, row_k],
         out_shape=[
             jax.ShapeDtypeStruct((BH, T, hd), q.dtype),
             jax.ShapeDtypeStruct((BH, T, hd), q.dtype),
@@ -295,17 +318,17 @@ def _bwd(res, g):
     return dq, _col(dk), dv, None, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash(q, kc, v, epc, epl, scale, t_real, tile):
-    return _fwd(q, kc, v, epc, epl, scale, t_real, tile)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash(q, kc, v, epc, epl, scale, t_real, qt, kt):
+    return _fwd(q, kc, v, epc, epl, scale, t_real, qt, kt)[0]
 
 
-def _flash_fwd(q, kc, v, epc, epl, scale, t_real, tile):
-    out, lse = _fwd(q, kc, v, epc, epl, scale, t_real, tile)
-    return out, (q, kc, v, epc, epl, out, lse, scale, t_real, tile)
+def _flash_fwd(q, kc, v, epc, epl, scale, t_real, qt, kt):
+    out, lse = _fwd(q, kc, v, epc, epl, scale, t_real, qt, kt)
+    return out, (q, kc, v, epc, epl, out, lse, scale, t_real, qt, kt)
 
 
-def _flash_bwd(scale, t_real, tile, res, g):
+def _flash_bwd(scale, t_real, qt, kt, res, g):
     return _bwd(res, g)
 
 
@@ -335,11 +358,11 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
     B = math.prod(batch) if batch else 1
     scale = 1.0 / math.sqrt(hd)
 
-    # lane tiles are always 128: Mosaic requires dynamic lane-dim slice
-    # offsets (kt * tile inside the key loops) to be provable multiples of
-    # 128, so smaller windows pad up rather than shrink the tile
-    tile = 128
-    Tp = _round_up(T, tile)
+    # tiles grow with the window to amortize grid-cell sequencing
+    # overhead (_tiles); both stay multiples of 128 — Mosaic requires
+    # dynamic lane-dim slice offsets to be provable multiples of 128
+    qt, kt_tile = _tiles(T)
+    Tp = _round_up(T, max(qt, kt_tile))
 
     in_dtype = q.dtype
 
@@ -355,6 +378,7 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
     epc = ep_bh[..., None]          # [BH, Tp, 1] column orientation
     epl = ep_bh[:, None, :]         # [BH, 1, Tp] lane orientation
 
-    out = _flash(fold(q), _col(fold(k)), fold(v), epc, epl, scale, T, tile)
+    out = _flash(fold(q), _col(fold(k)), fold(v), epc, epl, scale, T,
+                 qt, kt_tile)
     out = out[:, :T].reshape(B, H, T, hd).transpose(2, 0, 1, 3)
     return out.reshape((T,) + batch + (H, hd)).astype(in_dtype)

@@ -290,3 +290,37 @@ def test_host_bridge_rejects_attention():
                     minibatch_size=8, attn_dim=8)
     with pytest.raises(ValueError, match="host bridge"):
         HostTrainer(cfg, _FakeVenv(), _FakeVenv())
+
+
+def test_window_extension_curriculum_seam(tmp_path):
+    """The recall_xl/xxl curriculum's mechanical seam at reduced scale
+    (examples/recall_xl_curriculum.py): train with eval_len > rollout_len
+    so the positional table is sized for the LONGER window, checkpoint,
+    then Trainer.from_checkpoint with a doubled rollout_len — parameter
+    shapes (incl. the positional table) must carry over unchanged and the
+    extended-window trainer must train and evaluate."""
+    import warnings
+
+    cfg1 = PPOConfig(env="recall", n_envs=8, rollout_len=6,
+                     minibatch_size=48, fits_per_epoch=1, eval_envs=16,
+                     eval_len=12, kernel_backend="jnp", hidden=(16,),
+                     seed=0, attn_dim=8, attn_layers=1, attn_heads=2)
+    tr1 = Trainer(cfg1)
+    tr1.train_epoch()
+    from ppoc_tpu.models import attn as attn_mod
+
+    assert attn_mod.window(tr1.state.v_params) == 13  # max(6, 12) + 1
+    p = str(tmp_path / "phase1.bin")
+    tr1.save(p)
+
+    tr2 = Trainer.from_checkpoint(p, rollout_len=12, minibatch_size=96)
+    assert attn_mod.window(tr2.state.v_params) == 13
+    # weights carried bit-for-bit through the window change
+    for (a, _), (b, _b) in zip(
+            jax.device_get(tr1.state.policy_params["mlp"]["head"]),
+            jax.device_get(tr2.state.policy_params["mlp"]["head"])):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    m = jax.tree.map(float, jax.device_get(tr2.train_epoch()))
+    assert np.isfinite(m.value_loss)
+    ev = tr2.evaluate()
+    assert ev.episodes > 0

@@ -155,3 +155,37 @@ def test_apply_seq_bf16_backend_close_to_f32(monkeypatch):
     out_bf = attn.apply_seq(p, xs, done, "relu", backend="bf16")
     np.testing.assert_allclose(np.asarray(out_bf), np.asarray(out_j),
                                atol=0.05)
+
+
+@pytest.mark.parametrize("T,B,H,hd,p_done", [
+    (1030, 1, 1, 8, 0.02),   # (256, 256) tiles, ragged -> pads to 1280
+    (2050, 1, 1, 8, 0.01),   # (512, 512) tiles, ragged -> pads to 2560
+])
+def test_forward_matches_jnp_twin_large_tiles(T, B, H, hd, p_done):
+    """The tile sizes grow with the window (_tiles — grid-cell sequencing
+    overhead amortization); the causal key-loop bound and the dkv start
+    tile are computed from (qt, kt), so the large-tile regimes need their
+    own exactness pins, including ragged windows that pad past T."""
+    q, k, v, done = _case(T, B, H, hd, p_done)
+    ep = attn.episode_ids(done)
+    ref = attn._mha(q, k, v, attn.causal_episode_mask(done))
+    got = pallas_attn.flash_mha(q, k, v, ep)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_gradients_match_jnp_twin_large_tiles():
+    T, B, H, hd = 1030, 1, 1, 8
+    q, k, v, done = _case(T, B, H, hd, 0.02, seed=5)
+    ep = attn.episode_ids(done)
+    mask = attn.causal_episode_mask(done)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(attn._mha(q, k, v, mask)))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(pallas_attn.flash_mha(q, k, v, ep)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
