@@ -56,7 +56,7 @@ def _seq_apply(trunk, xs, reset_after, activation, backend: str = "jnp",
     if attn.is_attn(trunk):
         if sp_axis is not None:
             return attn.apply_seq_sp(trunk, xs, reset_after, activation,
-                                     sp_axis)
+                                     sp_axis, backend=backend)
         return attn.apply_seq(trunk, xs, reset_after, activation,
                               backend=backend)
     return gru.apply_seq(trunk, xs, reset_after, activation)
@@ -199,7 +199,8 @@ def compute_values_rnn(
 
 
 def compute_values_sp(cfg: PPOConfig, v_params, traj,
-                      sp_axis: str) -> Tuple[jax.Array, jax.Array]:
+                      sp_axis: str,
+                      backend: str = "jnp") -> Tuple[jax.Array, jax.Array]:
     """(V(s_t), V(s'_t)) [T_local, E] planes for a TIME-sharded window.
 
     The sequence-parallel form of :func:`compute_values_rnn`'s attention
@@ -210,9 +211,10 @@ def compute_values_sp(cfg: PPOConfig, v_params, traj,
     """
     done = jnp.logical_or(traj.terminated, traj.truncated)
     values, ks, vs, ep = attn.apply_seq_sp(
-        v_params, traj.obs, done, cfg.activation, sp_axis, with_cache=True)
+        v_params, traj.obs, done, cfg.activation, sp_axis, with_cache=True,
+        backend=backend)
     nv = attn.decode_next_sp(v_params, traj.next_obs, ks, vs, ep,
-                             cfg.activation, sp_axis)
+                             cfg.activation, sp_axis, backend=backend)
     return values[..., 0], nv[..., 0]
 
 

@@ -67,9 +67,12 @@ def fit_step_sp(
     sp_axis: str,
     n_envs_dp: int,
     mb_size: int,
+    backend: str = "jnp",
 ) -> Tuple[ppo.TrainState, ppo.FitMetrics]:
     """One fit on the (dp, sp) mesh; ``n_envs_dp``/``mb_size`` are per-DP-
-    GROUP sizes (the whole sp ring of a group works the same sequences)."""
+    GROUP sizes (the whole sp ring of a group works the same sequences).
+    ``backend="pallas"`` routes ring blocks through the flash kernel at
+    T_local >= FLASH_MIN_T (models/attn._ring_core)."""
     both = (dp_axis, sp_axis)
     sp_n = jax.lax.axis_size(sp_axis)
     n_envs_roll = n_envs_dp // sp_n
@@ -90,7 +93,8 @@ def fit_step_sp(
     )
     traj = _reshard_time(traj, sp_axis)
 
-    vpair = recurrent.compute_values_sp(cfg, ts.v_params, traj, sp_axis)
+    vpair = recurrent.compute_values_sp(cfg, ts.v_params, traj, sp_axis,
+                                        backend=backend)
     adv, target = sp_mod.gae_sp(
         traj.reward, vpair[0], vpair[1], traj.terminated, traj.truncated,
         env.spec.gamma, cfg.lam, axis_name=sp_axis,
@@ -102,10 +106,11 @@ def fit_step_sp(
     ts, v_loss = recurrent.value_phase_rnn(
         cfg, ts, traj, target, k_val, both, mb_size,
         v_old=vpair[0] if cfg.clip_value > 0.0 else None,
-        sp_axis=sp_axis,
+        backend=backend, sp_axis=sp_axis,
     )
     ts, p_loss, ent = recurrent.policy_phase_rnn(
-        cfg, env, ts, traj, adv, k_pol, both, mb_size, sp_axis=sp_axis,
+        cfg, env, ts, traj, adv, k_pol, both, mb_size, backend=backend,
+        sp_axis=sp_axis,
     )
     mean_rew = jax.lax.pmean(jnp.mean(traj.reward), both)
     return ts, ppo.FitMetrics(
@@ -123,12 +128,13 @@ def train_epoch_sp(
     sp_axis: str,
     n_envs_dp: int,
     mb_size: int,
+    backend: str = "jnp",
 ) -> Tuple[ppo.TrainState, ppo.FitMetrics]:
     """fits_per_epoch sequential sp fits as one scan (src/ppo.cu:479 loop;
     sequence trunks always reset per fit — config.validate enforces it)."""
     def one_fit(ts, key_f):
         return fit_step_sp(cfg, env, ts, key_f, dp_axis, sp_axis,
-                           n_envs_dp, mb_size)
+                           n_envs_dp, mb_size, backend)
 
     keys = jax.random.split(key, cfg.fits_per_epoch)
     ts, metrics = jax.lax.scan(one_fit, ts, keys)
@@ -147,6 +153,7 @@ def train_until_sp(
     n_envs_dp: int,
     mb_size: int,
     eval_envs_local: int,
+    backend: str = "jnp",
 ) -> Tuple[ppo.TrainState, jax.Array, jax.Array]:
     """Train-until-threshold as ONE device program (ppo.train_until on the
     (dp, sp) mesh); returns (state, epochs_run, final_R)."""
@@ -160,7 +167,7 @@ def train_until_sp(
         ts, key, n, _ = carry
         key, k_train, k_eval = jax.random.split(key, 3)
         ts, _ = train_epoch_sp(cfg, env, ts, k_train, dp_axis, sp_axis,
-                               n_envs_dp, mb_size)
+                               n_envs_dp, mb_size, backend)
         ev = ppo.evaluate(cfg, env, ts.policy_params, k_eval, "jnp",
                           eval_envs_local, both)
         return ts, key, n + 1, ev.R

@@ -573,8 +573,21 @@ class Trainer:
                 f"minibatch_size ({cfg.minibatch_size}) must divide the dp "
                 f"size ({dp_size})"
             )
-        self.backend = "jnp"  # ring passes are their own path; the flash /
-        # bf16 kernels apply to the single-device window only
+        from ppoc_tpu.models import attn as attn_mod
+
+        # ring passes run their own path: "pallas" routes each ring block
+        # through the flash kernel once the LOCAL time shard reaches the
+        # flash regime (models/attn._ring_core); bf16 maps to the same
+        # f32 flash blocks (long-context credit assignment needs f32 —
+        # docs/RESULTS.md bf16 boundary)
+        self.backend = ("pallas" if self.backend in ("pallas", "bf16")
+                        else "jnp")
+        t_local = cfg.rollout_len // cfg.sp_size
+        flash_ring = (self.backend == "pallas"
+                      and t_local >= attn_mod.FLASH_MIN_T)
+        # flash blocks cannot trace under the varying-axes checker (see
+        # ppo.fused_dp_engages for the same constraint on the dp kernels)
+        self._sp_check_vma = not flash_ring
         self._sp_ctx = dp_size
         n_envs_dp = cfg.n_envs // dp_size
         mb_dp = cfg.minibatch_size // dp_size
@@ -582,11 +595,11 @@ class Trainer:
         def epoch_local(ts, key):
             return seqpar.train_epoch_sp(
                 cfg, self.env, ts, key, cfg.mesh_axis, "sp",
-                n_envs_dp, mb_dp)
+                n_envs_dp, mb_dp, self.backend)
 
         self._train_epoch = jax.jit(_shard_map(
             epoch_local, self.mesh, in_specs=(P(), P()),
-            out_specs=(P(), P())))
+            out_specs=(P(), P()), check_vma=self._sp_check_vma))
 
         def make_eval(det):
             return jax.jit(_shard_map(
@@ -597,7 +610,8 @@ class Trainer:
                     axis_name=(cfg.mesh_axis, "sp"),
                     deterministic=det,
                 ),
-                self.mesh, in_specs=(P(), P()), out_specs=P()))
+                self.mesh, in_specs=(P(), P()), out_specs=P(),
+                check_vma=self._sp_check_vma))
 
         self._evaluate = make_eval(False)
         self._evaluate_det = make_eval(True)
@@ -718,11 +732,13 @@ class Trainer:
                         cfg.n_envs // dp_size,
                         cfg.minibatch_size // dp_size,
                         cfg.eval_envs // total,
+                        self.backend,
                     )
 
                 self._solve_fn = jax.jit(_shard_map(
                     solve_local_sp, self.mesh,
-                    in_specs=(P(), P()), out_specs=(P(), P(), P())))
+                    in_specs=(P(), P()), out_specs=(P(), P(), P()),
+                    check_vma=self._sp_check_vma))
             elif getattr(self, "_mp_ctx", None) is not None:
                 # any model-parallel mode (tp/pp/ep): one shard_map'd
                 # train_until over the stored 2-D mesh context

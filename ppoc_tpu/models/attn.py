@@ -266,6 +266,19 @@ def apply_seq(
     return (out, ks, vs) if with_cache else out
 
 
+def _ring_core(T_local: int, backend: str):
+    """Pick the ring-attention core for a time shard: the flash-block ring
+    (per-block VMEM score tiles, ops/pallas_attn.flash_mha_block) once the
+    LOCAL shard reaches the flash regime — the jnp ring materializes a
+    [T_local, T_local, ...] score plane in HBM per ring step, the exact
+    footprint the flash kernel removes — else the jnp ring."""
+    from ppoc_tpu.parallel import ring_attn
+
+    if backend in ("pallas", "bf16") and T_local >= FLASH_MIN_T:
+        return ring_attn.ring_mha_flash
+    return ring_attn.ring_mha_ids
+
+
 def apply_seq_sp(
     params: AttnParams,
     xs: jax.Array,            # [T_local, ..., in]: this device's TIME shard
@@ -273,13 +286,16 @@ def apply_seq_sp(
     activation: str,
     axis_name: str = "sp",
     with_cache: bool = False,
+    backend: str = "jnp",
 ):
     """Sequence-parallel :func:`apply_seq`: the window is time-sharded over
     mesh axis ``axis_name`` and every attention core runs as ring attention
-    (parallel/ring_attn.ring_mha_ids) — K/V blocks rotate over ICI while
+    (parallel/ring_attn) — K/V blocks rotate over ICI while
     LayerNorm/FF/head stay position-local.  Positions and episode ids are
     GLOBAL (shard offset = axis_index * T_local), so the result equals the
     unsharded apply_seq on the gathered window up to f32 reassociation.
+    ``backend="pallas"`` at T_local >= FLASH_MIN_T runs each ring block
+    through the flash kernel (see :func:`_ring_core`).
 
     ``with_cache=True`` returns ``(out, ks, vs, ep)``: the LOCAL per-layer
     K/V time blocks plus the global episode ids, the context
@@ -295,6 +311,7 @@ def apply_seq_sp(
         raise ValueError(
             f"global window {T} x {n} shards exceeds the positional table "
             f"({t_max}); init the trunk with t_max >= the rollout length")
+    ring = _ring_core(T, backend)
     i = jax.lax.axis_index(axis_name)
     pos = jax.lax.dynamic_slice_in_dim(attn["pos"], i * T, T, 0)
     h = _embed(attn, xs) + pos.reshape((T,) + (1,) * (xs.ndim - 2) + (-1,))
@@ -306,7 +323,7 @@ def apply_seq_sp(
         if with_cache:
             ks.append(k)
             vs.append(v)
-        o = ring_attn.ring_mha_ids(q, k, v, ep, ep, axis_name)
+        o = ring(q, k, v, ep, ep, axis_name)
         h = h + _dot(o.reshape(o.shape[:-2] + (-1,)), blk["wo"], False) \
             + blk["bo"]
         h = h + _ff(_ln(h, blk["ln2"]), blk, activation)
@@ -322,18 +339,18 @@ def decode_next_sp(
     ep: jax.Array,            # [T_local, ...] GLOBAL episode ids of the slots
     activation: str,
     axis_name: str = "sp",
+    backend: str = "jnp",
 ) -> jax.Array:
     """Sequence-parallel :func:`decode_next`: next-token t attends the
     time-sharded context (global keys s <= t of the same episode, ringing
     over ``axis_name``) plus itself — the self token seeds the ring's
-    online-softmax carry (ring_mha_ids ``self_kv``), so the softmax is
-    globally exact.  Computes V(s'_t) for GAE in one pass per layer.
+    online-softmax carry (``self_kv``), so the softmax is globally exact.
+    Computes V(s'_t) for GAE in one pass per layer.
     """
-    from ppoc_tpu.parallel import ring_attn
-
     attn = params["attn"]
     T = x_next.shape[0]
     t_max = attn["pos"].shape[0]
+    ring = _ring_core(T, backend)
     i = jax.lax.axis_index(axis_name)
     pos_idx = jnp.minimum(i * T + jnp.arange(T) + 1, t_max - 1)
     h = _embed(attn, x_next) + attn["pos"][pos_idx].reshape(
@@ -341,8 +358,8 @@ def decode_next_sp(
     for blk, k_ctx, v_ctx in zip(attn["blocks"], ks, vs):
         u = _ln(h, blk["ln1"])
         q, k_self, v_self = _qkv(blk, u)
-        o = ring_attn.ring_mha_ids(q, k_ctx, v_ctx, ep, ep, axis_name,
-                                   self_kv=(k_self, v_self))
+        o = ring(q, k_ctx, v_ctx, ep, ep, axis_name,
+                 self_kv=(k_self, v_self))
         h = h + o.reshape(o.shape[:-2] + (-1,)) @ blk["wo"] + blk["bo"]
         h = h + _ff(_ln(h, blk["ln2"]), blk, activation)
     return mlp.apply(params["head"], _ln(h, attn["lnf"]), activation, "jnp")

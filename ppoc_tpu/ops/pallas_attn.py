@@ -60,6 +60,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _sds(shape, dtype, like) -> jax.ShapeDtypeStruct:
+    """Output struct inheriting the inputs' varying-axes type (see
+    ops/pallas_update._sds — needed when a kernel runs under shard_map
+    with the vma checker on; a no-op otherwise)."""
+    try:
+        vma = frozenset().union(*(jax.typeof(a).vma for a in like))
+    except AttributeError:
+        vma = frozenset()
+    if not vma:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -95,15 +108,24 @@ def _tiles(T: int):
 # forward
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(scale: float, t_real: int, qt: int, kt: int,
-                q_ref, kc_ref, v_ref, epc_ref, epl_ref, out_ref, lse_ref):
+def _fwd_kernel(scale: float, t_real: int, qt: int, kt: int, n_kt_all: int,
+                q_ref, kc_ref, v_ref, epc_ref, epl_ref, rel_ref,
+                out_ref, lse_ref):
     """One (batch*head, query-tile) cell: online softmax over key tiles.
 
     Blocks: q/out [1, QT, hd] (row); kc [1, hd, T] (column);
     v [1, T, hd] (row); epc [1, QT, 1]; epl [1, 1, T];
-    lse out [1, QT, 1].
+    rel [1, 1] SMEM scalar; lse out [1, QT, 1].
+
+    ``rel`` is the key block's time relation to the query block (ring
+    attention, parallel/ring_attn.ring_mha_ids with flash blocks):
+    -1 = the whole key block precedes every query (no causal test, full
+    key loop); 0 = same block (the single-window case: tile-causal bounds
+    and the kpos <= qpos test); +1 = the key block follows (nothing valid,
+    zero loop — out 0 / lse NEG, folded away by the block merge).
     """
     tq = pl.program_id(1)
+    rel = rel_ref[0, 0]
     q = q_ref[0]                       # [QT, hd]
     epq = epc_ref[0]                   # [QT, 1]
     qpos = _qpos(tq, qt)
@@ -118,7 +140,8 @@ def _fwd_kernel(scale: float, t_real: int, qt: int, kt: int,
         s = jax.lax.dot_general(                       # [TQ, TK], MXU-native
             q, kc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        valid = ((kpos <= qpos) & (epk == epq)
+        causal_ok = jnp.logical_or(rel < 0, kpos <= qpos)
+        valid = (causal_ok & (epk == epq)
                  & (kpos < t_real) & (qpos < t_real))
         s = jnp.where(valid, s, NEG)
         m2 = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))   # [TQ, 1]
@@ -136,8 +159,10 @@ def _fwd_kernel(scale: float, t_real: int, qt: int, kt: int,
     acc0 = jnp.zeros((qt, hd), jnp.float32)
     m0 = jnp.full((qt, 1), NEG, jnp.float32)
     l0 = jnp.zeros((qt, 1), jnp.float32)
-    # visit every key tile overlapping [0, (tq+1)*qt) — causal bound
-    n_kt = ((tq + 1) * qt + kt - 1) // kt
+    # diag: visit key tiles overlapping [0, (tq+1)*qt); before: all; after: 0
+    n_causal = ((tq + 1) * qt + kt - 1) // kt
+    n_kt = jnp.where(rel < 0, n_kt_all,
+                     jnp.where(rel == 0, n_causal, 0))
     acc, m, l = jax.lax.fori_loop(0, n_kt, body, (acc0, m0, l0))
     l_safe = jnp.where(l == 0.0, 1.0, l)   # padded rows only
     out_ref[0] = (acc / l_safe).astype(out_ref.dtype)
@@ -158,21 +183,25 @@ def _specs(T, hd, tile):
     return row_t, row_full, col_full, col_t, lane_full
 
 
-def _fwd(q, kc, v, epc, epl, scale: float, t_real: int, qt: int, kt: int):
+_SMEM = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _fwd(q, kc, v, epc, epl, rel, scale: float, t_real: int, qt: int,
+         kt: int):
     BH, T, hd = q.shape
     row_t, row_full, col_full, col_t, lane_full = _specs(T, hd, qt)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale, t_real, qt, kt),
+        functools.partial(_fwd_kernel, scale, t_real, qt, kt, T // kt),
         grid=(BH, T // qt),
-        in_specs=[row_t, col_full, row_full, col_t, lane_full],
+        in_specs=[row_t, col_full, row_full, col_t, lane_full, _SMEM],
         out_specs=[row_t, col_t],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, T, hd), jnp.float32),
-            jax.ShapeDtypeStruct((BH, T, 1), jnp.float32),
+            _sds((BH, T, hd), jnp.float32, (q, kc, v)),
+            _sds((BH, T, 1), jnp.float32, (q, kc, v)),
         ],
         compiler_params=_PARAMS,
         interpret=_interpret(),
-    )(q, kc, v, epc, epl)
+    )(q, kc, v, epc, epl, rel)
     return out, lse
 
 
@@ -181,15 +210,19 @@ def _fwd(q, kc, v, epc, epl, scale: float, t_real: int, qt: int, kt: int):
 # --------------------------------------------------------------------------
 
 def _bwd_dq_kernel(scale: float, t_real: int, qt: int, kt: int,
+                   n_kt_all: int,
                    q_ref, kr_ref, kc_ref, vc_ref, epc_ref, epl_ref,
-                   do_ref, dsum_ref, lse_ref, dq_ref):
+                   do_ref, dsum_ref, lse_ref, rel_ref, dq_ref):
     """dq for one query tile.  Blocks: q/do/dq [1, QT, hd] (row);
     kr [1, T, hd]; kc/vc [1, hd, T]; dsum/lse/epc [1, QT, 1];
-    epl [1, 1, T]."""
+    epl [1, 1, T]; rel [1, 1] SMEM (see _fwd_kernel).  ``dsum`` is
+    rowsum(dout * out) MINUS any lse cotangent — folding the lse VJP into
+    the same kernels (d lse / d s = softmax weight)."""
     tq = pl.program_id(1)
+    rel = rel_ref[0, 0]
     q = q_ref[0]
     do = do_ref[0]
-    dsum = dsum_ref[0]        # [QT, 1] rowsum(dout * out)
+    dsum = dsum_ref[0]        # [QT, 1] rowsum(dout * out) - g_lse
     lse = lse_ref[0]          # [QT, 1]
     epq = epc_ref[0]
     qpos = _qpos(tq, qt)
@@ -204,7 +237,8 @@ def _bwd_dq_kernel(scale: float, t_real: int, qt: int, kt: int,
         s = jax.lax.dot_general(
             q, kc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        valid = ((kpos <= qpos) & (epk == epq)
+        causal_ok = jnp.logical_or(rel < 0, kpos <= qpos)
+        valid = (causal_ok & (epk == epq)
                  & (kpos < t_real) & (qpos < t_real))
         w = jnp.where(valid, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(                      # [TQ, TK]
@@ -215,7 +249,9 @@ def _bwd_dq_kernel(scale: float, t_real: int, qt: int, kt: int,
             ds.astype(kr.dtype), kr, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    n_kt = ((tq + 1) * qt + kt - 1) // kt
+    n_causal = ((tq + 1) * qt + kt - 1) // kt
+    n_kt = jnp.where(rel < 0, n_kt_all,
+                     jnp.where(rel == 0, n_causal, 0))
     dq_ref[0] = jax.lax.fori_loop(
         0, n_kt, body,
         jnp.zeros((qt, hd), jnp.float32)).astype(dq_ref.dtype)
@@ -224,13 +260,15 @@ def _bwd_dq_kernel(scale: float, t_real: int, qt: int, kt: int,
 def _bwd_dkv_kernel(scale: float, t_real: int, qt: int, kt: int,
                     n_qtiles: int,
                     qr_ref, qc_ref, kr_ref, vr_ref, epc_ref, epl_ref,
-                    dor_ref, doc_ref, dsum_ref, lse_ref, dk_ref, dv_ref):
+                    dor_ref, doc_ref, dsum_ref, lse_ref, rel_ref,
+                    dk_ref, dv_ref):
     """dk/dv for one key tile, computed in transposed score space so every
     dot stays MXU-native.  Blocks: kr/vr/dk/dv [1, KT, hd] (row, key
     tile); qr/dor [1, T, hd]; qc/doc [1, hd, T]; epc [1, KT, 1] (key);
     epl/dsum/lse [1, 1, T] (lane-oriented, query side).  NOTE the query
     slices ride the LANE dim, so qt must be a multiple of 128 too."""
     ki = pl.program_id(1)
+    rel = rel_ref[0, 0]
     kr = kr_ref[0]                     # [KT, hd]
     vr = vr_ref[0]
     epk = epc_ref[0]                   # [KT, 1]
@@ -250,7 +288,8 @@ def _bwd_dkv_kernel(scale: float, t_real: int, qt: int, kt: int,
         st = jax.lax.dot_general(                      # [TK, TQ]
             kr, qc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        valid = ((kpos <= qpos) & (epk == epq)
+        causal_ok = jnp.logical_or(rel < 0, kpos <= qpos)
+        valid = (causal_ok & (epk == epq)
                  & (kpos < t_real) & (qpos < t_real))
         wt = jnp.where(valid, jnp.exp(st - lse), 0.0)
         dpt = jax.lax.dot_general(                     # [TK, TQ]
@@ -265,8 +304,11 @@ def _bwd_dkv_kernel(scale: float, t_real: int, qt: int, kt: int,
             preferred_element_type=jnp.float32)
         return dk2, dv2
 
-    # only query tiles at/after this key tile can attend it (causal)
-    tq0 = (ki * kt) // qt
+    # diag: only query tiles at/after this key tile attend it (causal);
+    # before: every query tile; after: none
+    tq_causal = (ki * kt) // qt
+    tq0 = jnp.where(rel < 0, 0,
+                    jnp.where(rel == 0, tq_causal, n_qtiles))
     dk, dv = jax.lax.fori_loop(
         tq0, n_qtiles, body,
         (jnp.zeros((kt, hd), jnp.float32),
@@ -280,56 +322,68 @@ def _col(x):
     return jnp.swapaxes(x, 1, 2)
 
 
-def _bwd(res, g):
-    q, kc, v, epc, epl, out, lse, scale, t_real, qt, kt = res
+def _bwd(res, gs):
+    g, g_lse = gs
+    q, kc, v, epc, epl, rel, out, lse, scale, t_real, qt, kt = res
     BH, T, hd = q.shape
+    # lse's VJP folds into the same kernels: d lse / d s = softmax weight,
+    # so ds = w * (dp - (rowsum(g*out) - g_lse)) — one subtraction here
     dsum = jnp.sum(g * out, axis=-1, keepdims=True)   # [BH, T, 1]
+    if g_lse is not None:
+        dsum = dsum - g_lse
     g = g.astype(q.dtype)   # bf16 blocks: cotangents ride at block dtype
     kr = _col(kc)                                     # [BH, T, hd]
     row_q, row_full, col_full, col_q, lane_full = _specs(T, hd, qt)
     row_k, _, _, col_k, _ = _specs(T, hd, kt)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale, t_real, qt, kt),
+        functools.partial(_bwd_dq_kernel, scale, t_real, qt, kt, T // kt),
         grid=(BH, T // qt),
         in_specs=[row_q, row_full, col_full, col_full, col_q, lane_full,
-                  row_q, col_q, col_q],
+                  row_q, col_q, col_q, _SMEM],
         out_specs=row_q,
-        out_shape=jax.ShapeDtypeStruct((BH, T, hd), q.dtype),
+        out_shape=_sds((BH, T, hd), q.dtype, (q, kc, v)),
         compiler_params=_PARAMS,
         interpret=_interpret(),
-    )(q, kr, kc, _col(v), epc, epl, g, dsum, lse)
+    )(q, kr, kc, _col(v), epc, epl, g, dsum, lse, rel)
 
+    # the dkv kernel's sides flip: it needs KEY ids in column orientation
+    # and QUERY ids in lane orientation (a no-op transpose when both sides
+    # share one window's ids; load-bearing for ring blocks whose q_ep and
+    # k_ep differ — flash_mha_block)
+    epc_k = jnp.swapaxes(epl, 1, 2)     # [BH, T, 1] key-side
+    epl_q = jnp.swapaxes(epc, 1, 2)     # [BH, 1, T] query-side
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale, t_real, qt, kt, T // qt),
         grid=(BH, T // kt),
         in_specs=[row_full, col_full, row_k, row_k, col_k, lane_full,
-                  row_full, col_full, lane_full, lane_full],
+                  row_full, col_full, lane_full, lane_full, _SMEM],
         out_specs=[row_k, row_k],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, T, hd), q.dtype),
-            jax.ShapeDtypeStruct((BH, T, hd), q.dtype),
+            _sds((BH, T, hd), q.dtype, (q, kc, v)),
+            _sds((BH, T, hd), q.dtype, (q, kc, v)),
         ],
         compiler_params=_PARAMS,
         interpret=_interpret(),
-    )(q, _col(q), kr, v, epc, epl, g, _col(g),
-      _col(dsum), _col(lse))
+    )(q, _col(q), kr, v, epc_k, epl_q, g, _col(g),
+      _col(dsum), _col(lse), rel)
     # kc's gradient must come back in its (column) primal layout
-    return dq, _col(dk), dv, None, None
+    return dq, _col(dk), dv, None, None, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash(q, kc, v, epc, epl, scale, t_real, qt, kt):
-    return _fwd(q, kc, v, epc, epl, scale, t_real, qt, kt)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _flash(q, kc, v, epc, epl, rel, scale, t_real, qt, kt):
+    return _fwd(q, kc, v, epc, epl, rel, scale, t_real, qt, kt)
 
 
-def _flash_fwd(q, kc, v, epc, epl, scale, t_real, qt, kt):
-    out, lse = _fwd(q, kc, v, epc, epl, scale, t_real, qt, kt)
-    return out, (q, kc, v, epc, epl, out, lse, scale, t_real, qt, kt)
+def _flash_fwd(q, kc, v, epc, epl, rel, scale, t_real, qt, kt):
+    out, lse = _fwd(q, kc, v, epc, epl, rel, scale, t_real, qt, kt)
+    return (out, lse), (q, kc, v, epc, epl, rel, out, lse, scale, t_real,
+                        qt, kt)
 
 
-def _flash_bwd(scale, t_real, qt, kt, res, g):
-    return _bwd(res, g)
+def _flash_bwd(scale, t_real, qt, kt, res, gs):
+    return _bwd(res, gs)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -378,7 +432,73 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
     epc = ep_bh[..., None]          # [BH, Tp, 1] column orientation
     epl = ep_bh[:, None, :]         # [BH, 1, Tp] lane orientation
 
-    out = _flash(fold(q), _col(fold(k)), fold(v), epc, epl, scale, T,
-                 qt, kt_tile)
+    rel = jnp.zeros((1, 1), jnp.int32)  # single window = the diagonal block
+    out, _ = _flash(fold(q), _col(fold(k)), fold(v), epc, epl, rel, scale,
+                    T, qt, kt_tile)
     out = out[:, :T].reshape(B, H, T, hd).transpose(2, 0, 1, 3)
     return out.reshape((T,) + batch + (H, hd)).astype(in_dtype)
+
+
+def flash_mha_block(q: jax.Array, k: jax.Array, v: jax.Array,
+                    q_ep: jax.Array, k_ep: jax.Array, rel: jax.Array,
+                    compute_dtype=None):
+    """One BLOCK of a ring-attention pass: queries from this device's time
+    shard against ONE arriving K/V time block, flash-tiled, returning the
+    pair the online-softmax block merge needs —
+
+        (out [T, ..., H, hd],  lse [T, ..., H])
+
+    where ``out`` is the softmax-normalized attention over THIS block's
+    valid keys and ``lse`` its per-query logsumexp (NEG for queries with no
+    valid key in the block).  Fold blocks with :func:`merge_blocks`.
+
+    ``q_ep`` / ``k_ep``: [T, ...] GLOBAL episode ids per side.  ``rel``:
+    int32 scalar (traced ok; arrives in SMEM) — the key block's time
+    relation: -1 strictly earlier (every pair causally valid), 0 the same
+    block (within-block causal), +1 strictly later (nothing valid).
+    Gradients flow through both outputs (the lse cotangent folds into the
+    flash backward's dsum term), so a jnp-level merge of blocks
+    backpropagates exactly.
+    """
+    T = q.shape[0]
+    H, hd = q.shape[-2], q.shape[-1]
+    batch = q.shape[1:-2]
+    B = math.prod(batch) if batch else 1
+    scale = 1.0 / math.sqrt(hd)
+    qt, kt_tile = _tiles(T)
+    Tp = _round_up(T, max(qt, kt_tile))
+    in_dtype = q.dtype
+
+    def fold(x):
+        x = x.reshape(T, B, H, hd).transpose(1, 2, 0, 3).reshape(B * H, T, hd)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        return jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+
+    def fold_ep(ep):
+        ep_b = ep.reshape(T, B).T
+        ep_bh = jnp.repeat(ep_b[:, None, :], H, axis=1).reshape(B * H, T)
+        return jnp.pad(ep_bh, ((0, 0), (0, Tp - T)), constant_values=-1)
+
+    epc = fold_ep(q_ep)[..., None]      # query side, column orientation
+    epl = fold_ep(k_ep)[:, None, :]     # key side, lane orientation
+    rel = jnp.asarray(rel, jnp.int32).reshape(1, 1)
+    out, lse = _flash(fold(q), _col(fold(k)), fold(v), epc, epl, rel,
+                      scale, T, qt, kt_tile)
+    out = out[:, :T].reshape(B, H, T, hd).transpose(2, 0, 1, 3)
+    lse = lse[:, :T, 0].reshape(B, H, T).transpose(2, 0, 1)
+    return (out.reshape((T,) + batch + (H, hd)).astype(in_dtype),
+            lse.reshape((T,) + batch + (H,)))
+
+
+def merge_blocks(a, b):
+    """Fold two (out, lse) ring-attention block results into one — the
+    jnp-level form of the in-kernel online-softmax merge.  Associative and
+    commutative; autodiff-safe (both operands' cotangents flow back into
+    their blocks' flash VJPs)."""
+    out_a, lse_a = a
+    out_b, lse_b = b
+    lse = jnp.logaddexp(lse_a, lse_b)
+    wa = jnp.exp(lse_a - lse)[..., None]
+    wb = jnp.exp(lse_b - lse)[..., None]
+    return out_a * wa + out_b * wb, lse
