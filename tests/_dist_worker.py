@@ -106,6 +106,41 @@ def main() -> int:
         jax.distributed.shutdown()
         return 0
 
+    if mode == "sp":
+        # sequence parallelism across PROCESSES: the ring (ppermute) and
+        # the GAE affine-carry all_gather ride DCN.  The mesh is arranged
+        # so every sp pair spans both hosts — the default process-major
+        # reshape would keep each ring inside one process and nothing
+        # would cross.
+        from ppoc_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(coord, n_proc, pid)
+
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from ppoc_tpu import PPOConfig
+        from ppoc_tpu.algo.trainer import Trainer
+        n_dev = len(jax.devices())
+        assert n_dev == 4 * n_proc, f"expected {4 * n_proc} devices, got {n_dev}"
+        devs = np.asarray(jax.devices()).reshape(n_proc, n_dev // n_proc).T
+        mesh = Mesh(devs, ("dp", "sp"))  # sp pairs = (proc0_i, proc1_i)
+        sp_procs = {d.process_index for d in devs[0]}
+        assert len(sp_procs) == n_proc, "sp axis must span every process"
+        cfg = PPOConfig(env="recall", n_envs=2 * n_dev, rollout_len=6,
+                        minibatch_size=6 * (n_dev // n_proc),
+                        fits_per_epoch=2, eval_envs=2 * n_dev, eval_len=6,
+                        hidden=(16,), kernel_backend="jnp",
+                        attn_dim=8, attn_layers=1, attn_heads=2,
+                        sp_size=n_proc)
+        tr = Trainer(cfg, mesh=mesh)
+        hist = tr.train(n_epochs=2, log=False)
+        r = hist[-1]["R"]
+        v = hist[-1]["value_loss"]
+        print(f"RESULT pid={pid} R={r:.6f} value_loss={v:.6f}", flush=True)
+        jax.distributed.shutdown()
+        return 0
+
     jax.distributed.initialize(
         coordinator_address=coord, num_processes=n_proc, process_id=pid
     )

@@ -110,3 +110,15 @@ def test_two_process_cli():
     n1 = int(by_pid[1].split("stdout_lines=")[1])
     assert n0 >= 2, "rank 0 should print per-epoch JSONL"
     assert n1 == 0, "rank 1 must stay silent"
+
+
+def test_two_process_sequence_parallel():
+    """Attention training with the sp ring spanning the two processes: the
+    per-layer K/V ppermute rotations, the GAE affine-carry all_gather and
+    the time-major all_to_all reshard all cross DCN.  Replicated metrics
+    must agree across processes."""
+    lines = _run_workers("sp")
+    rs = [float(l.split("R=")[1].split()[0]) for l in lines]
+    vs = [float(l.split("value_loss=")[1]) for l in lines]
+    assert rs[0] == pytest.approx(rs[1], rel=1e-6)
+    assert vs[0] == pytest.approx(vs[1], rel=1e-6)
