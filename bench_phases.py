@@ -25,6 +25,12 @@ from ppoc_tpu import envs
 from ppoc_tpu.algo import ppo
 from ppoc_tpu.config import PPOConfig, tpu_preset
 from ppoc_tpu.data import buffer
+from ppoc_tpu.utils.cache import enable_compilation_cache
+
+# persistent XLA cache (as bench.py): the X-ray compiles ~10 programs per
+# config; an aborted run resumes from the cached executables instead of
+# recompiling everything through the tunnel
+enable_compilation_cache()
 
 PEAK_BF16 = 197e12  # TPU v5e chip peak (bf16 MXU)
 

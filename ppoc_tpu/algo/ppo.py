@@ -491,15 +491,15 @@ def _replicate_equal(tree, axis_name: str):
 
 
 def fused_dp_engages(cfg: PPOConfig, backend: str) -> bool:
-    """Config-only gate: will the replicated fused update phases engage
-    under data parallelism?  The Trainer consults this to build its dp
-    shard_map with ``check_vma=False`` — Pallas kernels cannot trace under
-    the varying-axes checker (literals inside a kernel carry no vma), so
-    the pallas-dp mode trades the type check for the fused path; its
-    correctness is pinned by bit-equality tests instead
-    (tests/test_pallas_update.py::test_fused_dp_*).  This is the VALUE
-    phase's gate (the weaker one): target_kl/ent_anneal additionally send
-    just the policy phase to the scan."""
+    """Config-only gate: will the replicated fused VALUE phase engage under
+    data parallelism?  (The policy phase's gate swaps clip_value for
+    target_kl/ent_anneal — each phase re-checks its own stabilizers at the
+    call site via _fused_dp_ready.)  Informational/testing surface; the
+    Trainer's check_vma decision is simply ``backend != "pallas"`` because
+    the pallas backend reaches kernels on every dp path (scan-phase
+    mlp.apply included), and no Pallas program traces under the
+    varying-axes checker.  Correctness of the replicated path is pinned by
+    bit-equality tests (tests/test_pallas_update.py::test_fused_dp_*)."""
     if backend != "pallas" or cfg.zero1:
         return False
     if cfg.n_experts > 1 or cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
@@ -548,13 +548,6 @@ def _gather_rows(buf, axis_name: str):
         lambda a: jax.lax.all_gather(a, axis_name, tiled=True), buf)
 
 
-def _vary_all(tree, axis_name: str):
-    """Type every leaf as device-varying so the fused kernel's operands
-    carry a uniform vma (the gathered rows are varying; params/keys are
-    replicated-typed and would otherwise fail dot_general's vma match)."""
-    return _pvary(tree, axis_name)
-
-
 def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
                 axis_name: Optional[str], backend: str, n_mb: int,
                 mb_size: int, key_common=None):
@@ -587,10 +580,14 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
             )
             return ts._replace(v_params=v2, opt_v=opt2), loss
     if (_stab_ok and _fused_dp_ready(cfg, ts.v_params, axis_name, backend,
-                                     key_common, n_mb)):
+                                     key_common, n_mb)
+            and buf.obs.shape[0] * jax.lax.axis_size(axis_name)
+            == cfg.steps_per_fit):
         from ppoc_tpu.ops import pallas_update as _pu
 
-        v_in, opt_in, k_in = _vary_all(
+        # type params/key varying so every kernel operand matches the
+        # gathered rows' vma (no-op under check_vma=False)
+        v_in, opt_in, k_in = _pvary(
             (ts.v_params, ts.opt_v, key_common), axis_name)
         v2, opt2, loss = _pu.value_phase_fused(
             cfg, v_in, opt_in, _gather_rows(buf, axis_name), k_in,
@@ -674,10 +671,11 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
             return ts._replace(policy_params=pol2, opt_policy=opt_p2,
                                opt_log_std=opt_ls2), loss, ent
     if (_stab_ok and _fused_dp_ready(cfg, ts.policy_params["mlp"], axis_name,
-                                     backend, key_common, n_mb)):
+                                     backend, key_common, n_mb)
+            and n_rows * jax.lax.axis_size(axis_name) == cfg.steps_per_fit):
         from ppoc_tpu.ops import pallas_update as _pu
 
-        pol_in, opt_p_in, opt_ls_in, k_in = _vary_all(
+        pol_in, opt_p_in, opt_ls_in, k_in = _pvary(
             (ts.policy_params, ts.opt_policy, ts.opt_log_std, key_common),
             axis_name)
         out = _run_fused(pol_in, opt_p_in, opt_ls_in,

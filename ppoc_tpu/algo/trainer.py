@@ -36,9 +36,10 @@ class EvalWindowWarning(UserWarning):
 
 
 def _shard_map(fn, mesh, in_specs, out_specs, check_vma: bool = True):
-    """check_vma=False only for the pallas-dp mode: the fused update
-    kernels cannot trace under the varying-axes checker (see
-    ppo.fused_dp_engages); every other mode keeps the type check."""
+    """check_vma=False only where Pallas kernels run inside the mesh
+    program (the pallas-dp mode, and sp with the flash ring): no Pallas
+    program traces under the varying-axes checker (in-kernel literals
+    carry no vma); every other mode keeps the type check."""
     try:
         return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                              out_specs=out_specs, check_vma=check_vma)
@@ -239,10 +240,13 @@ class Trainer:
                 self._pack_state = pack_state
                 self._unshard_state = unshard
                 full_state = pack_state(full_state)
-            # pallas-dp: the replicated fused update phases engage, which
-            # requires the shard_map built without the varying-axes checker
-            # (ppo.fused_dp_engages)
-            self._dp_check_vma = not ppo.fused_dp_engages(cfg, self.backend)
+            # pallas-dp: ANY Pallas program under shard_map fails the
+            # varying-axes checker at trace (in-kernel literals carry no
+            # vma) — and the pallas backend reaches kernels on every dp
+            # path (the scan phases' mlp.apply forward, the fused update
+            # phases, eval's policy forward) — so the whole mode drops the
+            # checker; every other backend keeps it
+            self._dp_check_vma = self.backend != "pallas"
             epoch_local = functools.partial(
                 ppo.train_epoch, cfg, self.env,
                 axis_name=cfg.mesh_axis,
@@ -570,8 +574,8 @@ class Trainer:
             )
         if cfg.minibatch_size % dp_size:
             raise ValueError(
-                f"minibatch_size ({cfg.minibatch_size}) must divide the dp "
-                f"size ({dp_size})"
+                f"minibatch_size ({cfg.minibatch_size}) must be divisible "
+                f"by the dp size ({dp_size})"
             )
         from ppoc_tpu.models import attn as attn_mod
 

@@ -48,6 +48,10 @@ _PLANE_BYTE_LIMIT = 4 * 1024 * 1024
 _N_PLANES = 9
 _CHUNK_VMEM_BUDGET = 8 * 1024 * 1024
 
+# pin the scoped-VMEM cap rather than inheriting the environment default
+# (see ops/pallas_rollout._COMPILER_PARAMS)
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024)
+
 
 def chunk_plan(T: int, E: int) -> Optional[int]:
     """Grid cells needed for this shape (1 = single-shot), or None when no
@@ -140,6 +144,7 @@ def gae_norm_fused(
             bytes_accessed=4 * 7 * rewards.size,
             transcendentals=0,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(rewards, values, next_values, term, done)
     if normalize and not in_kernel_norm:

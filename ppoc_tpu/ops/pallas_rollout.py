@@ -367,6 +367,13 @@ SUPPORTED = frozenset(LANE_ENVS)
 _SINGLE_VMEM_BUDGET = 24 * 1024 * 1024
 _CHUNK_VMEM_BUDGET = 8 * 1024 * 1024
 
+# The budgets above exceed Mosaic's DEFAULT 16 MB scoped-VMEM cap, which is
+# a compile-time allocator limit, not the hardware (v5e VMEM is 128 MB).
+# Round 3 compiled these shapes against a terminal whose effective cap was
+# higher; the cap must therefore be pinned HERE, not inherited from the
+# environment (same lesson as ops/pallas_attn._PARAMS).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024)
+
 
 def _plane_count(lane: LaneEnv, with_v: bool) -> int:
     na = 1 if lane.n_actions > 0 else lane.act_dim
@@ -697,6 +704,7 @@ def rollout_fused(
             bytes_accessed=4 * (2 * O + 6) * T * E,
             transcendentals=12 * T * E,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(*inputs)
 

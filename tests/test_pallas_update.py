@@ -292,3 +292,28 @@ def test_fused_dp_trainer_epoch_runs_and_learns_shape():
         tr = Trainer(cfg, mesh=_dp_mesh(4))
     m = jax.tree.map(float, jax.device_get(tr.train_epoch()))
     assert np.isfinite(m.value_loss) and np.isfinite(m.policy_loss)
+
+
+def test_pallas_dp_outside_fused_regime_scans(monkeypatch):
+    """dp + pallas with a stabilizer ON (fused gates closed) must fall back
+    to the scan path and TRAIN — previously the shard_map was built with
+    the vma checker whenever the fused gate was closed, and the scan path's
+    pallas MLP forward failed to trace (review r4 finding #1: the pallas
+    backend reaches kernels on EVERY dp path, so check_vma must drop for
+    the whole mode)."""
+    import warnings
+
+    from ppoc_tpu.algo.trainer import Trainer
+
+    cfg = PPOConfig(env="pendulum", hidden=(16, 16), n_envs=8,
+                    rollout_len=32, minibatch_size=32, fits_per_epoch=1,
+                    n_epochs_value=2, n_epochs_policy=2, eval_envs=8,
+                    eval_len=16, kernel_backend="pallas",
+                    max_grad_norm=0.5, seed=0)
+    assert not ppo.fused_dp_engages(cfg, "pallas")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tr = Trainer(cfg, mesh=_dp_mesh(4))
+    assert tr._dp_check_vma is False  # whole pallas-dp mode drops the checker
+    m = jax.tree.map(float, jax.device_get(tr.train_epoch()))
+    assert np.isfinite(m.value_loss) and np.isfinite(m.policy_loss)

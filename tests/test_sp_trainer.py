@@ -97,7 +97,9 @@ def test_sp_eval_matches_dp(_quiet_eval):
 def test_sp_solve_runs(_quiet_eval):
     tr = Trainer(_cfg(sp_size=2), mesh=_mesh2d(2, 2))
     out = tr.solve(target_R=-1e9, max_epochs=1)
-    assert out["epochs"] == 1 and np.isfinite(out["R"]) is not None
+    # this config's eval window < the horizon, so R is legitimately -inf
+    # (censored eval); the check is one epoch ran and R is not NaN
+    assert out["epochs"] == 1 and not np.isnan(out["R"])
 
 
 def test_sp_checkpoint_interchanges_with_dp(tmp_path, _quiet_eval):
