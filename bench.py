@@ -190,19 +190,14 @@ def reference_schedule_config(seed: int) -> PPOConfig:
 
 
 def tuned_config(seed: int) -> PPOConfig:
-    """The bench config with the hyperparameters the framework's own
-    tooling found: a 24-lane sweep.solve_grid dispatch (43 s on the chip)
-    picked lr 1e-3 / lr_v 1e-3 / clip 0.3, and a chip schedule probe cut
-    the update epochs to 5 value + 2 policy (the 10+4 reference schedule
-    over-fits each buffer at these learning rates — fewer, larger steps
-    solve in the same number of epochs at ~half the fit cost; the even
-    leaner 3+3 was faster still but lost a run on one probe seed, so the
-    tuned preset keeps the robust point).  NOT the headline (that keeps
-    the reference's exact hyperparameters and schedule); this is what a
-    user of the sweep tooling actually gets."""
-    return bench_config(seed).replace(lr_policy=1e-3, lr_v=1e-3,
-                                      clip_eps=0.3, n_epochs_value=5,
-                                      n_epochs_policy=2)
+    """The grid-sweep-winner hyperparameters — now the shared
+    ``config.tuned_preset`` (CLI ``--preset tuned``), so the bench and the
+    product surface can never drift.  NOT the headline (that keeps the
+    reference's exact hyperparameters and schedule); this is what a user
+    of the sweep tooling actually gets."""
+    from ppoc_tpu.config import tuned_preset
+
+    return tuned_preset("pendulum", seed)
 
 
 def main(argv=None) -> int:

@@ -13,7 +13,8 @@ import dataclasses
 import json
 import sys
 
-from ppoc_tpu.config import PPOConfig, reference_preset, tpu_preset
+from ppoc_tpu.config import (PPOConfig, reference_preset, tpu_preset,
+                             tuned_preset)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -21,7 +22,8 @@ def build_parser() -> argparse.ArgumentParser:
         prog="ppoc_tpu",
         description="TPU-native PPO trainer (capabilities of cube1324/ppo.c)",
     )
-    p.add_argument("--preset", choices=["reference", "tpu"], default="reference",
+    p.add_argument("--preset", choices=["reference", "tpu", "tuned"],
+                   default="reference",
                    help="base config: 'reference' = parity with src/main.c "
                         "hyperparameters; 'tpu' = throughput-sized")
     p.add_argument("--save", metavar="PATH", default=None,
@@ -155,7 +157,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args: argparse.Namespace) -> PPOConfig:
-    cfg = reference_preset() if args.preset == "reference" else tpu_preset()
+    cfg = {"reference": reference_preset, "tpu": tpu_preset,
+           "tuned": tuned_preset}[args.preset]()
     overrides = {}
     for f in dataclasses.fields(PPOConfig):
         if f.name == "hidden":

@@ -311,3 +311,32 @@ def tpu_preset(env: str = "pendulum", seed: int = 0) -> PPOConfig:
         eval_envs=256,
         eval_len=200,
     )
+
+
+def tuned_preset(env: str = "pendulum", seed: int = 0) -> PPOConfig:
+    """Solve-speed preset: what the framework's OWN tooling found.
+
+    A 24-lane sweep.solve_grid dispatch picked lr 1e-3 / clip 0.3, and a
+    chip schedule probe cut the update epochs to 5 value + 2 policy (the
+    reference's 10+4 over-fits each buffer at these learning rates —
+    fewer, larger steps solve in the same epochs at ~half the fit cost).
+    Solves Pendulum in 0.060-0.071 s on one v5e chip (70-84x the
+    reference; `bench.py --tuned`, docs/RESULTS.md).  The headline bench
+    deliberately keeps the reference's exact hyperparameters instead.
+    """
+    return PPOConfig(
+        env=env,
+        seed=seed,
+        n_envs=64,
+        rollout_len=200,
+        minibatch_size=256,
+        fits_per_epoch=4,
+        eval_envs=64,
+        eval_len=200,
+        kernel_backend="pallas",
+        lr_policy=1e-3,
+        lr_v=1e-3,
+        clip_eps=0.3,
+        n_epochs_value=5,
+        n_epochs_policy=2,
+    )

@@ -155,3 +155,21 @@ def test_score_episodes(capsys):
     assert s["episodes"] >= 20 and s["rounds"] >= 2
     import math
     assert math.isfinite(s["R"]) and math.isfinite(s["J"])
+
+
+def test_tuned_preset_wiring():
+    """--preset tuned resolves to config.tuned_preset (the grid-sweep
+    winner) and stays in sync with bench.tuned_config."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from bench import tuned_config
+    from ppoc_tpu import cli
+    from ppoc_tpu.config import tuned_preset
+
+    args = cli.build_parser().parse_args(["--preset", "tuned"])
+    cfg = cli.config_from_args(args)
+    assert cfg == tuned_preset()
+    assert tuned_config(0) == tuned_preset("pendulum", 0)
+    assert cfg.lr_policy == 1e-3 and cfg.clip_eps == 0.3
+    assert (cfg.n_epochs_value, cfg.n_epochs_policy) == (5, 2)
