@@ -96,7 +96,7 @@ def _tiles(T: int):
     tile (qt x kt f32 <= 1 MB) stays far inside VMEM; key tiles stay
     multiples of 128 (Mosaic lane-slice constraint).  Chip-measured at
     (T=2048, B=16, d=512): 128->512 tiles take the flash op 25.6 -> 7.9 ms
-    (fwd+bwd) and the 2-block encoder to >35% of bf16 peak."""
+    (fwd+bwd) and the 2-block encoder to 46.7% of bf16 peak."""
     if T >= 2048:
         return 512, 512
     if T >= 1024:

@@ -161,3 +161,13 @@ def test_sp_trainer_flash_ring(monkeypatch, _quiet_eval):
     err = _max_rel_err(jax.device_get(tr_jnp.state.policy_params),
                        jax.device_get(tr_flash.state.policy_params))
     assert err < 5e-3, f"flash-ring trainer diverged from jnp ring: {err}"
+
+
+def test_sp_with_stabilizers(_quiet_eval):
+    """max_grad_norm + clip_value + target_kl under (dp, sp): the gradient
+    clip, the PPO2 value clip's rollout-time V(s) plane (compute_values_sp)
+    and the KL early-stop's pmean all reduce over the AXIS TUPLE."""
+    cfg = _cfg(sp_size=2, max_grad_norm=0.5, clip_value=0.2, target_kl=0.05)
+    tr = Trainer(cfg, mesh=_mesh2d(2, 2))
+    m = jax.tree.map(float, jax.device_get(tr.train_epoch()))
+    assert np.isfinite(m.value_loss) and np.isfinite(m.policy_loss)
