@@ -92,6 +92,11 @@ def fit_step_sp(
         axis_name=both,
     )
     traj = _reshard_time(traj, sp_axis)
+    # type every plane varying over BOTH axes: planes an env computes from
+    # constants (e.g. cartpole's reward = 1) otherwise reach the tuple
+    # reductions typed varying over sp alone (the all_to_all) and fail the
+    # vma check (same hazard ppo._pvary guards in the dp rollout)
+    traj = ppo._pvary(traj, both)
 
     vpair = recurrent.compute_values_sp(cfg, ts.v_params, traj, sp_axis,
                                         backend=backend)

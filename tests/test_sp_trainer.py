@@ -171,3 +171,13 @@ def test_sp_with_stabilizers(_quiet_eval):
     tr = Trainer(cfg, mesh=_mesh2d(2, 2))
     m = jax.tree.map(float, jax.device_get(tr.train_epoch()))
     assert np.isfinite(m.value_loss) and np.isfinite(m.policy_loss)
+
+
+def test_sp_discrete_policy(_quiet_eval):
+    """Categorical policies under (dp, sp): the take_along_axis log-prob
+    and softmax entropy compute on time shards and reduce over the tuple."""
+    cfg = _cfg(env="cartpole", sp_size=2)
+    tr = Trainer(cfg, mesh=_mesh2d(2, 2))
+    m = jax.tree.map(float, jax.device_get(tr.train_epoch()))
+    assert np.isfinite(m.value_loss) and np.isfinite(m.policy_loss)
+    assert m.entropy > 0.0  # categorical entropy of a 2-class policy
