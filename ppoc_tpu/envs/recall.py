@@ -97,3 +97,11 @@ def make_recall_xxl() -> Env:
     """2048-step recall: the long-window stress variant (train + serve at
     T=2048, examples/recall_xl_curriculum.py taken one doubling further)."""
     return _make_recall("recall_xxl", 2048)
+
+
+@register("recall_4k")
+def make_recall_4k() -> Env:
+    """4096-step recall: the top of the window-doubling curriculum — a
+    4095-step retrieval distance, every parallel pass through the
+    512-tile flash kernel."""
+    return _make_recall("recall_4k", 4096)

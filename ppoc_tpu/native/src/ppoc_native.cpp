@@ -62,7 +62,8 @@ enum EnvId {
   ENV_RECALL = 6,       // cue-memory task (envs/recall.py)
   ENV_RECALL_LONG = 7,  // 512-step variant (envs/recall.py make_recall_long)
   ENV_RECALL_XL = 8,    // 1024-step variant (envs/recall.py make_recall_xl)
-  ENV_RECALL_XXL = 9    // 2048-step variant (envs/recall.py make_recall_xxl)
+  ENV_RECALL_XXL = 9,   // 2048-step variant (envs/recall.py make_recall_xxl)
+  ENV_RECALL_4K = 10    // 4096-step variant (envs/recall.py make_recall_4k)
 };
 
 static inline float angle_normalize(float x) {
@@ -86,6 +87,7 @@ int ppoc_env_state_dim(int env_id) {
     case ENV_RECALL_LONG: return 2;
     case ENV_RECALL_XL: return 2;
     case ENV_RECALL_XXL: return 2;
+    case ENV_RECALL_4K: return 2;
     default: return -1;
   }
 }
@@ -102,6 +104,7 @@ int ppoc_env_obs_dim(int env_id) {
     case ENV_RECALL_LONG: return 2;
     case ENV_RECALL_XL: return 2;
     case ENV_RECALL_XXL: return 2;
+    case ENV_RECALL_4K: return 2;
     default: return -1;
   }
 }
@@ -118,6 +121,7 @@ int ppoc_env_action_dim(int env_id) {
     case ENV_RECALL_LONG: return 1;
     case ENV_RECALL_XL: return 1;
     case ENV_RECALL_XXL: return 1;
+    case ENV_RECALL_4K: return 1;
     default: return -1;
   }
 }
@@ -134,6 +138,7 @@ int ppoc_env_horizon(int env_id) {
     case ENV_RECALL_LONG: return 512;  // envs/recall.py make_recall_long
     case ENV_RECALL_XL: return 1024;   // envs/recall.py make_recall_xl
     case ENV_RECALL_XXL: return 2048;  // envs/recall.py make_recall_xxl
+    case ENV_RECALL_4K: return 4096;   // envs/recall.py make_recall_4k
     default: return -1;
   }
 }
@@ -216,6 +221,7 @@ static void obs_from_state(int env_id, const float* st, float* obs) {
     case ENV_RECALL_LONG:
     case ENV_RECALL_XL:
     case ENV_RECALL_XXL:
+    case ENV_RECALL_4K:
       // envs/recall.py:_obs — cue visible only while the first-step flag
       // (st[1]) is up
       obs[0] = st[0] * st[1];
@@ -270,6 +276,7 @@ void ppoc_env_reset(int env_id, int n, uint64_t seed,
       case ENV_RECALL_LONG:
       case ENV_RECALL_XL:
       case ENV_RECALL_XXL:
+      case ENV_RECALL_4K:
         st[0] = uniform(&rng, 0.0f, 1.0f) < 0.5f ? -1.0f : 1.0f;
         st[1] = 1.0f;  // first-step flag: the cue is visible
         break;
@@ -421,7 +428,8 @@ void ppoc_env_step(int env_id, int n,
       case ENV_RECALL:
       case ENV_RECALL_LONG:
       case ENV_RECALL_XL:
-      case ENV_RECALL_XXL: {
+      case ENV_RECALL_XXL:
+      case ENV_RECALL_4K: {
         // envs/recall.py:_step — fixed-length episode TERMINATING at the
         // horizon; reward 1 at the final step iff sign(action) matches the
         // cue; observations go blank after t = 0.

@@ -386,49 +386,53 @@ def _read_blob_python(path: str) -> bytes:
 def adapt_to_template(state, template):
     """Forward-compatibility shims applied before template validation.
 
-    Attention positional tables grew one row (the V(s') decode slot) after
-    the first kind-4 checkpoints shipped; a file whose ``pos`` is exactly
-    one row SHORT of the live template pads with a zero row (that position
-    was never trained — it only feeds the final bootstrap decode) instead
-    of failing the shape check with a misleading config-mismatch error.
+    Attention positional-table GROWTH: a checkpoint whose ``pos`` table is
+    shorter than the live template's (same width) pads with zero rows —
+    the window-extension load (``Trainer.from_checkpoint(...,
+    rollout_len=longer)``), the mechanism behind the recall window-doubling
+    curriculum (examples/recall_xl_curriculum.py): each phase trains with a
+    RIGHT-SIZED window (rollouts pay only their own cache length) and the
+    next phase's trainer grows the table on load.  New rows start at zero
+    (positions never attended yet; the embedding stream still carries
+    content, fine-tuning trains them) with zero Adam moments.  The
+    original one-row case (the V(s') decode slot added after the first
+    kind-4 checkpoints) is subsumed.  The pad targets the ``pos`` leaf BY
+    KEY — the Adam moment trees mirror the trunk structure — so no other
+    row-short leaf can be silently padded.
     """
     from ppoc_tpu.models.attn import is_attn
 
-    def fix_trunk(trunk, tpl):
+    def grow(tree, n_pad):
+        if not (isinstance(tree, dict) and "attn" in tree):
+            return tree
+        a = dict(tree["attn"])
+        a["pos"] = jnp.pad(jnp.asarray(a["pos"]), ((0, n_pad), (0, 0)))
+        return dict(tree, attn=a)
+
+    def pad_rows(trunk, tpl):
+        """-> rows to grow (0 = nothing to do; growth only, never shrink)."""
         if not (is_attn(trunk) and is_attn(tpl)):
-            return trunk
+            return 0
         pos, tp = trunk["attn"]["pos"], tpl["attn"]["pos"]
-        if pos.shape[-1] == tp.shape[-1] and pos.shape[0] + 1 == tp.shape[0]:
-            a = dict(trunk["attn"])
-            a["pos"] = jnp.pad(jnp.asarray(pos), ((0, 1), (0, 0)))
-            trunk = dict(trunk, attn=a)
-        return trunk
+        if pos.shape[-1] == tp.shape[-1] and pos.shape[0] < tp.shape[0]:
+            return tp.shape[0] - pos.shape[0]
+        return 0
 
-    def fix_like(tree, new_params):
-        return jax.tree.map(
-            lambda x, n: (jnp.pad(jnp.asarray(x), ((0, 1), (0, 0)))
-                          if (np.ndim(x) == 2 and np.ndim(n) == 2
-                              and np.shape(x)[0] + 1 == np.shape(n)[0]
-                              and np.shape(x)[1] == np.shape(n)[1])
-                          else x),
-            tree, new_params)
-
-    pol_trunk = fix_trunk(state.policy_params["mlp"],
-                          template.policy_params["mlp"])
-    v_trunk = fix_trunk(state.v_params, template.v_params)
-    if (pol_trunk is state.policy_params["mlp"]
-            and v_trunk is state.v_params):
+    n_pol = pad_rows(state.policy_params["mlp"],
+                     template.policy_params["mlp"])
+    n_v = pad_rows(state.v_params, template.v_params)
+    if not (n_pol or n_v):
         return state
     pol = dict(state.policy_params)
-    pol["mlp"] = pol_trunk
-    # the Adam moment trees mirror the trunk; pad the matching pos rows so
-    # optimizer state stays aligned (zero moments for the new untrained row)
+    pol["mlp"] = grow(state.policy_params["mlp"], n_pol) if n_pol \
+        else state.policy_params["mlp"]
+    v_trunk = grow(state.v_params, n_v) if n_v else state.v_params
     opt_policy = state.opt_policy._replace(
-        m=fix_like(state.opt_policy.m, pol_trunk),
-        v=fix_like(state.opt_policy.v, pol_trunk))
+        m=grow(state.opt_policy.m, n_pol) if n_pol else state.opt_policy.m,
+        v=grow(state.opt_policy.v, n_pol) if n_pol else state.opt_policy.v)
     opt_v = state.opt_v._replace(
-        m=fix_like(state.opt_v.m, v_trunk),
-        v=fix_like(state.opt_v.v, v_trunk))
+        m=grow(state.opt_v.m, n_v) if n_v else state.opt_v.m,
+        v=grow(state.opt_v.v, n_v) if n_v else state.opt_v.v)
     return state._replace(policy_params=pol, v_params=v_trunk,
                           opt_policy=opt_policy, opt_v=opt_v)
 

@@ -324,3 +324,41 @@ def test_window_extension_curriculum_seam(tmp_path):
     assert np.isfinite(m.value_loss)
     ev = tr2.evaluate()
     assert ev.episodes > 0
+
+
+def test_window_growth_on_load(tmp_path):
+    """Positional-table GROWTH: from_checkpoint with a much longer window
+    pads the pos table (and its Adam moments) with zero rows, targeting the
+    pos leaf by key — each curriculum phase can train with a RIGHT-SIZED
+    window instead of paying the final phase's KV length from the start."""
+    import warnings
+
+    cfg1 = PPOConfig(env="recall", n_envs=8, rollout_len=6,
+                     minibatch_size=48, fits_per_epoch=1, eval_envs=16,
+                     eval_len=6, kernel_backend="jnp", hidden=(16,),
+                     seed=0, attn_dim=8, attn_layers=1, attn_heads=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tr1 = Trainer(cfg1)
+        tr1.train_epoch()
+        p = str(tmp_path / "small.bin")
+        tr1.save(p)
+        tr2 = Trainer.from_checkpoint(p, rollout_len=24, eval_len=24,
+                                      minibatch_size=192)
+    from ppoc_tpu.models import attn as attn_mod
+
+    assert attn_mod.window(tr1.state.v_params) == 7
+    assert attn_mod.window(tr2.state.v_params) == 25
+    old = np.asarray(jax.device_get(
+        tr1.state.policy_params["mlp"]["attn"]["pos"]))
+    new = np.asarray(jax.device_get(
+        tr2.state.policy_params["mlp"]["attn"]["pos"]))
+    assert np.array_equal(new[:7], old)           # trained rows carried
+    assert np.all(new[7:] == 0.0)                 # growth rows zero
+    m_pos = np.asarray(jax.device_get(
+        tr2.state.opt_policy.m["attn"]["pos"]))
+    assert m_pos.shape == new.shape and np.all(m_pos[7:] == 0.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m = jax.tree.map(float, jax.device_get(tr2.train_epoch()))
+    assert np.isfinite(m.value_loss)

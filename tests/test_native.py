@@ -49,7 +49,7 @@ def _jax_states(name, n, key):
     if name == "acrobot":
         s = rng.uniform(-0.1, 0.1, (n, 4)).astype(np.float32)
         return acrobot.AcrobotState(jnp.asarray(s), zi), s
-    if name in ("recall", "recall_long", "recall_xl", "recall_xxl"):
+    if name.startswith("recall"):
         b = np.where(rng.uniform(size=n) < 0.5, -1.0, 1.0).astype(np.float32)
         first = np.ones(n, np.float32)
         return recall.RecallState(jnp.asarray(b), zi), np.stack([b, first], 1)
@@ -65,7 +65,8 @@ def _jax_states(name, n, key):
 
 @pytest.mark.parametrize(
     "name", ["pendulum", "cartpole", "mountain_car", "simple", "acrobot",
-             "reacher", "recall", "recall_long", "recall_xl", "recall_xxl"]
+             "reacher", "recall", "recall_long", "recall_xl", "recall_xxl",
+             "recall_4k"]
 )
 def test_native_matches_jax_physics(name):
     env = envs.make(name)
