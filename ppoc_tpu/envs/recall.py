@@ -101,7 +101,12 @@ def make_recall_xxl() -> Env:
 
 @register("recall_4k")
 def make_recall_4k() -> Env:
-    """4096-step recall: the top of the window-doubling curriculum — a
-    4095-step retrieval distance, every parallel pass through the
-    512-tile flash kernel."""
+    """4096-step recall: a 4095-step retrieval distance, every parallel
+    pass through the 512-tile flash kernel."""
     return _make_recall("recall_4k", 4096)
+
+
+@register("recall_8k")
+def make_recall_8k() -> Env:
+    """8192-step recall: the top of the window-doubling curriculum."""
+    return _make_recall("recall_8k", 8192)

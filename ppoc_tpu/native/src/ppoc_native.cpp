@@ -63,7 +63,8 @@ enum EnvId {
   ENV_RECALL_LONG = 7,  // 512-step variant (envs/recall.py make_recall_long)
   ENV_RECALL_XL = 8,    // 1024-step variant (envs/recall.py make_recall_xl)
   ENV_RECALL_XXL = 9,   // 2048-step variant (envs/recall.py make_recall_xxl)
-  ENV_RECALL_4K = 10    // 4096-step variant (envs/recall.py make_recall_4k)
+  ENV_RECALL_4K = 10,   // 4096-step variant (envs/recall.py make_recall_4k)
+  ENV_RECALL_8K = 11    // 8192-step variant (envs/recall.py make_recall_8k)
 };
 
 static inline float angle_normalize(float x) {
@@ -88,6 +89,7 @@ int ppoc_env_state_dim(int env_id) {
     case ENV_RECALL_XL: return 2;
     case ENV_RECALL_XXL: return 2;
     case ENV_RECALL_4K: return 2;
+    case ENV_RECALL_8K: return 2;
     default: return -1;
   }
 }
@@ -105,6 +107,7 @@ int ppoc_env_obs_dim(int env_id) {
     case ENV_RECALL_XL: return 2;
     case ENV_RECALL_XXL: return 2;
     case ENV_RECALL_4K: return 2;
+    case ENV_RECALL_8K: return 2;
     default: return -1;
   }
 }
@@ -122,6 +125,7 @@ int ppoc_env_action_dim(int env_id) {
     case ENV_RECALL_XL: return 1;
     case ENV_RECALL_XXL: return 1;
     case ENV_RECALL_4K: return 1;
+    case ENV_RECALL_8K: return 1;
     default: return -1;
   }
 }
@@ -139,6 +143,7 @@ int ppoc_env_horizon(int env_id) {
     case ENV_RECALL_XL: return 1024;   // envs/recall.py make_recall_xl
     case ENV_RECALL_XXL: return 2048;  // envs/recall.py make_recall_xxl
     case ENV_RECALL_4K: return 4096;   // envs/recall.py make_recall_4k
+    case ENV_RECALL_8K: return 8192;   // envs/recall.py make_recall_8k
     default: return -1;
   }
 }
@@ -222,6 +227,7 @@ static void obs_from_state(int env_id, const float* st, float* obs) {
     case ENV_RECALL_XL:
     case ENV_RECALL_XXL:
     case ENV_RECALL_4K:
+    case ENV_RECALL_8K:
       // envs/recall.py:_obs — cue visible only while the first-step flag
       // (st[1]) is up
       obs[0] = st[0] * st[1];
@@ -277,6 +283,7 @@ void ppoc_env_reset(int env_id, int n, uint64_t seed,
       case ENV_RECALL_XL:
       case ENV_RECALL_XXL:
       case ENV_RECALL_4K:
+      case ENV_RECALL_8K:
         st[0] = uniform(&rng, 0.0f, 1.0f) < 0.5f ? -1.0f : 1.0f;
         st[1] = 1.0f;  // first-step flag: the cue is visible
         break;
@@ -429,7 +436,8 @@ void ppoc_env_step(int env_id, int n,
       case ENV_RECALL_LONG:
       case ENV_RECALL_XL:
       case ENV_RECALL_XXL:
-      case ENV_RECALL_4K: {
+      case ENV_RECALL_4K:
+      case ENV_RECALL_8K: {
         // envs/recall.py:_step — fixed-length episode TERMINATING at the
         // horizon; reward 1 at the final step iff sign(action) matches the
         // cue; observations go blank after t = 0.
