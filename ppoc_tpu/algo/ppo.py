@@ -490,21 +490,41 @@ def _replicate_equal(tree, axis_name: str):
     return jax.tree.map(lambda x: jax.lax.pmax(x, axis_name), tree)
 
 
+def _stab_value_ok(cfg: PPOConfig) -> bool:
+    """Stabilizer gate shared by the fused VALUE phase and fused_dp_engages:
+    the fused kernel implements none of the default-off stabilizers."""
+    return (cfg.max_grad_norm == 0.0 and not cfg.lr_anneal
+            and cfg.clip_value == 0.0)
+
+
+def _stab_policy_ok(cfg: PPOConfig) -> bool:
+    """Stabilizer gate shared by the fused POLICY phase and
+    fused_dp_engages (swaps clip_value for target_kl/ent_anneal)."""
+    return (cfg.max_grad_norm == 0.0 and not cfg.lr_anneal
+            and cfg.target_kl == 0.0 and not cfg.ent_anneal)
+
+
 def fused_dp_engages(cfg: PPOConfig, backend: str) -> bool:
-    """Config-only gate: will the replicated fused VALUE phase engage under
-    data parallelism?  (The policy phase's gate swaps clip_value for
-    target_kl/ent_anneal — each phase re-checks its own stabilizers at the
-    call site via _fused_dp_ready.)  Informational/testing surface; the
-    Trainer's check_vma decision is simply ``backend != "pallas"`` because
-    the pallas backend reaches kernels on every dp path (scan-phase
-    mlp.apply included), and no Pallas program traces under the
-    varying-axes checker.  Correctness of the replicated path is pinned by
-    bit-equality tests (tests/test_pallas_update.py::test_fused_dp_*)."""
+    """Config-only gate: will the replicated fused phases engage under
+    data parallelism?  Composed from the SAME stabilizer predicates the
+    phases use (_stab_value_ok and _stab_policy_ok — both must pass, so
+    this is conservative: it never claims engagement a phase would refuse
+    on stabilizer grounds).  Two runtime conditions are unknowable from
+    the config alone and are therefore NOT checked here — callers relying
+    on this for exactness must know that the phases additionally require
+    (a) n_mb == cfg.num_minibatches (no tail-phase override) and (b) the
+    sharded buffer gathering back to exactly cfg.steps_per_fit rows.
+    Informational/testing surface; the Trainer's check_vma decision is
+    simply ``backend != "pallas"`` because the pallas backend reaches
+    kernels on every dp path (scan-phase mlp.apply included), and no
+    Pallas program traces under the varying-axes checker.  Correctness of
+    the replicated path is pinned by bit-equality tests
+    (tests/test_pallas_update.py::test_fused_dp_*)."""
     if backend != "pallas" or cfg.zero1:
         return False
     if cfg.n_experts > 1 or cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
         return False
-    if cfg.max_grad_norm > 0.0 or cfg.lr_anneal or cfg.clip_value > 0.0:
+    if not (_stab_value_ok(cfg) and _stab_policy_ok(cfg)):
         return False
     from ppoc_tpu.ops import pallas_update as _pu
 
@@ -566,8 +586,7 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
     """
     from ppoc_tpu.models import moe as _moe
 
-    _stab_ok = (cfg.max_grad_norm == 0.0 and not cfg.lr_anneal
-                and cfg.clip_value == 0.0)
+    _stab_ok = _stab_value_ok(cfg)
     if (backend == "pallas" and axis_name is None
             and not _moe.is_moe(ts.v_params) and _stab_ok):
         from ppoc_tpu.ops import pallas_update as _pu
@@ -645,8 +664,7 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
     discrete = env.spec.discrete
     from ppoc_tpu.models import moe as _moe
 
-    _stab_ok = (cfg.max_grad_norm == 0.0 and not cfg.lr_anneal
-                and cfg.target_kl == 0.0 and not cfg.ent_anneal)
+    _stab_ok = _stab_policy_ok(cfg)
 
     def _run_fused(pol_in, opt_p_in, opt_ls_in, buf_in, key_in):
         if discrete:

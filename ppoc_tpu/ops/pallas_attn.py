@@ -60,17 +60,8 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _sds(shape, dtype, like) -> jax.ShapeDtypeStruct:
-    """Output struct inheriting the inputs' varying-axes type (see
-    ops/pallas_update._sds — needed when a kernel runs under shard_map
-    with the vma checker on; a no-op otherwise)."""
-    try:
-        vma = frozenset().union(*(jax.typeof(a).vma for a in like))
-    except AttributeError:
-        vma = frozenset()
-    if not vma:
-        return jax.ShapeDtypeStruct(shape, dtype)
-    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+# vma-inheriting output struct, shared with pallas_update (ops/_pallas_common)
+from ppoc_tpu.ops._pallas_common import sds as _sds
 
 
 def _round_up(x: int, m: int) -> int:

@@ -63,18 +63,8 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _sds(shape, dtype, like) -> jax.ShapeDtypeStruct:
-    """Output struct inheriting the varying-axes type of the kernel inputs:
-    under shard_map (the replicated dp fused phases, algo/ppo._fused_dp_ready)
-    pallas_call must declare how outputs vary across mesh axes; outside
-    shard_map vma is absent and the plain struct is returned."""
-    try:
-        vma = frozenset().union(*(jax.typeof(a).vma for a in like))
-    except AttributeError:
-        vma = frozenset()
-    if not vma:
-        return jax.ShapeDtypeStruct(shape, dtype)
-    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+# vma-inheriting output struct, shared with pallas_attn (ops/_pallas_common)
+from ppoc_tpu.ops._pallas_common import sds as _sds
 
 
 def _act(h, activation):

@@ -27,6 +27,7 @@ expert-parallel (ep_size > 1) trainers.
 from __future__ import annotations
 
 import struct
+import warnings
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -423,6 +424,18 @@ def adapt_to_template(state, template):
     n_v = pad_rows(state.v_params, template.v_params)
     if not (n_pol or n_v):
         return state
+    if max(n_pol, n_v) > 1:
+        # More than the one-row decode slot means a genuine window change:
+        # intentional curriculum loads can silence this, config mistakes
+        # (short-window checkpoint into a much longer-window trainer) surface.
+        old = template.policy_params["mlp"]["attn"]["pos"].shape[0] \
+            - max(n_pol, n_v)
+        new = template.policy_params["mlp"]["attn"]["pos"].shape[0]
+        warnings.warn(
+            f"growing attention positional table from {old} to {new} rows "
+            "(zero-initialized, untrained positions) — expected for a "
+            "window-extension curriculum load, a mistake otherwise",
+            UserWarning, stacklevel=2)
     pol = dict(state.policy_params)
     pol["mlp"] = grow(state.policy_params["mlp"], n_pol) if n_pol \
         else state.policy_params["mlp"]

@@ -362,3 +362,27 @@ def test_window_growth_on_load(tmp_path):
         warnings.simplefilter("ignore")
         m = jax.tree.map(float, jax.device_get(tr2.train_epoch()))
     assert np.isfinite(m.value_loss)
+
+
+def test_window_growth_warns(tmp_path):
+    """Growing the pos table by more than the one-row decode slot emits a
+    UserWarning naming the old/new row counts (ADVICE r4): curriculum loads
+    can silence it, accidental short-window loads surface."""
+    import warnings
+
+    cfg1 = PPOConfig(env="recall", n_envs=8, rollout_len=6,
+                     minibatch_size=48, fits_per_epoch=1, eval_envs=16,
+                     eval_len=6, kernel_backend="jnp", hidden=(16,),
+                     seed=0, attn_dim=8, attn_layers=1, attn_heads=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tr1 = Trainer(cfg1)
+        p = str(tmp_path / "small.bin")
+        tr1.save(p)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        Trainer.from_checkpoint(p, rollout_len=24, eval_len=24,
+                                 minibatch_size=192)
+    msgs = [str(w.message) for w in rec
+            if "positional table" in str(w.message)]
+    assert msgs and "7 to 25" in msgs[0]
