@@ -117,11 +117,23 @@ def solve_benchmark(seed: int, max_epochs: int, log=lambda *a: None,
     tr = Trainer((config_fn or bench_config)(seed))
     init_state = tr.state
 
+    # The axon transport charges a one-time ~40-350 s stall at a fresh
+    # process's FIRST real device sync, independent of what program runs
+    # (BENCH_r04's "compile_s" of 180.7 s was almost entirely this stall —
+    # a warm-cache rerun measured 41.5 s first-solve vs 0.12 s second).
+    # Pay it here on a trivial program (compile cost: milliseconds) so the
+    # compile_s field below reports genuine compile/deserialize time.
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    float(jax.device_get(jnp.zeros(()) + 1.0))
+    transport_s = time.perf_counter() - t0
+    log(f"transport first-sync stall: {transport_s:.1f}s")
+
     # Warm the jit cache AND the device path (compile excluded from the
-    # measurement, like the reference's ahead-of-time nvcc build).  The
-    # remote-TPU transport can stall for minutes on the first dispatches of a
-    # fresh process, and block_until_ready is not a reliable barrier there —
-    # warm with discarded, device_get-synced solves until one is fast.
+    # measurement, like the reference's ahead-of-time nvcc build).  With
+    # the persistent cache (utils/cache.py) warm this deserializes the
+    # solve executable in single-digit seconds; cold it traces+compiles.
     t0 = time.perf_counter()
     for i in range(6):
         t1 = time.perf_counter()
@@ -156,6 +168,7 @@ def solve_benchmark(seed: int, max_epochs: int, log=lambda *a: None,
         "epochs": epochs,
         "final_R": R,
         "compile_s": compile_s,
+        "transport_s": transport_s,
         "all_runs_s": [round(w, 3) for w, _, _ in runs],
         "env_steps": steps,
         "env_steps_per_s": steps / wall if wall > 0 else 0.0,

@@ -985,7 +985,9 @@ def eval_metrics_from_traj(
     envs with horizon > eval window (e.g. CartPole's 500 vs a 200-step eval)
     systematically deflates R and makes solve thresholds unreachable.  The
     reference instead drops the OLDEST episode from sum_J and counts cut
-    ones (src/ppo.cu:571-579, SURVEY.md §3.4) — a quirk, not replicated.
+    ones (src/ppo.cu:571-579, SURVEY.md §3.4) — a quirk, not replicated
+    here; the opt-in PPOConfig(eval_estimator="reference") selects
+    eval_metrics_reference, which reproduces it exactly for parity tables.
     Shared by the on-device evaluate() and the host-bridge trainer.
     """
     done = jnp.logical_or(traj.terminated, traj.truncated)
@@ -1019,6 +1021,61 @@ def eval_metrics_from_traj(
     )
 
 
+def eval_metrics_reference(
+    traj: Transition, gamma: float, axis_name: Optional[str] = None
+) -> EvalMetrics:
+    """The reference's EXACT eval estimator (src/ppo.cu:560-583), applied
+    per env stream and pooled.
+
+    Reproduced semantics, per stream of T steps: ``rewards`` sums ALL
+    rewards; the backward walk starts episode_J at r[T-1] and for
+    i = T-2..0 accumulates episode_J = r[i] + gamma*episode_J BEFORE
+    checking done[i] — so each recorded J mixes the earlier episode's last
+    reward into the later one (src/ppo.cu:572-578); n_episodes starts at 1
+    (the window-cut final segment counts; the final step's own done marker
+    is never examined) and increments per interior done; the
+    chronologically FIRST segment's J is accumulated but never summed
+    (the "dropped oldest episode").  R = sum(rewards)/n_episodes therefore
+    counts partial window-cut segments — deflating R on envs whose horizon
+    exceeds the eval window, which is why "completed" is the default
+    (eval_metrics_from_traj).  Pooling across E env streams mirrors E
+    independent reference buffers: J = sum_e sum_J_e / sum_e n_e,
+    R = sum_e rewards_e / sum_e n_e.
+    """
+    T = traj.reward.shape[0]
+    done = jnp.logical_or(traj.terminated, traj.truncated)
+    rewards = jnp.sum(traj.reward, axis=0)            # [E]
+    ep_j0 = traj.reward[T - 1].astype(jnp.float32)    # episode_J seed
+
+    def step(carry, inp):
+        ep_j, sum_j = carry
+        r_i, d_i = inp
+        ep_j = r_i + gamma * ep_j                     # BEFORE the done check
+        sum_j = sum_j + jnp.where(d_i, ep_j, 0.0)
+        ep_j = jnp.where(d_i, 0.0, ep_j)
+        return (ep_j, sum_j), None
+
+    # walk i = T-2 .. 0 (the reference loop; reversed-time scan)
+    (_, sum_j), _ = jax.lax.scan(
+        step, (ep_j0, jnp.zeros_like(ep_j0)),
+        (jnp.flip(traj.reward[: T - 1].astype(jnp.float32), 0),
+         jnp.flip(done[: T - 1], 0)),
+    )
+    n_eps = 1.0 + jnp.sum(done[: T - 1].astype(jnp.float32), axis=0)  # [E]
+    n_total = jnp.sum(n_eps)
+    sum_j_total = jnp.sum(sum_j)
+    sum_r_total = jnp.sum(rewards)
+    if axis_name is not None:
+        n_total = jax.lax.psum(n_total, axis_name)
+        sum_j_total = jax.lax.psum(sum_j_total, axis_name)
+        sum_r_total = jax.lax.psum(sum_r_total, axis_name)
+    return EvalMetrics(
+        J=sum_j_total / n_total,
+        R=sum_r_total / n_total,
+        episodes=n_total,
+    )
+
+
 def evaluate(
     cfg: PPOConfig,
     env: Env,
@@ -1039,10 +1096,12 @@ def evaluate(
     """
     n_envs = cfg.eval_envs if n_envs is None else n_envs
     key = _device_key(key, axis_name)
+    reference_est = getattr(cfg, "eval_estimator", "completed") == "reference"
     from ppoc_tpu.models import attn as _attn, gru as _gru, moe as _moe
 
     if (backend in ("pallas", "bf16") and axis_name is None
-            and not deterministic and not _moe.is_moe(policy_params["mlp"])
+            and not deterministic and not reference_est
+            and not _moe.is_moe(policy_params["mlp"])
             and not _gru.is_rnn(policy_params["mlp"])
             and not _attn.is_attn(policy_params["mlp"])):
         from ppoc_tpu.ops import pallas_rollout as _pr
@@ -1068,4 +1127,6 @@ def evaluate(
         cfg, env, policy_params, key, n_envs, cfg.eval_len, backend, axis_name,
         force_truncate=False, deterministic=deterministic,
     )
+    if reference_est:
+        return eval_metrics_reference(traj, env.spec.gamma, axis_name)
     return eval_metrics_from_traj(traj, env.spec.gamma, axis_name)

@@ -69,6 +69,17 @@ class PPOConfig:
     # --- evaluation (reference: eval_ppo uses steps_per_fit steps) -------
     eval_envs: int = 15
     eval_len: int = 200
+    eval_estimator: str = "completed"  # "completed": count only episodes
+                                  # that finish inside the eval window (the
+                                  # framework's default — partial episodes
+                                  # would deflate R on envs whose horizon
+                                  # exceeds eval_len).  "reference": the
+                                  # reference's exact estimator
+                                  # (src/ppo.cu:560-583) applied per env
+                                  # stream — counts the window-cut segment
+                                  # in n_episodes, drops the oldest
+                                  # segment's J — for apples-to-apples
+                                  # parity tables
 
     # --- TPU execution ----------------------------------------------------
     kernel_backend: str = "auto"  # "pallas" | "jnp" | "bf16" | "auto"
@@ -191,6 +202,11 @@ def validate(cfg: PPOConfig) -> PPOConfig:
     a mesh (device counts, axis names, per-shard divisibility) stay with the
     consumer that owns the mesh.  Returns ``cfg`` so call sites can chain.
     """
+    if cfg.eval_estimator not in ("completed", "reference"):
+        raise ValueError(
+            f"eval_estimator must be 'completed' or 'reference', got "
+            f"{cfg.eval_estimator!r}"
+        )
     if cfg.num_minibatches < 1:
         raise ValueError(
             f"minibatch_size ({cfg.minibatch_size}) exceeds steps_per_fit "

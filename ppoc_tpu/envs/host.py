@@ -389,7 +389,10 @@ class HostTrainer:
                 self.cfg, self.eval_venv, self.state.policy_params, k,
                 self.cfg.eval_len, self.backend, force_truncate=False,
             )
-        m = ppo.eval_metrics_from_traj(traj, self.env.spec.gamma)
+        if getattr(self.cfg, "eval_estimator", "completed") == "reference":
+            m = ppo.eval_metrics_reference(traj, self.env.spec.gamma)
+        else:
+            m = ppo.eval_metrics_from_traj(traj, self.env.spec.gamma)
         return jax.tree.map(float, jax.device_get(m))
 
     def train(self, n_epochs: Optional[int] = None, log: bool = True,
