@@ -58,6 +58,23 @@ Params = List[Tuple[jax.Array, jax.Array]]
 
 _MAX_TILE = 2048  # sub-tile rows: bounds VMEM for activations
 
+# Large-minibatch (throughput) regime: bf16 MXU matmuls with f32 master
+# weights/moments/accumulation.  Activations halve, so sub-tiles double;
+# engaged by algo/ppo at backend "bf16" when mb > _MAX_TILE (the regime
+# where the f32 fused kernels lose to the XLA scan — docs/RESULTS.md).
+_MAX_TILE_BF16 = 4096
+# conservative scoped-VMEM cap for the bf16 big-tile cells (~17 MB live at
+# tile 4096 with 2x256 trunks; Mosaic's stack estimate needs headroom —
+# 64 MB caused a pathological compile on the rollout kernel, 24-40 is safe)
+_BF16_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024)
+
+
+def bigmb_ok(mb: int) -> bool:
+    """Can the bf16 throughput kernels tile this minibatch?  Requires a
+    row tile of >= 1024 aligned rows (tiny tiles would re-enter the
+    latency-bound regime the f32 kernels already own)."""
+    return mb > _MAX_TILE and any(mb % t == 0 for t in (4096, 2048, 1024))
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -91,7 +108,7 @@ def _pow(base: float, t):
 
 
 def _value_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
-                  lr: float, b1: float, b2: float, eps: float,
+                  lr: float, b1: float, b2: float, eps: float, bf16: bool,
                   x_ref, t_ref, tgt_ref, *refs):
     """One (step, sub-tile) cell: fwd + MSE grad + bwd + (last tile) Adam."""
     # refs layout: 6*n_layers ALIASED INPUT refs, then the
@@ -124,7 +141,7 @@ def _value_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
 
     # forward on this sub-tile, keeping post-activations
     x = x_ref[:]
-    hs = _fwd_refs(x, w_refs, b_refs, n_layers, activation)
+    hs = _fwd_refs(x, w_refs, b_refs, n_layers, activation, bf16)
 
     v = hs[-1]                     # [tile, 1]
     diff = v - tgt_ref[:]
@@ -135,15 +152,17 @@ def _value_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
     for l in range(n_layers - 1, -1, -1):
         a_in = x if l == 0 else hs[l - 1]
         scratch[2 * l][:] += jax.lax.dot_general(
-            a_in, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            _c(a_in, bf16), _c(g, bf16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         scratch[2 * l + 1][:] += jnp.sum(g, axis=0, keepdims=True)
         if l > 0:
             g = jax.lax.dot_general(
-                g, w_refs[l][:], dimension_numbers=(((1,), (1,)), ((), ())),
+                _c(g, bf16), _c(w_refs[l][:], bf16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * _act_grad(hs[l - 1], activation)
+            ) * _act_grad(hs[l - 1], activation).astype(jnp.float32)
 
     # Adam on the completed minibatch gradient (src/adam.cu:53-74 formulas)
     @pl.when(sub_j == n_sub - 1)
@@ -166,34 +185,50 @@ def _value_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
                 )
 
 
-def _fwd_refs(x, w_refs, b_refs, n_layers, activation):
-    """Forward through VMEM-resident weights, returning post-activations."""
+def _c(a, bf16: bool):
+    """Cast a dot operand to bf16 in the throughput regime (f32 noop
+    otherwise).  Accumulation stays f32 via preferred_element_type."""
+    return a.astype(jnp.bfloat16) if bf16 else a
+
+
+def _fwd_refs(x, w_refs, b_refs, n_layers, activation, bf16: bool = False):
+    """Forward through VMEM-resident weights, returning post-activations.
+
+    bf16=True runs every GEMM with bf16 operands and f32 accumulation
+    (the models/mlp.py "bf16" backend recipe); HIDDEN post-activations are
+    stored bf16 — numerically identical to the per-dot input cast (the
+    next dot would cast them anyway) and half the VMEM — while the final
+    layer's output stays f32 for the loss math."""
     hs = []
     h = x
     for l in range(n_layers):
-        h = jnp.dot(h, w_refs[l][:], preferred_element_type=jnp.float32) \
-            + b_refs[l][:]
+        h = jnp.dot(_c(h, bf16), _c(w_refs[l][:], bf16),
+                    preferred_element_type=jnp.float32) + b_refs[l][:]
         if l < n_layers - 1:
             h = _act(h, activation)
+            if bf16:
+                h = h.astype(jnp.bfloat16)
         hs.append(h)
     return hs
 
 
-def _bwd_from_g(x, hs, g, w_refs, n_layers, activation):
+def _bwd_from_g(x, hs, g, w_refs, n_layers, activation, bf16: bool = False):
     """Backward from output cotangent g; returns flat [dW0, db0, ...]."""
     grads = [None] * (2 * n_layers)
     for l in range(n_layers - 1, -1, -1):
         a_in = x if l == 0 else hs[l - 1]
         grads[2 * l] = jax.lax.dot_general(
-            a_in, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            _c(a_in, bf16), _c(g, bf16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         grads[2 * l + 1] = jnp.sum(g, axis=0, keepdims=True)
         if l > 0:
             g = jax.lax.dot_general(
-                g, w_refs[l][:], dimension_numbers=(((1,), (1,)), ((), ())),
+                _c(g, bf16), _c(w_refs[l][:], bf16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * _act_grad(hs[l - 1], activation)
+            ) * _act_grad(hs[l - 1], activation).astype(jnp.float32)
     return grads
 
 
@@ -259,18 +294,21 @@ def _pick_unroll(n_steps: int, mb: int) -> int:
     return 1
 
 
-def _phase_layout(n_steps: int, mb: int):
+def _phase_layout(n_steps: int, mb: int, max_tile: int = _MAX_TILE,
+                  allow_unroll: bool = True):
     """Shared grid/BlockSpec construction for all three phase builders.
 
     Returns (U, n_sub, tile, row_spec, const, smem, grid): U > 1 selects the
     unrolled 1-D grid (U whole minibatches per cell); otherwise the
-    (step, sub-tile) 2-D grid with VMEM-bounded sub-tiles.
+    (step, sub-tile) 2-D grid with VMEM-bounded sub-tiles.  The bf16
+    throughput path passes max_tile=_MAX_TILE_BF16 (half-size activations)
+    and allow_unroll=False (its minibatches never fit one tile anyway).
     """
-    tile = mb if mb <= _MAX_TILE else max(
-        d for d in range(1, _MAX_TILE + 1) if mb % d == 0
+    tile = mb if mb <= max_tile else max(
+        d for d in range(1, max_tile + 1) if mb % d == 0
     )
     n_sub = mb // tile
-    U = _pick_unroll(n_steps, mb) if n_sub == 1 else 1
+    U = _pick_unroll(n_steps, mb) if (n_sub == 1 and allow_unroll) else 1
     if U > 1:
         row_spec = lambda d: pl.BlockSpec(  # noqa: E731
             (U * mb, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -293,19 +331,22 @@ def _phase_layout(n_steps: int, mb: int):
 
 def _run_value_phase(params: Params, opt: AdamState, obs_seq, tgt_seq,
                      n_steps: int, mb: int, activation: str,
-                     lr: float, b1: float, b2: float, eps: float):
+                     lr: float, b1: float, b2: float, eps: float,
+                     bf16: bool = False):
     """obs_seq [n_steps*mb, d0], tgt_seq [n_steps*mb, 1] pre-gathered in
     minibatch order.  Returns (params', opt', loss_sum)."""
     d0 = obs_seq.shape[-1]
     n_layers = len(params)
     dims = [d0] + [w.shape[1] for w, _ in params]
-    U, n_sub, tile, row_spec, const, smem_spec, grid = _phase_layout(n_steps, mb)
+    U, n_sub, tile, row_spec, const, smem_spec, grid = _phase_layout(
+        n_steps, mb, _MAX_TILE_BF16 if bf16 else _MAX_TILE,
+        allow_unroll=not bf16)
     if U > 1:
         kernel = functools.partial(_value_kernel_unrolled, activation,
                                    n_layers, U, mb, lr, b1, b2, eps)
     else:
         kernel = functools.partial(_value_kernel, activation, n_layers,
-                                   n_sub, mb, lr, b1, b2, eps)
+                                   n_sub, mb, lr, b1, b2, eps, bf16)
 
     inputs = [obs_seq, jnp.asarray(opt.t, jnp.int32).reshape(1, 1), tgt_seq]
     in_specs = [row_spec(d0), smem_spec, row_spec(1)]
@@ -346,6 +387,7 @@ def _run_value_phase(params: Params, opt: AdamState, obs_seq, tgt_seq,
             bytes_accessed=4 * obs_seq.size + 4 * tgt_seq.size,
             transcendentals=0,
         ),
+        compiler_params=_BF16_PARAMS if bf16 else None,
         interpret=_interpret(),
     )(*inputs)
 
@@ -488,7 +530,7 @@ def _policy_kernel_cat_unrolled(activation: str, n_layers: int, U: int,
 
 def _policy_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
                    k_act: int, lr: float, b1: float, b2: float, eps: float,
-                   clip_eps: float, ent_coeff: float,
+                   clip_eps: float, ent_coeff: float, bf16: bool,
                    x_ref, tp_ref, tl_ref, a_ref, lp_ref, adv_ref, *refs):
     """One (step, sub-tile) cell of the Gaussian policy phase: mu forward,
     clipped-surrogate gradient in closed form (grad flows only through the
@@ -540,7 +582,7 @@ def _policy_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
 
     # mu forward on this sub-tile
     x = x_ref[:]
-    hs = _fwd_refs(x, w_refs, b_refs, n_layers, activation)
+    hs = _fwd_refs(x, w_refs, b_refs, n_layers, activation, bf16)
     mu = hs[-1]                                  # [tile, k]
 
     a = a_ref[:]
@@ -568,15 +610,17 @@ def _policy_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
     for l in range(n_layers - 1, -1, -1):
         a_in = x if l == 0 else hs[l - 1]
         scratch[2 * l][:] += jax.lax.dot_general(
-            a_in, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            _c(a_in, bf16), _c(g, bf16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         scratch[2 * l + 1][:] += jnp.sum(g, axis=0, keepdims=True)
         if l > 0:
             g = jax.lax.dot_general(
-                g, w_refs[l][:], dimension_numbers=(((1,), (1,)), ((), ())),
+                _c(g, bf16), _c(w_refs[l][:], bf16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * _act_grad(hs[l - 1], activation)
+            ) * _act_grad(hs[l - 1], activation).astype(jnp.float32)
 
     @pl.when(sub_j == n_sub - 1)
     def _():
@@ -610,11 +654,11 @@ def _policy_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
 
 
 def policy_phase_fused(cfg, policy_params, opt_policy: AdamState,
-                       opt_log_std: AdamState, buf, key):
+                       opt_log_std: AdamState, buf, key, bf16: bool = False):
     """Fused Gaussian policy phase (single device): all epochs x minibatches
     of mu-forward + closed-form surrogate gradient + backward + two Adams in
     one kernel.  Returns (policy_params', opt_policy', opt_log_std',
-    mean_loss, mean_entropy)."""
+    mean_loss, mean_entropy).  bf16=True: see value_phase_fused."""
     params: Params = policy_params["mlp"]
     log_std = policy_params["log_std"]
     n_rows = buf.obs.shape[0]
@@ -634,7 +678,9 @@ def policy_phase_fused(cfg, policy_params, opt_policy: AdamState,
     k_act = act_seq.shape[-1]
     n_layers = len(params)
     dims = [d0] + [w.shape[1] for w, _ in params]
-    U, n_sub, tile, row_spec, const, smem, grid = _phase_layout(n_steps, mb)
+    U, n_sub, tile, row_spec, const, smem, grid = _phase_layout(
+        n_steps, mb, _MAX_TILE_BF16 if bf16 else _MAX_TILE,
+        allow_unroll=not bf16)
     if U > 1:
         kernel = functools.partial(
             _policy_kernel_unrolled, cfg.activation, n_layers, U, mb, k_act,
@@ -644,7 +690,7 @@ def policy_phase_fused(cfg, policy_params, opt_policy: AdamState,
         kernel = functools.partial(
             _policy_kernel, cfg.activation, n_layers, n_sub, mb, k_act,
             cfg.lr_policy, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
-            cfg.clip_eps, cfg.ent_coeff)
+            cfg.clip_eps, cfg.ent_coeff, bf16)
 
     inputs = [obs_seq,
               jnp.asarray(opt_policy.t, jnp.int32).reshape(1, 1),
@@ -699,6 +745,7 @@ def policy_phase_fused(cfg, policy_params, opt_policy: AdamState,
                                 + lp_seq.size + adv_seq.size),
             transcendentals=n_steps * mb * 2,
         ),
+        compiler_params=_BF16_PARAMS if bf16 else None,
         interpret=_interpret(),
     )(*inputs)
 
@@ -915,10 +962,17 @@ def policy_phase_fused_categorical(cfg, policy_params,
 
 
 def value_phase_fused(cfg, v_params: Params, opt_v: AdamState,
-                      buf, key) -> Tuple[Params, AdamState, jax.Array]:
+                      buf, key,
+                      bf16: bool = False) -> Tuple[Params, AdamState,
+                                                   jax.Array]:
     """Drop-in fused replacement for algo.ppo.value_phase's scan (single
     device): same permutation stream, same Adam sequence, one kernel.
-    Returns (v_params', opt_v', mean_loss)."""
+    Returns (v_params', opt_v', mean_loss).
+
+    bf16=True is the THROUGHPUT regime (mb > _MAX_TILE, where the f32
+    kernels lose to the XLA scan — VERDICT r4 #1): bf16 MXU GEMMs, f32
+    master weights/moments/gradient accumulation, double-size row tiles.
+    Engaged by algo/ppo.value_phase under kernel_backend="bf16"."""
     n_rows = buf.obs.shape[0]
     n_mb, mb = cfg.num_minibatches, cfg.minibatch_size
     keys = jax.random.split(key, cfg.n_epochs_value)
@@ -931,6 +985,6 @@ def value_phase_fused(cfg, v_params: Params, opt_v: AdamState,
     n_steps = cfg.n_epochs_value * n_mb
     params2, opt2, loss_sum = _run_value_phase(
         v_params, opt_v, obs_seq, tgt_seq, n_steps, mb, cfg.activation,
-        cfg.lr_v, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps,
+        cfg.lr_v, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps, bf16,
     )
     return params2, opt2, loss_sum / (n_steps * mb)
