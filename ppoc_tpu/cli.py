@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gym:* envs only — 'host': numpy policy on the host, "
                         "weights synced once per fit (fast on high-latency "
                         "transports); 'device': batched device sampling")
+    p.add_argument("--overlap", action="store_true",
+                   help="host-bridge actor/learner overlap: collect window "
+                        "i+1 on the host while the device fits window i "
+                        "(one-fit-stale actor weights; requires "
+                        "--actor host)")
     p.add_argument("--vector-mode", choices=["sync", "async"], default="sync",
                    help="gym:* envs only — gymnasium.vector stepping mode")
     p.add_argument("--calibrate", action="store_true",
@@ -380,7 +385,8 @@ def main(argv=None) -> int:
 
         trainer = GymTrainer(cfg, cfg.env[4:], vector_mode=args.vector_mode,
                              actor=args.actor, obs_norm=args.obs_norm,
-                             reward_norm=args.reward_norm)
+                             reward_norm=args.reward_norm,
+                             overlap=args.overlap)
         if args.load:
             trainer.load(args.load)
     elif args.obs_norm or args.reward_norm:

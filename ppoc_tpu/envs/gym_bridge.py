@@ -167,7 +167,7 @@ class GymTrainer:
     def __new__(cls, cfg: PPOConfig, env_id, backend: str = "jnp",
                 vector_mode: str = "sync", actor: str = "device",
                 obs_norm: bool = False, obs_clip: float = 10.0,
-                reward_norm: bool = False):
+                reward_norm: bool = False, overlap: bool = False):
         from ppoc_tpu.envs.host import HostTrainer
         from ppoc_tpu.envs.wrappers import RunningObsNorm, RunningRewardNorm
 
@@ -188,4 +188,5 @@ class GymTrainer:
         if reward_norm:
             # TRAIN side only — evaluation must report raw-reward J/R
             venv = RunningRewardNorm(venv, gamma=venv.spec.gamma)
-        return HostTrainer(cfg, venv, eval_venv, backend=backend, actor=actor)
+        return HostTrainer(cfg, venv, eval_venv, backend=backend, actor=actor,
+                           overlap=overlap)

@@ -272,7 +272,7 @@ class HostTrainer:
     """
 
     def __init__(self, cfg: PPOConfig, venv, eval_venv, backend: str = "jnp",
-                 actor: str = "device"):
+                 actor: str = "device", overlap: bool = False):
         if venv.n_envs != cfg.n_envs:
             raise ValueError(
                 f"venv has {venv.n_envs} envs but cfg.n_envs is {cfg.n_envs} "
@@ -291,6 +291,12 @@ class HostTrainer:
             )
         if actor not in ("device", "host"):
             raise ValueError(f"actor must be 'device' or 'host', got {actor!r}")
+        if overlap and actor != "host":
+            raise ValueError(
+                "overlap=True requires actor='host': the device actor's "
+                "per-step sampling would serialize against the in-flight "
+                "update it is meant to hide"
+            )
         if cfg.zero1:
             raise ValueError(
                 "zero1 is not supported on the host bridge: its learner "
@@ -337,14 +343,19 @@ class HostTrainer:
             ppo.update_step, cfg, self.env, backend=self.backend
         ))
         self._obs = None  # persistent rollout obs when reset_per_fit=False
+        # overlap=True: the actor collects window i+1 while the device fits
+        # window i (see train_epoch); the next window rides here
+        self.overlap = overlap
+        self._pending = None
 
     def _host_rng(self, key) -> np.random.Generator:
         return np.random.default_rng(
             [int(x) for x in np.asarray(jax.device_get(key), np.uint32).ravel()]
         )
 
-    def train_fit(self):
-        k_roll, k_upd, self.key = jax.random.split(self.key, 3)
+    def _collect(self, k_roll):
+        """One training window against self.venv with the CURRENT device
+        weights; threads the persistent obs for reset_per_fit=False."""
         obs0 = None if self.cfg.reset_per_fit else self._obs
         if self.actor == "host":
             pol = HostPolicy(self.state.policy_params, self.cfg.activation,
@@ -361,11 +372,40 @@ class HostTrainer:
             )
         if not self.cfg.reset_per_fit:
             self._obs = last_obs
+        return traj
+
+    def train_fit(self):
+        k_roll, k_upd, self.key = jax.random.split(self.key, 3)
+        traj = self._collect(k_roll)
         self.state, metrics = self._update(self.state, traj, k_upd)
         return metrics
 
+    def _train_fit_overlapped(self):
+        """Actor/learner overlap (beats the reference's strictly serial
+        loop, src/ppo.cu:479-539): dispatch the jitted update for window i
+        (JAX async dispatch returns immediately), then collect window i+1
+        on the host WHILE the device crunches — with the pre-update
+        (one-fit-stale) actor weights, whose HostPolicy fetch reads an
+        already-materialized buffer and does not block on the in-flight
+        update.  Off-policy delta: each window's data is one Adam-phase
+        stale relative to the params it updates; PPO's ratio uses the
+        STORED log-probs, so the objective stays well-formed — the clip
+        just sees slightly larger ratios.  Measured learning curves match
+        the serial loop (tests/test_host_trainer.py; chip A/B in
+        docs/RESULTS.md)."""
+        k_roll, k_upd, self.key = jax.random.split(self.key, 3)
+        if self._pending is None:      # prime: synchronous first window
+            self._pending = self._collect(k_roll)
+            k_roll, self.key = jax.random.split(self.key)
+        traj = self._pending
+        new_state, metrics = self._update(self.state, traj, k_upd)
+        self._pending = self._collect(k_roll)   # overlaps with the update
+        self.state = new_state
+        return metrics
+
     def train_epoch(self):
-        all_metrics = [self.train_fit() for _ in range(self.cfg.fits_per_epoch)]
+        fit = self._train_fit_overlapped if self.overlap else self.train_fit
+        all_metrics = [fit() for _ in range(self.cfg.fits_per_epoch)]
         # mean over fits, matching the device trainer's per-epoch metrics
         return jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *all_metrics)
 

@@ -162,7 +162,7 @@ def _value_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
                 _c(g, bf16), _c(w_refs[l][:], bf16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * _act_grad(hs[l - 1], activation).astype(jnp.float32)
+            ) * _act_grad(hs[l - 1].astype(jnp.float32), activation)
 
     # Adam on the completed minibatch gradient (src/adam.cu:53-74 formulas)
     @pl.when(sub_j == n_sub - 1)
@@ -228,7 +228,7 @@ def _bwd_from_g(x, hs, g, w_refs, n_layers, activation, bf16: bool = False):
                 _c(g, bf16), _c(w_refs[l][:], bf16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * _act_grad(hs[l - 1], activation).astype(jnp.float32)
+            ) * _act_grad(hs[l - 1].astype(jnp.float32), activation)
     return grads
 
 
@@ -620,7 +620,7 @@ def _policy_kernel(activation: str, n_layers: int, n_sub: int, mb: int,
                 _c(g, bf16), _c(w_refs[l][:], bf16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * _act_grad(hs[l - 1], activation).astype(jnp.float32)
+            ) * _act_grad(hs[l - 1].astype(jnp.float32), activation)
 
     @pl.when(sub_j == n_sub - 1)
     def _():

@@ -51,6 +51,36 @@ def test_native_host_trainer_learns():
 
 
 @pytest.mark.skipif(not native.available(), reason="native library unavailable")
+def test_overlap_trainer_learns_like_serial():
+    """Actor/learner overlap (collect window i+1 while the device fits
+    window i, one-fit-stale weights): same config solves the toy task like
+    the serial loop — the off-policy delta does not break learning."""
+    cfg = _cfg()
+    tr = HostTrainer(cfg, NativeHostVecEnv("simple", cfg.n_envs, seed=0),
+                     NativeHostVecEnv("simple", cfg.eval_envs, seed=99),
+                     actor="host", overlap=True)
+    hist = tr.train(log=False)
+    assert tr._pending is not None          # a window is always in flight
+    assert hist[-1]["R"] > 0.4, hist
+
+
+def test_overlap_requires_host_actor():
+    with pytest.raises(ValueError, match="overlap.*actor"):
+        HostTrainer(_cfg(), _FakeVenv(16), _FakeVenv(32),
+                    actor="device", overlap=True)
+
+
+class _FakeVenv:
+    """Minimal host-protocol venv for constructor validation tests."""
+
+    def __init__(self, n):
+        from ppoc_tpu import envs as jax_envs
+
+        self.n_envs = n
+        self.spec = jax_envs.make("simple").spec
+
+
+@pytest.mark.skipif(not native.available(), reason="native library unavailable")
 def test_native_host_collect_force_truncates():
     cfg = _cfg()
     venv = NativeHostVecEnv("pendulum", 4, seed=1)
