@@ -50,13 +50,74 @@ def run(platform, n_devices, seeds, epochs):
     return curves
 
 
+def run_estimator_parity(platform, epochs):
+    """Curve parity under BOTH eval estimators (VERDICT r4 #7): per epoch,
+    evaluate the SAME policy on the SAME eval rollout (same key) with the
+    default completed-episodes estimator and the strict reference one
+    (src/ppo.cu:560-583).  Pendulum (horizon == eval window): the two R
+    columns agree exactly.  CartPole at eval_len=200 < horizon 500: the
+    reference estimator counts window-cut segments and deflates R — the
+    deviation the default exists to fix, now measured per epoch."""
+    import functools
+
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+    from ppoc_tpu import envs
+    from ppoc_tpu.algo import ppo
+    from ppoc_tpu.algo.trainer import Trainer
+    from ppoc_tpu.config import PPOConfig
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    out = {}
+    base = dict(n_envs=16, rollout_len=200, minibatch_size=64,
+                fits_per_epoch=10, eval_envs=16, eval_len=200,
+                kernel_backend="jnp", seed=0)
+    for env_name in ("pendulum", "cartpole"):
+        cfg = PPOConfig(env=env_name, **base)
+        env = envs.make_for(cfg)
+        tr = Trainer(cfg)
+        ev = {
+            est: jax.jit(functools.partial(
+                ppo.evaluate, cfg.replace(eval_estimator=est), env,
+                backend="jnp", n_envs=cfg.eval_envs))
+            for est in ("completed", "reference")
+        }
+        rows = []
+        for ep in range(epochs):
+            tr.train_epoch()
+            k = jax.random.PRNGKey(1000 + ep)   # same rollout for both
+            mc = jax.device_get(ev["completed"](tr.state.policy_params, k))
+            mr = jax.device_get(ev["reference"](tr.state.policy_params, k))
+            rows.append({"epoch": ep,
+                         "R_completed": round(float(mc.R), 2),
+                         "R_reference": round(float(mr.R), 2),
+                         "eps_completed": int(mc.episodes),
+                         "eps_reference": int(mr.episodes)})
+            log(f"{env_name} ep{ep}: completed R={rows[-1]['R_completed']} "
+                f"({rows[-1]['eps_completed']} eps) | reference "
+                f"R={rows[-1]['R_reference']} ({rows[-1]['eps_reference']})")
+        out[env_name] = rows
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=14)
+    ap.add_argument("--estimator-parity", action="store_true",
+                    help="per-epoch R under the completed vs the strict "
+                         "reference estimator (same policy, same rollout)")
     args = ap.parse_args(argv)
+    if args.estimator_parity:
+        rows = run_estimator_parity(args.platform, args.epochs)
+        print(json.dumps({"metric": "estimator_parity", "curves": rows}),
+              flush=True)
+        return 0
     curves = run(args.platform, args.devices, args.seeds, args.epochs)
     solves = {leg: [v["first_solve_epoch"] for v in by_seed.values()]
               for leg, by_seed in curves.items()}
