@@ -648,9 +648,11 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
     cols = (buf.obs, buf.target) if clip_v == 0.0 \
         else (buf.obs, buf.target, buf.v_old)
 
+    blk = cfg.shuffle_block
+
     def mb_step(carry, idx):
         v_params, opt_v = carry
-        mb = buffer.gather(cols, idx)
+        mb = buffer.gather_mb(cols, idx, blk)
         loss, grads = jax.value_and_grad(loss_fn)(v_params, *mb)
         grads = _prep_grads(grads, cfg, axis_name)
         v_params, opt_v = _value_adam_step(
@@ -658,7 +660,8 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
         return (v_params, opt_v), loss
 
     def epoch(carry, key_e):
-        return buffer.epoch_scan(key_e, n_rows, n_mb, mb_size, mb_step, carry)
+        return buffer.epoch_scan(key_e, n_rows, n_mb, mb_size, mb_step,
+                                 carry, blk)
 
     keys = jax.random.split(key, cfg.n_epochs_value)
     (v_params, opt_v), losses_ = jax.lax.scan(epoch, (ts.v_params, ts.opt_v), keys)
@@ -755,8 +758,9 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
             policy_params, opt_policy, opt_log_std, stop = carry
         else:
             policy_params, opt_policy, opt_log_std = carry
-        o, a, lp, ad = buffer.gather(
-            (buf.obs, buf.action, buf.log_prob, buf.advantage), idx
+        o, a, lp, ad = buffer.gather_mb(
+            (buf.obs, buf.action, buf.log_prob, buf.advantage), idx,
+            cfg.shuffle_block
         )
         (loss, (ent, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             policy_params, o, a, lp, ad, _ent_coeff(cfg, opt_policy, n_mb)
@@ -776,7 +780,8 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
         return (new_params, new_opt_policy, new_opt_log_std, stop2), (loss, ent)
 
     def epoch(carry, key_e):
-        return buffer.epoch_scan(key_e, n_rows, n_mb, mb_size, mb_step, carry)
+        return buffer.epoch_scan(key_e, n_rows, n_mb, mb_size, mb_step,
+                                 carry, cfg.shuffle_block)
 
     carry0 = (ts.policy_params, ts.opt_policy, ts.opt_log_std)
     if use_kl:

@@ -168,6 +168,23 @@ class PPOConfig:
                                   # and served policies replay it exactly;
                                   # fill with envs.wrappers.calibrate(cfg)
                                   # (random-policy measurement)
+    shuffle_block: int = 0        # >0: shuffle minibatch assignment at this
+                                  # block-of-rows granularity instead of per
+                                  # row.  The row-level gather is the
+                                  # large-minibatch update's bandwidth wall
+                                  # (~2% of HBM bandwidth for 44-byte rows;
+                                  # 108 of the reacher value phase's 134 ms
+                                  # — docs/RESULTS.md round 5); aligned
+                                  # blocks gather at full bandwidth.  Every
+                                  # row still appears exactly once per
+                                  # epoch; assignment is uniformly random
+                                  # at block resolution.  0 = the
+                                  # reference's exact row shuffle
+                                  # (src/trajectory_buffer.cu:126-144).
+                                  # Must divide minibatch_size and the
+                                  # per-shard row count; row-minibatch
+                                  # trunks only (GRU/attention updates
+                                  # shuffle whole sequences already)
     norm_adv_global: bool = True  # normalize advantages over the whole buffer
                                   # (reference: src/ppo.cu:355-368)
     reset_per_fit: bool = True    # reference resets env at every collection
@@ -213,6 +230,23 @@ def validate(cfg: PPOConfig) -> PPOConfig:
             f"({cfg.steps_per_fit} = n_envs * rollout_len): zero "
             f"minibatches per epoch, nothing would train"
         )
+    if cfg.shuffle_block:
+        if cfg.shuffle_block < 0:
+            raise ValueError(f"shuffle_block must be >= 0, got "
+                             f"{cfg.shuffle_block}")
+        if (cfg.minibatch_size % cfg.shuffle_block
+                or cfg.steps_per_fit % cfg.shuffle_block):
+            raise ValueError(
+                f"shuffle_block ({cfg.shuffle_block}) must divide both "
+                f"minibatch_size ({cfg.minibatch_size}) and steps_per_fit "
+                f"({cfg.steps_per_fit})"
+            )
+        if cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
+            raise ValueError(
+                "shuffle_block applies to row-minibatch trunks only: "
+                "sequence trunks (rnn_hidden/attn_dim) already shuffle "
+                "whole sequences"
+            )
     if cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
         kind = "rnn_hidden" if cfg.rnn_hidden > 0 else "attn_dim"
         if cfg.rnn_hidden > 0 and cfg.attn_dim > 0:

@@ -60,15 +60,69 @@ def permutation_minibatches(key: jax.Array, n_rows: int, n_mb: int, mb_size: int
     return perm.reshape(n_mb, mb_size)
 
 
+def block_permutation_minibatches(key: jax.Array, n_rows: int, n_mb: int,
+                                  mb_size: int, block: int) -> jax.Array:
+    """Minibatch assignment at BLOCK granularity: permute the n_rows/block
+    aligned row blocks and deal them into [n_mb, mb_size/block] id slices
+    (tail blocks dropped, mirroring the reference's row-level tail drop).
+
+    Rationale (chip-measured, docs/RESULTS.md round 5): the row-level
+    gather is the large-minibatch update's bandwidth wall — 6.1M random
+    44-byte rows move at ~2% of HBM bandwidth (108 ms of the reacher value
+    phase's 134 ms), because each row is far below the HBM access
+    granularity.  Block-shuffled minibatches keep every statistical
+    property that matters for SGD (each row appears exactly once per
+    epoch; assignment to minibatches is uniformly random at block
+    resolution) while making the gather a contiguous-block copy that runs
+    at bandwidth speed.  Rows within a block stay together across epochs —
+    with the [T, E] row layout a block is a slice of envs at one timestep,
+    i.e. thousands of independent samples.  Opt-in via
+    PPOConfig(shuffle_block): 0 keeps the reference's exact row shuffle.
+    """
+    n_blocks = n_rows // block
+    mb_blocks = mb_size // block
+    perm = jax.random.permutation(key, n_blocks)[: n_mb * mb_blocks]
+    return perm.reshape(n_mb, mb_blocks)
+
+
+def gather_blocks(buf: Any, block_ids: jax.Array, block: int) -> Any:
+    """Gather [k] aligned row blocks of ``block`` rows each -> k*block rows.
+
+    Each gathered unit is ``block * row_bytes`` contiguous, so this runs at
+    HBM bandwidth where row-level ``gather`` pays per-row access latency."""
+    def one(a):
+        blocked = a.reshape((a.shape[0] // block, block) + a.shape[1:])
+        out = jnp.take(blocked, block_ids, axis=0)
+        return out.reshape((block_ids.shape[0] * block,) + a.shape[1:])
+
+    return jax.tree.map(one, buf)
+
+
 def gather(buf: Any, idx: jax.Array) -> Any:
     """Gather rows by index from any pytree of row-major arrays
     (get_batch_kernel, src/trajectory_buffer.cu:168-185)."""
     return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), buf)
 
 
-def epoch_scan(key: jax.Array, n_rows: int, n_mb: int, mb_size: int, mb_step, carry):
+def epoch_scan(key: jax.Array, n_rows: int, n_mb: int, mb_size: int, mb_step,
+               carry, block: int = 0):
     """One shuffled pass over the buffer: scan ``mb_step`` over the gathered
     index blocks (the reference's per-epoch minibatch loop,
-    src/ppo.cu:491-533)."""
-    idx = permutation_minibatches(key, n_rows, n_mb, mb_size)
+    src/ppo.cu:491-533).  ``block > 0`` switches to block-granular shuffling
+    (see block_permutation_minibatches) — mb_step then receives block ids
+    and must gather with gather_mb(..., block)."""
+    if block:
+        if n_rows % block or mb_size % block:
+            raise ValueError(
+                f"shuffle_block ({block}) must divide both the per-shard "
+                f"row count ({n_rows}) and minibatch size ({mb_size})"
+            )
+        idx = block_permutation_minibatches(key, n_rows, n_mb, mb_size, block)
+    else:
+        idx = permutation_minibatches(key, n_rows, n_mb, mb_size)
     return jax.lax.scan(mb_step, carry, idx)
+
+
+def gather_mb(buf: Any, idx: jax.Array, block: int = 0) -> Any:
+    """Gather one minibatch: row ids (block=0) or block ids (block>0)."""
+    return gather_blocks(buf, idx, block) if block else gather(buf, idx)

@@ -285,6 +285,21 @@ def _value_kernel_unrolled(activation: str, n_layers: int, U: int, mb: int,
         _adam_refs(par, grads, n_layers, t, lr, b1, b2, eps)
 
 
+def _stream_ids(cfg, key, n_rows: int, n_mb: int, mb: int, n_epochs: int):
+    """The phase's flat gather ids + granularity: row ids (reference-exact
+    shuffle) or block ids when cfg.shuffle_block is set (the bandwidth-wall
+    fix — data/buffer.block_permutation_minibatches)."""
+    blk = getattr(cfg, "shuffle_block", 0)
+    keys = jax.random.split(key, n_epochs)
+    make = (functools.partial(buffer_mod.block_permutation_minibatches,
+                              n_rows=n_rows, n_mb=n_mb, mb_size=mb, block=blk)
+            if blk else
+            functools.partial(buffer_mod.permutation_minibatches,
+                              n_rows=n_rows, n_mb=n_mb, mb_size=mb))
+    idx = jnp.concatenate([make(k) for k in keys], axis=0)
+    return idx.reshape(-1), blk
+
+
 def _pick_unroll(n_steps: int, mb: int) -> int:
     """Largest divisor of n_steps (<= 8) whose U*mb block stays small."""
     cap = max(1, min(8, _MAX_TILE // max(mb, 1)))
@@ -663,15 +678,11 @@ def policy_phase_fused(cfg, policy_params, opt_policy: AdamState,
     log_std = policy_params["log_std"]
     n_rows = buf.obs.shape[0]
     n_mb, mb = cfg.num_minibatches, cfg.minibatch_size
-    keys = jax.random.split(key, cfg.n_epochs_policy)
-    idx = jnp.concatenate([
-        buffer_mod.permutation_minibatches(k, n_rows, n_mb, mb) for k in keys
-    ], axis=0)
-    flat = idx.reshape(-1)
-    obs_seq = jnp.take(buf.obs, flat, axis=0)
-    act_seq = jnp.take(buf.action, flat, axis=0)
-    lp_seq = jnp.take(buf.log_prob, flat, axis=0).reshape(-1, 1)
-    adv_seq = jnp.take(buf.advantage, flat, axis=0).reshape(-1, 1)
+    flat, blk = _stream_ids(cfg, key, n_rows, n_mb, mb, cfg.n_epochs_policy)
+    obs_seq, act_seq, lp_seq, adv_seq = buffer_mod.gather_mb(
+        (buf.obs, buf.action, buf.log_prob, buf.advantage), flat, blk)
+    lp_seq = lp_seq.reshape(-1, 1)
+    adv_seq = adv_seq.reshape(-1, 1)
     n_steps = cfg.n_epochs_policy * n_mb
 
     d0 = obs_seq.shape[-1]
@@ -875,15 +886,12 @@ def policy_phase_fused_categorical(cfg, policy_params,
     params: Params = policy_params["mlp"]
     n_rows = buf.obs.shape[0]
     n_mb, mb = cfg.num_minibatches, cfg.minibatch_size
-    keys = jax.random.split(key, cfg.n_epochs_policy)
-    idx = jnp.concatenate([
-        buffer_mod.permutation_minibatches(k, n_rows, n_mb, mb) for k in keys
-    ], axis=0)
-    flat = idx.reshape(-1)
-    obs_seq = jnp.take(buf.obs, flat, axis=0)
-    act_seq = jnp.take(buf.action, flat, axis=0).astype(jnp.int32)
-    lp_seq = jnp.take(buf.log_prob, flat, axis=0).reshape(-1, 1)
-    adv_seq = jnp.take(buf.advantage, flat, axis=0).reshape(-1, 1)
+    flat, blk = _stream_ids(cfg, key, n_rows, n_mb, mb, cfg.n_epochs_policy)
+    obs_seq, act_seq, lp_seq, adv_seq = buffer_mod.gather_mb(
+        (buf.obs, buf.action, buf.log_prob, buf.advantage), flat, blk)
+    act_seq = act_seq.astype(jnp.int32)
+    lp_seq = lp_seq.reshape(-1, 1)
+    adv_seq = adv_seq.reshape(-1, 1)
     n_steps = cfg.n_epochs_policy * n_mb
 
     d0 = obs_seq.shape[-1]
@@ -975,13 +983,10 @@ def value_phase_fused(cfg, v_params: Params, opt_v: AdamState,
     Engaged by algo/ppo.value_phase under kernel_backend="bf16"."""
     n_rows = buf.obs.shape[0]
     n_mb, mb = cfg.num_minibatches, cfg.minibatch_size
-    keys = jax.random.split(key, cfg.n_epochs_value)
-    idx = jnp.concatenate([
-        buffer_mod.permutation_minibatches(k, n_rows, n_mb, mb) for k in keys
-    ], axis=0)                                           # [S, mb]
-    flat = idx.reshape(-1)
-    obs_seq = jnp.take(buf.obs, flat, axis=0)
-    tgt_seq = jnp.take(buf.target, flat, axis=0).reshape(-1, 1)
+    flat, blk = _stream_ids(cfg, key, n_rows, n_mb, mb, cfg.n_epochs_value)
+    obs_seq, tgt_seq = buffer_mod.gather_mb(
+        (buf.obs, buf.target), flat, blk)
+    tgt_seq = tgt_seq.reshape(-1, 1)
     n_steps = cfg.n_epochs_value * n_mb
     params2, opt2, loss_sum = _run_value_phase(
         v_params, opt_v, obs_seq, tgt_seq, n_steps, mb, cfg.activation,

@@ -146,6 +146,78 @@ def test_bigmb_multiminibatch_value():
     assert np.isfinite(float(l2))
 
 
+def test_block_permutation_partitions_buffer():
+    """Every block id appears exactly once per epoch slice; gathered rows
+    equal the row-gather of the expanded ids (block semantics == row
+    semantics on block-aligned ids)."""
+    from ppoc_tpu.data import buffer as B
+
+    key = jax.random.PRNGKey(0)
+    n_rows, mb, blk = 4096, 1024, 128
+    n_mb = n_rows // mb
+    ids = B.block_permutation_minibatches(key, n_rows, n_mb, mb, blk)
+    assert ids.shape == (n_mb, mb // blk)
+    flat = np.sort(np.asarray(jax.device_get(ids)).ravel())
+    np.testing.assert_array_equal(flat, np.arange(n_rows // blk))
+
+    rows = jnp.arange(n_rows, dtype=jnp.float32)[:, None] * jnp.ones((1, 3))
+    got = B.gather_blocks(rows, ids[0], blk)
+    row_ids = (np.asarray(jax.device_get(ids[0]))[:, None] * blk
+               + np.arange(blk)[None, :]).ravel()
+    np.testing.assert_array_equal(np.asarray(jax.device_get(got))[:, 0],
+                                  row_ids.astype(np.float32))
+
+
+def test_shuffle_block_validation():
+    from ppoc_tpu.config import validate
+
+    with pytest.raises(ValueError, match="shuffle_block"):
+        validate(_bigmb_cfg(shuffle_block=1000))       # does not divide mb
+    with pytest.raises(ValueError, match="sequence trunks"):
+        validate(PPOConfig(env="recall", rollout_len=6, n_envs=8,
+                           minibatch_size=48, attn_dim=8, attn_heads=2,
+                           eval_len=6, shuffle_block=8))
+    validate(_bigmb_cfg(shuffle_block=512))            # divides: ok
+
+
+def test_fused_matches_scan_under_block_shuffle():
+    """With shuffle_block set, the fused kernel and the scan consume the
+    IDENTICAL block stream (same per-epoch keys), so the f32 exactness
+    contract carries over."""
+    cfg = PPOConfig(env="pendulum", n_envs=8, rollout_len=48,
+                    minibatch_size=64, n_epochs_value=3, hidden=(32, 32),
+                    kernel_backend="jnp", shuffle_block=16)
+    env, ts, buf = _setup(cfg)
+    k = jax.random.PRNGKey(7)
+    ts_ref, loss_ref = ppo.value_phase(
+        cfg, ts, buf, k, None, "jnp", cfg.num_minibatches,
+        cfg.minibatch_size)
+    p2, o2, loss2 = jax.jit(
+        lambda vp, ov, key: pallas_update.value_phase_fused(
+            cfg, vp, ov, buf, key))(ts.v_params, ts.opt_v, k)
+    assert float(loss_ref) == pytest.approx(float(loss2), rel=1e-5)
+    for (a, ab), (b, bb) in zip(jax.device_get(ts_ref.v_params),
+                                jax.device_get(p2)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-4, atol=1e-6)
+
+
+def test_block_shuffle_learns():
+    """End-to-end: pendulum training with block-shuffled minibatches still
+    reduces the value loss (the statistical-equivalence smoke check; the
+    solve-quality A/B runs on the chip, docs/RESULTS.md)."""
+    cfg = PPOConfig(env="pendulum", n_envs=16, rollout_len=64,
+                    minibatch_size=256, fits_per_epoch=1, eval_envs=16,
+                    eval_len=200, hidden=(32, 32), kernel_backend="jnp",
+                    shuffle_block=64, seed=0)
+    from ppoc_tpu.algo.trainer import Trainer
+
+    tr = Trainer(cfg)
+    m0 = tr.train_epoch()
+    for _ in range(4):
+        m = tr.train_epoch()
+    assert float(m.value_loss) < float(m0.value_loss)
+
+
 def test_bigmb_update_step_learns():
     """End-to-end update_step under the bf16 backend at big mb: finite
     losses and the value loss drops over a few fits."""
