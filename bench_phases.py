@@ -138,13 +138,20 @@ def main(argv=None) -> int:
                     choices=["bench", "tpu", "reacher", "all"])
     ap.add_argument("--backend", default="jnp",
                     choices=["jnp", "pallas", "bf16"])
+    ap.add_argument("--shuffle-block", type=int, default=0,
+                    help="block-shuffled minibatches at this granularity "
+                         "(PPOConfig.shuffle_block) — kills the row-gather "
+                         "bandwidth wall of the large-minibatch update")
     args = ap.parse_args(argv)
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
 
     all_cfgs = configs()
     names = list(all_cfgs) if args.config == "all" else [args.config]
     for n in names:
-        print(json.dumps(xray(n, all_cfgs[n], args.backend, log)), flush=True)
+        cfg = all_cfgs[n]
+        if args.shuffle_block:
+            cfg = cfg.replace(shuffle_block=args.shuffle_block)
+        print(json.dumps(xray(n, cfg, args.backend, log)), flush=True)
     return 0
 
 

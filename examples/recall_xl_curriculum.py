@@ -32,7 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ppoc_tpu import PPOConfig, Trainer
 from ppoc_tpu.utils.cache import enable_compilation_cache
 
-STAGES = {1024: "recall_xl", 2048: "recall_xxl", 4096: "recall_4k"}
+STAGES = {1024: "recall_xl", 2048: "recall_xxl", 4096: "recall_4k",
+          8192: "recall_8k"}
 
 
 def main(argv):
@@ -63,8 +64,11 @@ def main(argv):
         if T > max_t:
             break
         t0 = time.time()
+        # sequence minibatches need mb >= window (one sequence per
+        # minibatch at the top rungs)
         tr = Trainer.from_checkpoint(ckpt, env=env, rollout_len=T,
-                                     eval_len=T)
+                                     eval_len=T,
+                                     minibatch_size=max(4096, T))
         h = tr.train(n_epochs=40, log=False, stop_at_R=0.95)
         best = max(x["R"] for x in h)
         print(f"T={T} ({env}, flash): {len(h)} epochs, best R {best:.3f} "

@@ -598,22 +598,13 @@ def value_phase(cfg: PPOConfig, ts: TrainState, buf: buffer.RowBuffer, key,
                 cfg, ts.v_params, ts.opt_v, buf, key
             )
             return ts._replace(v_params=v2, opt_v=opt2), loss
-    # THROUGHPUT regime (VERDICT r4 #1): under the bf16 backend at
-    # mb > _MAX_TILE — where the f32 fused kernels lose to the XLA scan —
-    # the whole phase runs as one bf16-GEMM/f32-master kernel
-    # (ops/pallas_update.py bf16 path).  Numerics follow the backend's
-    # existing contract (bf16 matmuls, f32 accumulation — models/mlp.py).
-    if (backend == "bf16" and axis_name is None
-            and not _moe.is_moe(ts.v_params) and _stab_ok):
-        from ppoc_tpu.ops import pallas_update as _pu
-
-        if (_pu.bigmb_ok(mb_size)
-                and mb_size == cfg.minibatch_size
-                and n_mb == cfg.num_minibatches):
-            v2, opt2, loss = _pu.value_phase_fused(
-                cfg, ts.v_params, ts.opt_v, buf, key, bf16=True
-            )
-            return ts._replace(v_params=v2, opt_v=opt2), loss
+    # Large-minibatch (throughput) regime, the round-5 resolution of
+    # VERDICT r4 #1: the bf16 fused big-tile kernels exist
+    # (ops/pallas_update.py bf16=True, chip-measured 48 ms on the reacher
+    # value phase) but the BLOCK-SHUFFLED XLA scan beats them (43.2 ms;
+    # policy 17.6 vs 34.1) once cfg.shuffle_block removes the row-gather
+    # bandwidth wall — so no fused gate engages here and the scan below is
+    # the big-mb path.  Full analysis: docs/RESULTS.md round 5.
     if (_stab_ok and _fused_dp_ready(cfg, ts.v_params, axis_name, backend,
                                      key_common, n_mb)
             and buf.obs.shape[0] * jax.lax.axis_size(axis_name)
@@ -707,22 +698,8 @@ def policy_phase(cfg: PPOConfig, env: Env, ts: TrainState, buf: buffer.RowBuffer
                 ts.policy_params, ts.opt_policy, ts.opt_log_std, buf, key)
             return ts._replace(policy_params=pol2, opt_policy=opt_p2,
                                opt_log_std=opt_ls2), loss, ent
-    # THROUGHPUT regime (VERDICT r4 #1): bf16 backend, mb > _MAX_TILE,
-    # Gaussian policies — the whole phase as one bf16-GEMM/f32-master
-    # kernel (see value_phase; categorical stays on the scan).
-    if (backend == "bf16" and axis_name is None and not discrete
-            and not _moe.is_moe(ts.policy_params["mlp"]) and _stab_ok):
-        from ppoc_tpu.ops import pallas_update as _pu
-
-        if (_pu.bigmb_ok(mb_size)
-                and mb_size == cfg.minibatch_size
-                and n_mb == cfg.num_minibatches):
-            pol2, opt_p2, opt_ls2, loss, ent = _pu.policy_phase_fused(
-                cfg, ts.policy_params, ts.opt_policy, ts.opt_log_std,
-                buf, key, bf16=True,
-            )
-            return ts._replace(policy_params=pol2, opt_policy=opt_p2,
-                               opt_log_std=opt_ls2), loss, ent
+    # Large-minibatch regime: the bf16 fused kernels lose to the
+    # block-shuffled scan here too (see value_phase's note) — no gate.
     if (_stab_ok and _fused_dp_ready(cfg, ts.policy_params["mlp"], axis_name,
                                      backend, key_common, n_mb)
             and n_rows * jax.lax.axis_size(axis_name) == cfg.steps_per_fit):

@@ -50,26 +50,19 @@ def test_bigmb_ok_gate():
     assert not pallas_update.bigmb_ok(5000)    # no aligned tile
 
 
-def test_bigmb_value_phase_engages_and_matches_bf16_scan(monkeypatch):
+def test_bigmb_value_phase_matches_bf16_scan():
+    """The bf16 throughput kernel (called directly — the block-shuffled
+    scan beats it on chip, so no automatic gate routes here) reproduces
+    the XLA bf16 scan phase to bf16-rounding tolerance."""
     cfg = _bigmb_cfg()
     env, ts, buf = _setup(cfg)
     k = jax.random.PRNGKey(7)
 
-    calls = []
-    orig = pallas_update.value_phase_fused
+    p_k, o_k, loss_k = jax.jit(
+        lambda vp, ov, key: pallas_update.value_phase_fused(
+            cfg, vp, ov, buf, key, bf16=True))(ts.v_params, ts.opt_v, k)
+    ts_k = ts._replace(v_params=p_k, opt_v=o_k)
 
-    def spy(*a, **kw):
-        calls.append(kw.get("bf16", False))
-        return orig(*a, **kw)
-
-    monkeypatch.setattr(pallas_update, "value_phase_fused", spy)
-    ts_k, loss_k = ppo.value_phase(
-        cfg, ts, buf, k, None, "bf16", cfg.num_minibatches,
-        cfg.minibatch_size)
-    assert calls == [True]          # the throughput kernel engaged
-
-    # reference: the XLA bf16 scan (gate forced off)
-    monkeypatch.setattr(pallas_update, "bigmb_ok", lambda mb: False)
     ts_r, loss_r = ppo.value_phase(
         cfg, ts, buf, k, None, "bf16", cfg.num_minibatches,
         cfg.minibatch_size)
@@ -105,15 +98,17 @@ def test_bigmb_value_subtiling_exact():
 
 
 @pytest.mark.parametrize("ent_coeff", [0.0, 0.01])
-def test_bigmb_policy_phase_matches_bf16_scan(ent_coeff, monkeypatch):
+def test_bigmb_policy_phase_matches_bf16_scan(ent_coeff):
     cfg = _bigmb_cfg(ent_coeff=ent_coeff)
     env, ts, buf = _setup(cfg)
     k = jax.random.PRNGKey(11)
 
-    ts_k, loss_k, ent_k = ppo.policy_phase(
-        cfg, env, ts, buf, k, None, "bf16",
-        cfg.num_minibatches, cfg.minibatch_size)
-    monkeypatch.setattr(pallas_update, "bigmb_ok", lambda mb: False)
+    pol_k, op_k, ols_k, loss_k, ent_k = jax.jit(
+        lambda t, key: pallas_update.policy_phase_fused(
+            cfg, t.policy_params, t.opt_policy, t.opt_log_std, buf, key,
+            bf16=True))(ts, k)
+    ts_k = ts._replace(policy_params=pol_k, opt_policy=op_k,
+                       opt_log_std=ols_k)
     ts_r, loss_r, ent_r = ppo.policy_phase(
         cfg, env, ts, buf, k, None, "bf16",
         cfg.num_minibatches, cfg.minibatch_size)
