@@ -360,6 +360,10 @@ def tpu_preset(env: str = "pendulum", seed: int = 0) -> PPOConfig:
         n_epochs_policy=4,
         eval_envs=256,
         eval_len=200,
+        # block-shuffled minibatches: the row-level gather is the
+        # large-minibatch update's bandwidth wall (docs/RESULTS.md round
+        # 5 — reacher phases 3-5x faster, solve-epoch counts identical)
+        shuffle_block=1024,
     )
 
 
