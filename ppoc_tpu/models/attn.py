@@ -64,6 +64,16 @@ FLASH_MIN_T = 1024  # chip-measured crossover: the flash kernel wins from
                     # ~1024-step windows up (ops/pallas_attn.py); below, the
                     # materialized-mask XLA path is faster
 
+# Which GEMM sites the "bf16" backend actually runs in bf16.  The full set
+# is the production default; the bf16 long-context bisect (VERDICT r4 #5,
+# examples/recall_bf16_bisect.py) removes one site at a time — promoting
+# that site's operands back to f32 — to locate which tensor's rounding
+# kills recall_long's cue gradient.  Sites: embed | qkv | scores (the Q.K
+# logits) | av (the prob x V product) | out (attention output proj) |
+# ff | head.
+BF16_SITES = frozenset({"embed", "qkv", "scores", "av", "out", "ff",
+                        "head"})
+
 
 def is_attn(params) -> bool:
     """Structural test: does this trunk pytree hold an attention encoder?"""
@@ -229,40 +239,48 @@ def apply_seq(
             f"window length {T} exceeds the positional table ({t_max}); "
             f"init the trunk with t_max >= the rollout length")
     bf16 = backend == "bf16"
+    site = (lambda s: bf16 and s in BF16_SITES)
+    bf16_sc, bf16_av = site("scores"), site("av")
     pos = attn["pos"][:T].reshape((T,) + (1,) * (xs.ndim - 2) + (-1,))
-    h = _embed(attn, xs, bf16) + pos
-    if backend in ("pallas", "bf16") and T >= FLASH_MIN_T:
+    h = _embed(attn, xs, site("embed")) + pos
+    if (backend == "pallas" or (bf16 and bf16_sc and bf16_av)) \
+            and T >= FLASH_MIN_T:
         from ppoc_tpu.ops.pallas_attn import flash_mha
 
         ep = episode_ids(reset_after)
         dt = jnp.bfloat16 if bf16 else None
         mha = lambda q, k, v: flash_mha(q, k, v, ep, compute_dtype=dt)
     elif bf16:
-        # short windows: the XLA path with bf16 q/k/v (f32 accumulation) —
-        # halves the score-plane operand traffic
+        # short windows (or a bisected attention site, BF16_SITES): the
+        # XLA path with bf16 q/k/v (f32 accumulation) — halves the
+        # score-plane operand traffic; the scores (Q.K) and av (prob x V)
+        # products gate separately for the long-context precision bisect
         mask = causal_episode_mask(reset_after)
 
         def mha(q, k, v):
             # _mha's einsums carry preferred_element_type=f32, so the
             # result is already f32
-            return _mha(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-                        v.astype(jnp.bfloat16), mask)
+            if bf16_sc:
+                q, k = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16)
+            if bf16_av:
+                v = v.astype(jnp.bfloat16)
+            return _mha(q, k, v, mask)
     else:
         mask = causal_episode_mask(reset_after)
         mha = lambda q, k, v: _mha(q, k, v, mask)
     ks, vs = [], []
     for blk in attn["blocks"]:
         u = _ln(h, blk["ln1"])
-        q, k, v = _qkv(blk, u, bf16)
+        q, k, v = _qkv(blk, u, site("qkv"))
         if with_cache:
             ks.append(k)
             vs.append(v)
         o = mha(q, k, v)
-        h = h + _dot(o.reshape(o.shape[:-2] + (-1,)), blk["wo"], bf16) \
-            + blk["bo"]
-        h = h + _ff(_ln(h, blk["ln2"]), blk, activation, bf16)
+        h = h + _dot(o.reshape(o.shape[:-2] + (-1,)), blk["wo"],
+                     site("out")) + blk["bo"]
+        h = h + _ff(_ln(h, blk["ln2"]), blk, activation, site("ff"))
     out = mlp.apply(params["head"], _ln(h, attn["lnf"]), activation,
-                    "bf16" if bf16 else "jnp")
+                    "bf16" if site("head") else "jnp")
     return (out, ks, vs) if with_cache else out
 
 
