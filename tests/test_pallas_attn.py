@@ -157,6 +157,39 @@ def test_apply_seq_bf16_backend_close_to_f32(monkeypatch):
                                atol=0.05)
 
 
+def test_bf16_sites_bisect_knob(monkeypatch):
+    """BF16_SITES (the long-context precision bisect knob): the default is
+    the full set; removing every site makes the bf16 backend reproduce the
+    f32 forward EXACTLY; removing only 'scores' leaves the Q.K product in
+    f32 (output changes vs full-bf16, still close to f32); under the
+    bisected flash regime the path falls back to the site-gated XLA core."""
+    T, E = 40, 4
+    p = attn.init(jax.random.PRNGKey(0), 3, 16, 2, 2, 32, T, (16, 8, 2))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (T, E, 3))
+    done = jax.random.bernoulli(jax.random.PRNGKey(2), 0.15, (T, E))
+    out_j = attn.apply_seq(p, xs, done, "relu", backend="jnp")
+    out_b = attn.apply_seq(p, xs, done, "relu", backend="bf16")
+
+    assert attn.BF16_SITES == frozenset(
+        {"embed", "qkv", "scores", "av", "out", "ff", "head"})
+    monkeypatch.setattr(attn, "BF16_SITES", frozenset())
+    out_none = attn.apply_seq(p, xs, done, "relu", backend="bf16")
+    np.testing.assert_array_equal(np.asarray(out_none), np.asarray(out_j))
+
+    monkeypatch.setattr(attn, "BF16_SITES", attn.BF16_SITES | frozenset(
+        {"embed", "qkv", "av", "out", "ff", "head"}))
+    out_noscores = attn.apply_seq(p, xs, done, "relu", backend="bf16")
+    assert not np.array_equal(np.asarray(out_noscores), np.asarray(out_b))
+    np.testing.assert_allclose(np.asarray(out_noscores), np.asarray(out_j),
+                               atol=0.05)
+    # bisected flash regime: scores promoted -> the XLA core runs even at
+    # T >= FLASH_MIN_T (flash carries one compute dtype for both products)
+    monkeypatch.setattr(attn, "FLASH_MIN_T", 8)
+    out_long = attn.apply_seq(p, xs, done, "relu", backend="bf16")
+    np.testing.assert_allclose(np.asarray(out_long),
+                               np.asarray(out_noscores), atol=1e-6)
+
+
 @pytest.mark.parametrize("T,B,H,hd,p_done", [
     (1030, 1, 1, 8, 0.02),   # (256, 256) tiles, ragged -> pads to 1280
     (2050, 1, 1, 8, 0.01),   # (512, 512) tiles, ragged -> pads to 2560
