@@ -46,34 +46,46 @@ def main(argv):
                 lr_policy=1e-3, lr_v=1e-3,
                 attn_dim=32, attn_layers=2, attn_heads=4)
 
-    t0 = time.time()
-    tr = Trainer(PPOConfig(env="recall_long", rollout_len=512,
-                           eval_len=512, **base))
-    h = tr.train(n_epochs=60, log=False, stop_at_R=0.85)
-    print(f"phase 1 (T=512): {len(h)} epochs, final R {h[-1]['R']:.3f} "
-          f"({time.time() - t0:.0f}s)")
-    if h[-1]["R"] < 0.8:
-        print("phase 1 did not reach R >= 0.8 — reseed (recall_long's "
-              "known seed variance) before fine-tuning")
-        return 1
     ckpt = f"recall_curriculum_512_s{seed}.bin"
-    tr.save(ckpt)
+    if os.path.exists(ckpt):
+        print(f"phase 1 (T=512): resuming from {ckpt}")
+    else:
+        t0 = time.time()
+        tr = Trainer(PPOConfig(env="recall_long", rollout_len=512,
+                               eval_len=512, **base))
+        h = tr.train(n_epochs=60, log=False, stop_at_R=0.85)
+        print(f"phase 1 (T=512): {len(h)} epochs, final R {h[-1]['R']:.3f} "
+              f"({time.time() - t0:.0f}s)")
+        if h[-1]["R"] < 0.8:
+            print("phase 1 did not reach R >= 0.8 — reseed (recall_long's "
+                  "known seed variance) before fine-tuning")
+            return 1
+        tr.save(ckpt)
 
     best = 0.0
     for T, env in STAGES.items():
         if T > max_t:
             break
+        nxt = f"recall_curriculum_{T}_s{seed}.bin"
+        if os.path.exists(nxt):
+            print(f"T={T} ({env}): resuming from {nxt}")
+            ckpt, best = nxt, max(best, 0.95)
+            continue
         t0 = time.time()
         # sequence minibatches need mb >= window (one sequence per
-        # minibatch at the top rungs)
+        # minibatch at the top rungs); at T=8192 the FUSED 2-fit epoch
+        # program's cold compile+first-run RPC crashes the transport
+        # worker (docs/RESULTS.md round 5) — chunk it to one fit per
+        # compiled program (bit-identical training)
         tr = Trainer.from_checkpoint(ckpt, env=env, rollout_len=T,
                                      eval_len=T,
-                                     minibatch_size=max(4096, T))
+                                     minibatch_size=max(4096, T),
+                                     fits_per_program=1 if T >= 8192 else 0)
         h = tr.train(n_epochs=40, log=False, stop_at_R=0.95)
         best = max(x["R"] for x in h)
         print(f"T={T} ({env}, flash): {len(h)} epochs, best R {best:.3f} "
               f"({time.time() - t0:.0f}s)")
-        ckpt = f"recall_curriculum_{T}_s{seed}.bin"
+        ckpt = nxt
         tr.save(ckpt)
     return 0 if best >= 0.9 else 1
 

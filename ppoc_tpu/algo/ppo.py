@@ -896,6 +896,57 @@ def fit_step(
     return (ts, env_carry, metrics) if return_env_carry else (ts, metrics)
 
 
+def train_fits(
+    cfg: PPOConfig,
+    env: Env,
+    ts: TrainState,
+    keys: jax.Array,          # [N, 2] per-fit keys (pre-split)
+    axis_name: Optional[str] = None,
+    n_envs: Optional[int] = None,
+    mb_size: Optional[int] = None,
+    backend: str = "jnp",
+    env_carry=None,
+):
+    """Scan ``fit_step`` over a pre-split [N] key batch.
+
+    The scan body of :func:`train_epoch`, factored out so the epoch can be
+    compiled either as ONE fused N=fits_per_epoch program (the default) or
+    as bounded-size chunks (cfg.fits_per_program — same key stream fed in
+    slices, bit-identical training).  ``env_carry`` threads persistent env
+    state (cfg.reset_per_fit=False); pass None for reset-per-fit fits.
+    Returns ``(ts, env_carry_or_None, metrics)`` with metrics meaned over
+    the N fits.
+    """
+    if env_carry is None:
+        def one_fit(ts, key_f):
+            return fit_step(cfg, env, ts, key_f, axis_name, n_envs,
+                            mb_size, backend)
+
+        ts, metrics = jax.lax.scan(one_fit, ts, keys)
+        return ts, None, jax.tree.map(jnp.mean, metrics)
+
+    def one_fit(carry, key_f):
+        ts, env_carry = carry
+        ts, env_carry, metrics = fit_step(
+            cfg, env, ts, key_f, axis_name, n_envs, mb_size, backend,
+            env_carry=env_carry, return_env_carry=True,
+        )
+        return (ts, env_carry), metrics
+
+    (ts, env_carry), metrics = jax.lax.scan(one_fit, (ts, env_carry), keys)
+    return ts, env_carry, jax.tree.map(jnp.mean, metrics)
+
+
+def reset_env_carry(cfg: PPOConfig, env: Env, key: jax.Array,
+                    axis_name: Optional[str] = None,
+                    n_envs: Optional[int] = None):
+    """The epoch-entry env reset of the reset_per_fit=False branch, exposed
+    as its own program for the chunked-epoch dispatch path."""
+    local_envs = cfg.n_envs if n_envs is None else n_envs
+    key = _device_key(key, axis_name)
+    return _pvary(vector_reset(env, key, local_envs), axis_name)
+
+
 def train_epoch(
     cfg: PPOConfig,
     env: Env,
@@ -915,29 +966,17 @@ def train_epoch(
     phase.
     """
     if cfg.reset_per_fit:
-        def one_fit(ts, key_f):
-            return fit_step(cfg, env, ts, key_f, axis_name, n_envs, mb_size, backend)
-
         keys = jax.random.split(key, cfg.fits_per_epoch)
-        ts, metrics = jax.lax.scan(one_fit, ts, keys)
-        return ts, jax.tree.map(jnp.mean, metrics)
+        ts, _, metrics = train_fits(cfg, env, ts, keys, axis_name, n_envs,
+                                    mb_size, backend)
+        return ts, metrics
 
     k_reset, key = jax.random.split(key)
-    local_envs = cfg.n_envs if n_envs is None else n_envs
-    k_reset = _device_key(k_reset, axis_name)
-    env_carry = _pvary(vector_reset(env, k_reset, local_envs), axis_name)
-
-    def one_fit(carry, key_f):
-        ts, env_carry = carry
-        ts, env_carry, metrics = fit_step(
-            cfg, env, ts, key_f, axis_name, n_envs, mb_size, backend,
-            env_carry=env_carry, return_env_carry=True,
-        )
-        return (ts, env_carry), metrics
-
+    env_carry = reset_env_carry(cfg, env, k_reset, axis_name, n_envs)
     keys = jax.random.split(key, cfg.fits_per_epoch)
-    (ts, _), metrics = jax.lax.scan(one_fit, (ts, env_carry), keys)
-    return ts, jax.tree.map(jnp.mean, metrics)
+    ts, _, metrics = train_fits(cfg, env, ts, keys, axis_name, n_envs,
+                                mb_size, backend, env_carry=env_carry)
+    return ts, metrics
 
 
 def train_until(

@@ -188,6 +188,12 @@ class Trainer:
             return
 
         n_dev = 1 if mesh is None else mesh.size
+        if cfg.fits_per_program and n_dev > 1:
+            raise ValueError(
+                "fits_per_program (the chunked-epoch dispatch) supports "
+                "single-device runs only; drop the mesh or use the fused "
+                "epoch"
+            )
         if cfg.zero1 and n_dev < 2:
             raise ValueError(
                 "zero1=True shards optimizer state over a data-parallel "
@@ -278,6 +284,16 @@ class Trainer:
             self._train_epoch = jax.jit(
                 functools.partial(ppo.train_epoch, cfg, self.env, backend=self.backend)
             )
+            if cfg.fits_per_program:
+                # chunked-epoch dispatch: compile a bounded N-fit program
+                # and Python-loop it over the SAME key stream the fused
+                # epoch would use (bit-identical training).  The fused
+                # T=8192 attention epoch's cold compile+first-run RPC is
+                # what crashes the transport worker (docs/RESULTS.md r5)
+                self._train_fits = jax.jit(functools.partial(
+                    ppo.train_fits, cfg, self.env, backend=self.backend))
+                self._reset_carry = jax.jit(functools.partial(
+                    ppo.reset_env_carry, cfg, self.env))
             self._evaluate = jax.jit(
                 functools.partial(ppo.evaluate, cfg, self.env, backend=self.backend)
             )
@@ -634,8 +650,31 @@ class Trainer:
 
     def train_epoch(self) -> ppo.FitMetrics:
         k, self.key = jax.random.split(self.key)
+        if self.cfg.fits_per_program:
+            return self._train_epoch_chunked(k)
         self.state, metrics = self._train_epoch(self.state, k)
         return metrics
+
+    def _train_epoch_chunked(self, key: jax.Array) -> ppo.FitMetrics:
+        """cfg.fits_per_program-sized compiled chunks over the fused
+        epoch's exact key stream (ppo.train_epoch's split order), so the
+        parameter trajectory is bit-identical to the one-program scan
+        (tests/test_fits_per_program.py)."""
+        cfg = self.cfg
+        carry = None
+        if not cfg.reset_per_fit:
+            k_reset, key = jax.random.split(key)
+            carry = self._reset_carry(k_reset)
+        keys = jax.random.split(key, cfg.fits_per_epoch)
+        ts, chunk_metrics = self.state, []
+        for i in range(0, cfg.fits_per_epoch, cfg.fits_per_program):
+            ts, carry, m = self._train_fits(
+                ts, keys[i:i + cfg.fits_per_program], env_carry=carry)
+            chunk_metrics.append(m)
+        self.state = ts
+        # equal-size chunks: mean of chunk means == the fused global mean
+        return jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)),
+                            *chunk_metrics)
 
     def train(
         self,

@@ -185,6 +185,21 @@ class PPOConfig:
                                   # per-shard row count; row-minibatch
                                   # trunks only (GRU/attention updates
                                   # shuffle whole sequences already)
+    fits_per_program: int = 0     # >0: compile the training epoch as
+                                  # ceil(fits_per_epoch / N)-dispatch chunks
+                                  # of N fits each instead of ONE fused
+                                  # scan-of-fits program.  Bit-identical
+                                  # training (same per-fit key stream, same
+                                  # metrics); the dial exists because a
+                                  # fused program's cold compile grows with
+                                  # fits_per_epoch x rollout_len and at
+                                  # extreme windows (T=8192 attention) the
+                                  # single compile+first-run RPC can exceed
+                                  # what the accelerator transport survives
+                                  # (docs/RESULTS.md round 5).  0 = fused
+                                  # (the architecture default); must divide
+                                  # fits_per_epoch; single-device meshes
+                                  # only
     norm_adv_global: bool = True  # normalize advantages over the whole buffer
                                   # (reference: src/ppo.cu:355-368)
     reset_per_fit: bool = True    # reference resets env at every collection
@@ -246,6 +261,24 @@ def validate(cfg: PPOConfig) -> PPOConfig:
                 "shuffle_block applies to row-minibatch trunks only: "
                 "sequence trunks (rnn_hidden/attn_dim) already shuffle "
                 "whole sequences"
+            )
+    if cfg.fits_per_program:
+        if cfg.fits_per_program < 0:
+            raise ValueError(f"fits_per_program must be >= 0, got "
+                             f"{cfg.fits_per_program}")
+        if cfg.fits_per_epoch % cfg.fits_per_program:
+            raise ValueError(
+                f"fits_per_program ({cfg.fits_per_program}) must divide "
+                f"fits_per_epoch ({cfg.fits_per_epoch}): the epoch runs as "
+                f"equal-size compiled chunks"
+            )
+        if (cfg.tp_size > 1 or cfg.pp_size > 1 or cfg.ep_size > 1
+                or cfg.sp_size > 1 or cfg.zero1):
+            raise ValueError(
+                "fits_per_program supports single-device runs only "
+                "(the parallel modes wrap the fused epoch program); its "
+                "target regime — extreme single-chip windows — doesn't "
+                "overlap them"
             )
     if cfg.rnn_hidden > 0 or cfg.attn_dim > 0:
         kind = "rnn_hidden" if cfg.rnn_hidden > 0 else "attn_dim"
