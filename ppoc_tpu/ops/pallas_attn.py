@@ -87,7 +87,12 @@ def _tiles(T: int):
     tile (qt x kt f32 <= 1 MB) stays far inside VMEM; key tiles stay
     multiples of 128 (Mosaic lane-slice constraint).  Chip-measured at
     (T=2048, B=16, d=512): 128->512 tiles take the flash op 25.6 -> 7.9 ms
-    (fwd+bwd) and the 2-block encoder to 46.7% of bf16 peak."""
+    (fwd+bwd) and the 2-block encoder to 46.7% of bf16 peak.  512 is the
+    CEILING, not just the current top rung: at T=8192 a 1024-tile schedule
+    was probed and LOSES (fwd+bwd 477.4 vs 340.7 ms; at d=512 width 1561
+    vs 1138 ms) — the larger f32 score tile starts crowding VMEM double
+    buffering while cell-sequencing overhead is already amortized at 512
+    (docs/RESULTS.md round 5)."""
     if T >= 2048:
         return 512, 512
     if T >= 1024:

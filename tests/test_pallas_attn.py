@@ -222,3 +222,17 @@ def test_gradients_match_jnp_twin_large_tiles():
     gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
     for a, b in zip(gr, gf):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+
+
+def test_tile_schedule_caps_at_512():
+    """The window-scaled tile schedule tops out at (512, 512): chip-probed
+    at T=8192, a 1024-tile rung LOSES (fwd+bwd 477.4 vs 340.7 ms) — the
+    T=8192 training/serving regime (docs/RESULTS.md round 5) runs the
+    512-tile path, i.e. the same compiled kernel family the exactness
+    tests above pin."""
+    assert pallas_attn._tiles(512) == (128, 128)
+    assert pallas_attn._tiles(1024) == (256, 256)
+    assert pallas_attn._tiles(2048) == (512, 512)
+    assert pallas_attn._tiles(4096) == (512, 512)
+    assert pallas_attn._tiles(8192) == (512, 512)
+    assert pallas_attn._tiles(1 << 16) == (512, 512)
