@@ -226,6 +226,14 @@ def init_train_state(cfg: PPOConfig, env: Env, key: jax.Array) -> TrainState:
                 cfg.attn_heads, ff, t_max,
                 (cfg.attn_dim, *cfg.hidden, spec.action_dim))
         }
+        if cfg.aux_value_coeff > 0.0:
+            # PPG-style auxiliary value head on the POLICY trunk
+            # (cfg.aux_value_coeff): scalar regression head over the same
+            # trunk output the action head reads; trained in the policy
+            # phase (algo/recurrent.policy_phase_rnn), never used to act
+            k_pi, k_aux = jax.random.split(k_pi)
+            policy_params["mlp"]["aux_head"] = mlp.init(
+                k_aux, (cfg.attn_dim, *cfg.hidden, 1))
         if not spec.discrete:
             policy_params["log_std"] = jnp.full(
                 (spec.action_dim,), jnp.log(jnp.float32(cfg.init_std)),
@@ -824,7 +832,8 @@ def update_step(
             backend=seq_backend)
         ts, p_loss, ent = recurrent.policy_phase_rnn(
             cfg, env, ts, traj, adv, k_pol, axis_name, mb_size,
-            backend=seq_backend)
+            backend=seq_backend,
+            target=target if cfg.aux_value_coeff > 0.0 else None)
         mean_rew = _pmean(jnp.mean(traj.reward), axis_name)
         return ts, FitMetrics(
             _pmean(v_loss, axis_name), _pmean(p_loss, axis_name),

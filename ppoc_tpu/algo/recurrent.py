@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from ppoc_tpu.config import PPOConfig
 from ppoc_tpu.data import buffer
 from ppoc_tpu.envs.core import Env, vector_autoreset_step, vector_reset
-from ppoc_tpu.models import attn, gru, policy as policy_mod
+from ppoc_tpu.models import attn, gru, mlp, policy as policy_mod
 from ppoc_tpu.ops import adam, losses
 
 LOG_2PI = math.log(2.0 * math.pi)
@@ -231,24 +231,32 @@ def policy_log_probs_rnn(cfg: PPOConfig, policy_params, obs, action, done,
                          discrete: bool,
                          backend: str = "jnp",
                          sp_axis: Optional[str] = None,
-                         ) -> Tuple[jax.Array, jax.Array]:
+                         return_hidden: bool = False,
+                         ):
     """(log-probs [T, B], mean entropy) of stored actions under the current
     recurrent policy, replayed from h0=0 with episode-boundary masking —
     identical recurrence to rollout_rnn, so at epoch 0 the ratios are
-    exactly 1."""
-    out = _seq_apply(policy_params["mlp"], obs, done, cfg.activation,
-                     backend, sp_axis)
+    exactly 1.  ``return_hidden=True`` (attention trunks, no sp) appends
+    the trunk's final-LN hidden plane — the auxiliary value head's input
+    (cfg.aux_value_coeff)."""
+    if return_hidden:
+        out, hidden = attn.apply_seq(policy_params["mlp"], obs, done,
+                                     cfg.activation, backend=backend,
+                                     return_hidden=True)
+    else:
+        out = _seq_apply(policy_params["mlp"], obs, done, cfg.activation,
+                         backend, sp_axis)
     if discrete:
         logp_all = jax.nn.log_softmax(out, axis=-1)
         logp = jnp.take_along_axis(
             logp_all, action.astype(jnp.int32), axis=-1)[..., 0]
         ent = jnp.mean(-jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1))
-        return logp, ent
+        return (logp, ent, hidden) if return_hidden else (logp, ent)
     log_std = policy_params["log_std"]
     logp = policy_mod.gaussian_log_prob_from_mean(out, log_std, action)
     k = action.shape[-1]
     ent = 0.5 * k * (1.0 + LOG_2PI) + jnp.sum(log_std)
-    return logp, ent
+    return (logp, ent, hidden) if return_hidden else (logp, ent)
 
 
 # --------------------------------------------------------------------------
@@ -301,22 +309,38 @@ def value_phase_rnn(cfg: PPOConfig, ts, traj, target: jax.Array, key,
 
 def policy_phase_rnn(cfg: PPOConfig, env: Env, ts, traj, adv: jax.Array, key,
                      axis_name, mb_size: int,
-                     backend: str = "jnp", sp_axis: Optional[str] = None):
+                     backend: str = "jnp", sp_axis: Optional[str] = None,
+                     target: Optional[jax.Array] = None):
     """n_epochs_policy shuffled passes on the clipped surrogate
     (src/ppo.cu:512-533 with sequence minibatches + BPTT).  ``sp_axis``
-    as in :func:`value_phase_rnn`."""
+    as in :func:`value_phase_rnn`.  ``target`` (the fit's value targets)
+    engages the PPG-style auxiliary value loss on the policy trunk when
+    cfg.aux_value_coeff > 0 and the trunk carries an aux head."""
     from ppoc_tpu.algo import ppo as ppo_mod
 
     T, E = adv.shape
     discrete = env.spec.discrete
     done = jnp.logical_or(traj.terminated, traj.truncated)
     seqs, n_mb = seq_minibatch_plan(E, _plan_T(T, sp_axis), mb_size)
+    use_aux = (cfg.aux_value_coeff > 0.0 and target is not None
+               and "aux_head" in ts.policy_params["mlp"])
 
-    def loss_fn(policy_params, o, a, d, lp_old, ad, ent_c):
-        logp, ent = policy_log_probs_rnn(cfg, policy_params, o, a, d,
-                                         discrete, backend, sp_axis)
+    def loss_fn(policy_params, o, a, d, lp_old, ad, ent_c, tgt=None):
+        if use_aux:
+            logp, ent, hid = policy_log_probs_rnn(
+                cfg, policy_params, o, a, d, discrete, backend, sp_axis,
+                return_hidden=True)
+        else:
+            logp, ent = policy_log_probs_rnn(cfg, policy_params, o, a, d,
+                                             discrete, backend, sp_axis)
         surrogate = losses.clipped_surrogate_loss(logp, lp_old, ad, cfg.clip_eps)
-        return surrogate - ent_c * ent, (ent, jnp.mean(lp_old - logp))
+        loss = surrogate - ent_c * ent
+        if use_aux:
+            vhat = mlp.apply(policy_params["mlp"]["aux_head"], hid,
+                             cfg.activation, "jnp")[..., 0]
+            loss = loss + cfg.aux_value_coeff * jnp.mean(
+                jnp.square(vhat - tgt))
+        return loss, (ent, jnp.mean(lp_old - logp))
 
     use_kl = cfg.target_kl > 0.0
 
@@ -327,9 +351,10 @@ def policy_phase_rnn(cfg: PPOConfig, env: Env, ts, traj, adv: jax.Array, key,
             policy_params, opt_policy, opt_log_std = carry
         o, a, d, lp, ad = _gather_seqs(
             (traj.obs, traj.action, done, traj.log_prob, adv), idx)
+        tgt = _gather_seqs((target,), idx)[0] if use_aux else None
         (loss, (ent, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             policy_params, o, a, d, lp, ad,
-            ppo_mod._ent_coeff(cfg, opt_policy, n_mb))
+            ppo_mod._ent_coeff(cfg, opt_policy, n_mb), tgt)
         grads = ppo_mod._prep_grads(grads, cfg, axis_name)
         new_params, new_opt_policy, new_opt_log_std = \
             ppo_mod._policy_adam_step(

@@ -185,6 +185,24 @@ class PPOConfig:
                                   # per-shard row count; row-minibatch
                                   # trunks only (GRU/attention updates
                                   # shuffle whole sequences already)
+    aux_value_coeff: float = 0.0  # >0 (attention trunks): PPG-style
+                                  # auxiliary value regression on the
+                                  # POLICY trunk (Cobbe et al. 2020).  An
+                                  # extra scalar head on the policy
+                                  # encoder is trained against the fit's
+                                  # value targets DURING the policy phase,
+                                  # pushing the critic's supervised
+                                  # cue-finding signal into the policy
+                                  # trunk.  This is the default-off
+                                  # stabilizer for the recall_long
+                                  # seed-trap: the trapped mode is a
+                                  # policy-side chicken-and-egg (zero
+                                  # head readout => no gradient into
+                                  # attention) that the critic never
+                                  # suffers because value regression is
+                                  # supervised — measured anatomy in
+                                  # docs/RESULTS.md round 5.  Requires
+                                  # attn_dim > 0; not with sp_size > 1
     fits_per_program: int = 0     # >0: compile the training epoch as
                                   # ceil(fits_per_epoch / N)-dispatch chunks
                                   # of N fits each instead of ONE fused
@@ -261,6 +279,21 @@ def validate(cfg: PPOConfig) -> PPOConfig:
                 "shuffle_block applies to row-minibatch trunks only: "
                 "sequence trunks (rnn_hidden/attn_dim) already shuffle "
                 "whole sequences"
+            )
+    if cfg.aux_value_coeff:
+        if cfg.aux_value_coeff < 0:
+            raise ValueError(f"aux_value_coeff must be >= 0, got "
+                             f"{cfg.aux_value_coeff}")
+        if cfg.attn_dim <= 0:
+            raise ValueError(
+                "aux_value_coeff (PPG-style auxiliary value head on the "
+                "policy trunk) requires the attention family (attn_dim > 0)"
+            )
+        if cfg.sp_size > 1:
+            raise ValueError(
+                "aux_value_coeff does not combine with sequence "
+                "parallelism (sp_size > 1): the auxiliary head reads the "
+                "whole-window hidden plane"
             )
     if cfg.fits_per_program:
         if cfg.fits_per_program < 0:

@@ -222,6 +222,7 @@ def apply_seq(
     activation: str,
     with_cache: bool = False,
     backend: str = "jnp",
+    return_hidden: bool = False,
 ):
     """Head outputs [T, ..., out] for a whole window, all steps in parallel.
 
@@ -230,6 +231,9 @@ def apply_seq(
     routes the attention core through the flash kernel
     (ops/pallas_attn.flash_mha): score tiles stay in VMEM instead of
     materializing [T, T, ...] planes in HBM — the long-window path.
+    ``return_hidden=True`` returns ``(out, hidden)`` where ``hidden`` is the
+    final-LN trunk plane the head reads ([T, ..., d]) — the auxiliary value
+    head's input (cfg.aux_value_coeff; exclusive with with_cache).
     """
     attn = params["attn"]
     T = xs.shape[0]
@@ -279,9 +283,12 @@ def apply_seq(
         h = h + _dot(o.reshape(o.shape[:-2] + (-1,)), blk["wo"],
                      site("out")) + blk["bo"]
         h = h + _ff(_ln(h, blk["ln2"]), blk, activation, site("ff"))
-    out = mlp.apply(params["head"], _ln(h, attn["lnf"]), activation,
+    hn = _ln(h, attn["lnf"])
+    out = mlp.apply(params["head"], hn, activation,
                     "bf16" if site("head") else "jnp")
-    return (out, ks, vs) if with_cache else out
+    if with_cache:
+        return out, ks, vs
+    return (out, hn) if return_hidden else out
 
 
 def _ring_core(T_local: int, backend: str):

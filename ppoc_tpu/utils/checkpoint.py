@@ -108,7 +108,10 @@ def _write_trunk(f, trunk):
     from ppoc_tpu.models.moe import is_moe
 
     if is_attn(trunk):
-        _w(f, "i", 4)
+        # kind 5 = kind 4 + the PPG-style auxiliary value head
+        # (cfg.aux_value_coeff — algo/recurrent.policy_phase_rnn); written
+        # as a trailing extra mlp so kind-4 files stay byte-identical
+        _w(f, "i", 5 if "aux_head" in trunk else 4)
         a = trunk["attn"]
         we, be = a["embed"]
         we = np.asarray(we)
@@ -129,6 +132,8 @@ def _write_trunk(f, trunk):
         _write_arr(f, np.asarray(a["lnf"][0]))
         _write_arr(f, np.asarray(a["lnf"][1]))
         _write_mlp(f, trunk["head"])
+        if "aux_head" in trunk:
+            _write_mlp(f, trunk["aux_head"])
         return
     if is_rnn(trunk):
         _w(f, "i", 3 if cell_kind(trunk) == "lstm" else 2)
@@ -170,7 +175,7 @@ def _read_trunk(f):
         b = jnp.asarray(_read_arr(f, (hg,)))
         head = [(jnp.asarray(w), jnp.asarray(bb)) for w, bb in _read_mlp(f)]
         return {"cell": {"wx": wx, "wh": wh, "b": b}, "head": head}
-    if kind == 4:  # attention encoder (models/attn.py)
+    if kind in (4, 5):  # attention encoder (5 = + PPG aux value head)
         d_in, d, t_max, n_heads, n_layers, ff = _r(f, "iiiiii")
         hd = d // n_heads
         we = jnp.asarray(_read_arr(f, (d_in, d)))
@@ -194,8 +199,12 @@ def _read_trunk(f):
             })
         lnf = (jnp.asarray(_read_arr(f, (d,))), jnp.asarray(_read_arr(f, (d,))))
         head = [(jnp.asarray(w), jnp.asarray(bb)) for w, bb in _read_mlp(f)]
-        return {"attn": {"embed": (we, be), "pos": pos, "blocks": blocks,
-                         "lnf": lnf}, "head": head}
+        trunk = {"attn": {"embed": (we, be), "pos": pos, "blocks": blocks,
+                          "lnf": lnf}, "head": head}
+        if kind == 5:
+            trunk["aux_head"] = [(jnp.asarray(w), jnp.asarray(bb))
+                                 for w, bb in _read_mlp(f)]
+        return trunk
     if kind != 1:
         raise ValueError(f"unknown trunk kind {kind}")
     d_in, e = _r(f, "ii")
