@@ -714,6 +714,7 @@ class Trainer:
         """
         n_epochs = self.cfg.n_epochs if n_epochs is None else n_epochs
         history: List[Dict[str, Any]] = []
+        best_R, since_improve, transplanted = -float("inf"), 0, False
         if initial_eval:
             m0 = self.evaluate(deterministic=eval_deterministic)
             if log:
@@ -749,9 +750,56 @@ class Trainer:
                           meta={"epochs_done": epoch_offset + i + 1})
             if stop_at_R is not None and ev.R >= stop_at_R:
                 break
+            if self.cfg.transplant_patience > 0 and not transplanted:
+                if ev.R >= best_R + 0.05:
+                    best_R, since_improve = ev.R, 0
+                else:
+                    since_improve += 1
+                    if since_improve >= self.cfg.transplant_patience:
+                        self.transplant_value_trunk()
+                        transplanted = True
+                        row["transplanted"] = True
+                        if log:
+                            print(f"Epoch: {i} plateau "
+                                  f"({since_improve} epochs < +0.05 R) — "
+                                  f"critic->policy encoder transplant",
+                                  flush=True)
             if on_epoch_end is not None and on_epoch_end(i, row):
                 break
         return history
+
+    def transplant_value_trunk(self) -> None:
+        """Replace the POLICY trunk's encoder with a copy of the CRITIC's,
+        keeping the action head and log_std, and reset the policy Adam
+        moments.  The measured rescue for the recall_long plateau
+        (docs/RESULTS.md round 5): the critic builds the cue-retrieval
+        attention circuit through supervised value regression within ~3
+        epochs; a policy whose own gradient cannot bootstrap that circuit
+        (zero head readout => no surrogate gradient into attention) lifts
+        within ~3 epochs of receiving it — while a FRESH random encoder
+        does not rescue, pinning the mechanism to the circuit itself.
+        Auto-triggered on plateau by cfg.transplant_patience; callable
+        directly for manual rescues.  Sequence trunks only."""
+        from ppoc_tpu.models import attn as attn_mod, gru as gru_mod
+        from ppoc_tpu.ops import adam as adam_ops
+
+        ts = self.state
+        old = ts.policy_params["mlp"]
+        if not (attn_mod.is_attn(old) or gru_mod.is_rnn(old)):
+            raise ValueError(
+                "transplant_value_trunk needs a sequence trunk "
+                "(attention or GRU/LSTM): dense trunks have no shared "
+                "encoder to transplant"
+            )
+        trunk = dict(old)
+        if attn_mod.is_attn(trunk):
+            trunk["attn"] = jax.tree.map(jnp.copy, ts.v_params["attn"])
+        else:
+            trunk["cell"] = jax.tree.map(jnp.copy, ts.v_params["cell"])
+        pol = dict(ts.policy_params)
+        pol["mlp"] = trunk
+        self.state = ts._replace(policy_params=pol,
+                                 opt_policy=adam_ops.init(trunk))
 
     def solve(self, target_R: float, max_epochs: int = 100) -> Dict[str, Any]:
         """Train until eval R >= target_R as ONE device program (see

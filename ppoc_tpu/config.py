@@ -185,6 +185,26 @@ class PPOConfig:
                                   # per-shard row count; row-minibatch
                                   # trunks only (GRU/attention updates
                                   # shuffle whole sequences already)
+    transplant_patience: int = 0  # >0 (sequence trunks): if the per-epoch
+                                  # eval R fails to improve by >= 0.05 for
+                                  # this many consecutive epochs,
+                                  # Trainer.train performs a ONE-TIME
+                                  # critic->policy encoder transplant
+                                  # (Trainer.transplant_value_trunk): the
+                                  # policy trunk's encoder is replaced by
+                                  # a copy of the CRITIC's (heads and
+                                  # log_std kept, policy Adam moments
+                                  # reset).  Rationale (measured,
+                                  # docs/RESULTS.md round 5): the
+                                  # recall_long trap is a policy-side
+                                  # chicken-and-egg — the critic builds
+                                  # the cue-retrieval circuit supervised
+                                  # within ~3 epochs while the policy
+                                  # gradient cannot bootstrap it; handing
+                                  # the policy the critic's encoder lifts
+                                  # the trapped seed in ~3 epochs, while a
+                                  # FRESH random encoder does not.
+                                  # Default off; not with zero1
     aux_value_coeff: float = 0.0  # >0 (attention trunks): PPG-style
                                   # auxiliary value regression on the
                                   # POLICY trunk (Cobbe et al. 2020).  An
@@ -279,6 +299,22 @@ def validate(cfg: PPOConfig) -> PPOConfig:
                 "shuffle_block applies to row-minibatch trunks only: "
                 "sequence trunks (rnn_hidden/attn_dim) already shuffle "
                 "whole sequences"
+            )
+    if cfg.transplant_patience:
+        if cfg.transplant_patience < 0:
+            raise ValueError(f"transplant_patience must be >= 0, got "
+                             f"{cfg.transplant_patience}")
+        if cfg.rnn_hidden <= 0 and cfg.attn_dim <= 0:
+            raise ValueError(
+                "transplant_patience (critic->policy encoder transplant) "
+                "requires a sequence trunk (rnn_hidden or attn_dim > 0): "
+                "the policy and value encoders must share a shape"
+            )
+        if cfg.zero1:
+            raise ValueError(
+                "transplant_patience resets the policy Adam moments in "
+                "the logical tree layout and cannot combine with zero1's "
+                "packed optimizer state"
             )
     if cfg.aux_value_coeff:
         if cfg.aux_value_coeff < 0:
