@@ -33,7 +33,7 @@ from ppoc_tpu import PPOConfig, Trainer
 from ppoc_tpu.utils.cache import enable_compilation_cache
 
 STAGES = {1024: "recall_xl", 2048: "recall_xxl", 4096: "recall_4k",
-          8192: "recall_8k"}
+          8192: "recall_8k", 16384: "recall_16k"}
 
 
 def main(argv):

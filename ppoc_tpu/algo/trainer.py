@@ -194,6 +194,11 @@ class Trainer:
                 "single-device runs only; drop the mesh or use the fused "
                 "epoch"
             )
+        if cfg.fit_dispatch == "phased" and n_dev > 1:
+            raise ValueError(
+                "fit_dispatch='phased' supports single-device runs only; "
+                "drop the mesh or use the fused epoch"
+            )
         if cfg.zero1 and n_dev < 2:
             raise ValueError(
                 "zero1=True shards optimizer state over a data-parallel "
@@ -294,6 +299,8 @@ class Trainer:
                     ppo.train_fits, cfg, self.env, backend=self.backend))
                 self._reset_carry = jax.jit(functools.partial(
                     ppo.reset_env_carry, cfg, self.env))
+            if cfg.fit_dispatch == "phased":
+                self._build_phased()
             self._evaluate = jax.jit(
                 functools.partial(ppo.evaluate, cfg, self.env, backend=self.backend)
             )
@@ -650,10 +657,81 @@ class Trainer:
 
     def train_epoch(self) -> ppo.FitMetrics:
         k, self.key = jax.random.split(self.key)
+        if self.cfg.fit_dispatch == "phased":
+            return self._train_epoch_phased(k)
         if self.cfg.fits_per_program:
             return self._train_epoch_chunked(k)
         self.state, metrics = self._train_epoch(self.state, k)
         return metrics
+
+    def _build_phased(self) -> None:
+        """Jitted phase programs for cfg.fit_dispatch='phased': the
+        sequence-trunk fit's four stages as SEPARATE executables.  Each
+        mirrors the corresponding slice of ppo.fit_step/update_step
+        exactly (same callees, same key positions): the un-jitted
+        composition is bit-equal to fit_step
+        (tests/test_fit_dispatch.py); across the new jit boundaries the
+        compiled programs differ only at XLA fusion-rounding (FMA) level.
+        What changes is compile granularity — the relief valve for
+        windows where even a one-fit fused program's cold compile RPC
+        kills the transport worker (T=16384, docs/RESULTS.md round 5)."""
+        from ppoc_tpu.algo import recurrent
+
+        cfg, env, backend = self.cfg, self.env, self.backend
+        seq_backend = backend if backend in ("pallas", "bf16") else "jnp"
+
+        def _rollout(policy_params, v_params, k):
+            traj, _carry, _vp = ppo.rollout(
+                cfg, env, policy_params, k, cfg.n_envs, cfg.rollout_len,
+                backend, None, None, v_params=v_params, return_values=True)
+            return traj
+
+        def _values_adv(v_params, traj):
+            vpair = recurrent.compute_values_rnn(cfg, v_params, traj,
+                                                 backend=seq_backend)
+            adv, target = ppo.compute_advantages(
+                cfg, env, v_params, traj, None, "jnp", vpair)
+            return vpair, adv, target, jnp.mean(traj.reward)
+
+        def _vphase(ts, traj, target, vpair, k):
+            return recurrent.value_phase_rnn(
+                cfg, ts, traj, target, k, None, cfg.minibatch_size,
+                v_old=vpair[0] if cfg.clip_value > 0.0 else None,
+                backend=seq_backend)
+
+        def _pphase(ts, traj, adv, k, target):
+            return recurrent.policy_phase_rnn(
+                cfg, env, ts, traj, adv, k, None, cfg.minibatch_size,
+                backend=seq_backend,
+                target=target if cfg.aux_value_coeff > 0.0 else None)
+
+        self._ph_rollout = jax.jit(_rollout)
+        self._ph_values_adv = jax.jit(_values_adv)
+        self._ph_vphase = jax.jit(_vphase)
+        self._ph_pphase = jax.jit(_pphase)
+
+    def _train_epoch_phased(self, key: jax.Array) -> ppo.FitMetrics:
+        cfg = self.cfg
+        keys = jax.random.split(key, cfg.fits_per_epoch)
+        fit_metrics = []
+        for key_f in keys:
+            # fit_step's splits (axis_name None: _device_key is identity,
+            # no k_upd_common), then update_step's
+            k_roll, k_upd = jax.random.split(key_f)
+            k_val, k_pol = jax.random.split(k_upd)
+            traj = self._ph_rollout(self.state.policy_params,
+                                    self.state.v_params, k_roll)
+            vpair, adv, target, mean_rew = self._ph_values_adv(
+                self.state.v_params, traj)
+            self.state, v_loss = self._ph_vphase(
+                self.state, traj, target, vpair, k_val)
+            self.state, p_loss, ent = self._ph_pphase(
+                self.state, traj, adv, k_pol, target)
+            fit_metrics.append(ppo.FitMetrics(
+                value_loss=v_loss, policy_loss=p_loss, entropy=ent,
+                mean_reward=mean_rew))
+        return jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)),
+                            *fit_metrics)
 
     def _train_epoch_chunked(self, key: jax.Array) -> ppo.FitMetrics:
         """cfg.fits_per_program-sized compiled chunks over the fused

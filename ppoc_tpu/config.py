@@ -223,6 +223,24 @@ class PPOConfig:
                                   # supervised — measured anatomy in
                                   # docs/RESULTS.md round 5.  Requires
                                   # attn_dim > 0; not with sp_size > 1
+    fit_dispatch: str = "fused"   # "fused" (the architecture default: one
+                                  # fit = ONE jitted program) or "phased"
+                                  # (sequence trunks, single device):
+                                  # rollout / values+GAE / value phase /
+                                  # policy phase compile and dispatch as
+                                  # SEPARATE programs with the fused fit's
+                                  # exact key stream.  Logically identical
+                                  # (un-jitted compositions are bit-equal,
+                                  # tests/test_fit_dispatch.py); compiled
+                                  # programs differ only at XLA
+                                  # fusion-rounding (FMA) level across the
+                                  # new jit boundaries.
+                                  # The next relief valve below
+                                  # fits_per_program: at T=16384 even a
+                                  # ONE-fit fused program's cold compile
+                                  # RPC crashes the transport worker;
+                                  # the phase programs stay under the
+                                  # ceiling (docs/RESULTS.md round 5)
     fits_per_program: int = 0     # >0: compile the training epoch as
                                   # ceil(fits_per_epoch / N)-dispatch chunks
                                   # of N fits each instead of ONE fused
@@ -330,6 +348,33 @@ def validate(cfg: PPOConfig) -> PPOConfig:
                 "aux_value_coeff does not combine with sequence "
                 "parallelism (sp_size > 1): the auxiliary head reads the "
                 "whole-window hidden plane"
+            )
+    if cfg.fit_dispatch not in ("fused", "phased"):
+        raise ValueError(
+            f"fit_dispatch must be 'fused' or 'phased', got "
+            f"{cfg.fit_dispatch!r}"
+        )
+    if cfg.fit_dispatch == "phased":
+        if cfg.rnn_hidden <= 0 and cfg.attn_dim <= 0:
+            raise ValueError(
+                "fit_dispatch='phased' splits the SEQUENCE-trunk fit "
+                "(rollout / values+GAE / phases); dense trunks use the "
+                "fused fit (their programs are small)"
+            )
+        if not cfg.reset_per_fit:
+            raise ValueError(
+                "fit_dispatch='phased' requires reset_per_fit=True "
+                "(sequence trunks always reset at window entry)"
+            )
+        if cfg.fits_per_program:
+            raise ValueError(
+                "fit_dispatch='phased' already dispatches per fit; do not "
+                "combine with fits_per_program"
+            )
+        if (cfg.tp_size > 1 or cfg.pp_size > 1 or cfg.ep_size > 1
+                or cfg.sp_size > 1 or cfg.zero1):
+            raise ValueError(
+                "fit_dispatch='phased' supports single-device runs only"
             )
     if cfg.fits_per_program:
         if cfg.fits_per_program < 0:

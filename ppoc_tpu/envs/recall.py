@@ -108,5 +108,12 @@ def make_recall_4k() -> Env:
 
 @register("recall_8k")
 def make_recall_8k() -> Env:
-    """8192-step recall: the top of the window-doubling curriculum."""
+    """8192-step recall: an 8191-step retrieval distance (trained + served
+    round 5, docs/RESULTS.md)."""
     return _make_recall("recall_8k", 8192)
+
+
+@register("recall_16k")
+def make_recall_16k() -> Env:
+    """16384-step recall: the top of the window-doubling curriculum."""
+    return _make_recall("recall_16k", 16384)

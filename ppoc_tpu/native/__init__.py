@@ -26,7 +26,8 @@ _build_failed = False
 
 ENV_IDS = {"simple": 0, "pendulum": 1, "cartpole": 2, "mountain_car": 3,
            "acrobot": 4, "reacher": 5, "recall": 6, "recall_long": 7,
-           "recall_xl": 8, "recall_xxl": 9, "recall_4k": 10, "recall_8k": 11}
+           "recall_xl": 8, "recall_xxl": 9, "recall_4k": 10, "recall_8k": 11,
+           "recall_16k": 12}
 
 
 def _build() -> bool:

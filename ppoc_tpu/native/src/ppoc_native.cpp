@@ -64,7 +64,8 @@ enum EnvId {
   ENV_RECALL_XL = 8,    // 1024-step variant (envs/recall.py make_recall_xl)
   ENV_RECALL_XXL = 9,   // 2048-step variant (envs/recall.py make_recall_xxl)
   ENV_RECALL_4K = 10,   // 4096-step variant (envs/recall.py make_recall_4k)
-  ENV_RECALL_8K = 11    // 8192-step variant (envs/recall.py make_recall_8k)
+  ENV_RECALL_8K = 11,   // 8192-step variant (envs/recall.py make_recall_8k)
+  ENV_RECALL_16K = 12   // 16384-step variant (envs/recall.py make_recall_16k)
 };
 
 static inline float angle_normalize(float x) {
@@ -90,6 +91,7 @@ int ppoc_env_state_dim(int env_id) {
     case ENV_RECALL_XXL: return 2;
     case ENV_RECALL_4K: return 2;
     case ENV_RECALL_8K: return 2;
+    case ENV_RECALL_16K: return 2;
     default: return -1;
   }
 }
@@ -108,6 +110,7 @@ int ppoc_env_obs_dim(int env_id) {
     case ENV_RECALL_XXL: return 2;
     case ENV_RECALL_4K: return 2;
     case ENV_RECALL_8K: return 2;
+    case ENV_RECALL_16K: return 2;
     default: return -1;
   }
 }
@@ -126,6 +129,7 @@ int ppoc_env_action_dim(int env_id) {
     case ENV_RECALL_XXL: return 1;
     case ENV_RECALL_4K: return 1;
     case ENV_RECALL_8K: return 1;
+    case ENV_RECALL_16K: return 1;
     default: return -1;
   }
 }
@@ -144,6 +148,7 @@ int ppoc_env_horizon(int env_id) {
     case ENV_RECALL_XXL: return 2048;  // envs/recall.py make_recall_xxl
     case ENV_RECALL_4K: return 4096;   // envs/recall.py make_recall_4k
     case ENV_RECALL_8K: return 8192;   // envs/recall.py make_recall_8k
+    case ENV_RECALL_16K: return 16384; // envs/recall.py make_recall_16k
     default: return -1;
   }
 }
@@ -228,6 +233,7 @@ static void obs_from_state(int env_id, const float* st, float* obs) {
     case ENV_RECALL_XXL:
     case ENV_RECALL_4K:
     case ENV_RECALL_8K:
+    case ENV_RECALL_16K:
       // envs/recall.py:_obs — cue visible only while the first-step flag
       // (st[1]) is up
       obs[0] = st[0] * st[1];
@@ -284,6 +290,7 @@ void ppoc_env_reset(int env_id, int n, uint64_t seed,
       case ENV_RECALL_XXL:
       case ENV_RECALL_4K:
       case ENV_RECALL_8K:
+      case ENV_RECALL_16K:
         st[0] = uniform(&rng, 0.0f, 1.0f) < 0.5f ? -1.0f : 1.0f;
         st[1] = 1.0f;  // first-step flag: the cue is visible
         break;
@@ -437,7 +444,8 @@ void ppoc_env_step(int env_id, int n,
       case ENV_RECALL_XL:
       case ENV_RECALL_XXL:
       case ENV_RECALL_4K:
-      case ENV_RECALL_8K: {
+      case ENV_RECALL_8K:
+      case ENV_RECALL_16K: {
         // envs/recall.py:_step — fixed-length episode TERMINATING at the
         // horizon; reward 1 at the final step iff sign(action) matches the
         // cue; observations go blank after t = 0.

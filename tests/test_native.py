@@ -66,7 +66,7 @@ def _jax_states(name, n, key):
 @pytest.mark.parametrize(
     "name", ["pendulum", "cartpole", "mountain_car", "simple", "acrobot",
              "reacher", "recall", "recall_long", "recall_xl", "recall_xxl",
-             "recall_4k", "recall_8k"]
+             "recall_4k", "recall_8k", "recall_16k"]
 )
 def test_native_matches_jax_physics(name):
     env = envs.make(name)
