@@ -77,10 +77,17 @@ def main(argv):
         # program's cold compile+first-run RPC crashes the transport
         # worker (docs/RESULTS.md round 5) — chunk it to one fit per
         # compiled program (bit-identical training)
+        if T >= 16384:
+            # past ~10k decode steps even the BARE rollout scan's cold
+            # compile crashes the worker: phased fit stages + segmented
+            # decode (one compiled 4096-step segment reused per window)
+            relief = dict(fit_dispatch="phased", rollout_chunk=4096,
+                          fits_per_program=0)
+        else:
+            relief = dict(fits_per_program=1 if T >= 8192 else 0)
         tr = Trainer.from_checkpoint(ckpt, env=env, rollout_len=T,
                                      eval_len=T,
-                                     minibatch_size=max(4096, T),
-                                     fits_per_program=1 if T >= 8192 else 0)
+                                     minibatch_size=max(4096, T), **relief)
         h = tr.train(n_epochs=40, log=False, stop_at_R=0.95)
         best = max(x["R"] for x in h)
         print(f"T={T} ({env}, flash): {len(h)} epochs, best R {best:.3f} "

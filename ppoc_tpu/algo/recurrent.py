@@ -107,26 +107,49 @@ def rollout_rnn(
     """
     from ppoc_tpu.algo import ppo as ppo_mod
 
-    trunk = policy_params["mlp"]
-    discrete = env.spec.discrete
     k_reset, k_scan = jax.random.split(key)
     env_state, obs = ppo_mod._pvary(
         vector_reset(env, k_reset, n_envs), axis_name)
+    s0 = initial_seq_state(cfg, policy_params, n_envs)
+    if axis_name is not None:
+        s0 = ppo_mod._pvary(s0, axis_name)
+    step_fn = rollout_step_fn(cfg, env, policy_params, deterministic)
+    keys = jax.random.split(k_scan, length)
+    final_carry, traj = jax.lax.scan(step_fn, (env_state, obs, s0), keys)
+    if force_truncate:
+        traj = force_truncate_traj(traj)
+    return traj, final_carry
+
+
+def initial_seq_state(cfg: PPOConfig, policy_params, n_envs: int):
+    """Fresh trunk sequence state for a rollout window: the attention KV
+    cache or the GRU/LSTM zero hidden."""
+    trunk = policy_params["mlp"]
     if attn.is_attn(trunk):
-        s0 = attn.initial_cache(trunk, (n_envs,))
+        return attn.initial_cache(trunk, (n_envs,))
+    return gru.initial_state(trunk, (n_envs,))
+
+
+def rollout_step_fn(cfg: PPOConfig, env: Env, policy_params,
+                    deterministic: bool = False):
+    """The per-step scan body of :func:`rollout_rnn`, exposed so the
+    chunked-decode dispatch (cfg.rollout_chunk — one compiled SEGMENT
+    program reused across a window's segments, the T=16384 relief valve)
+    can scan the identical body over key slices."""
+    from ppoc_tpu.algo import ppo as ppo_mod
+
+    trunk = policy_params["mlp"]
+    discrete = env.spec.discrete
+    if attn.is_attn(trunk):
         trunk_step = functools.partial(attn.step, trunk,
                                        activation=cfg.activation)
         on_done = attn.reset_lanes
     else:
-        s0 = gru.initial_state(trunk, (n_envs,))
-
         def trunk_step(h, x):
             return gru.step(trunk, h, x, cfg.activation)
 
         def on_done(h, done):
             return h * jnp.logical_not(done)[..., None].astype(h.dtype)
-    if axis_name is not None:
-        s0 = ppo_mod._pvary(s0, axis_name)
 
     def step_fn(carry, key_t):
         env_state, obs, s = carry
@@ -142,14 +165,16 @@ def rollout_rnn(
         tr = ppo_mod.Transition(obs, action, logp, next_obs, reward, term, trunc)
         return (env_state2, obs2, s_next), tr
 
-    keys = jax.random.split(k_scan, length)
-    final_carry, traj = jax.lax.scan(step_fn, (env_state, obs, s0), keys)
-    if force_truncate:
-        last_trunc = jnp.logical_or(
-            traj.truncated[-1], jnp.logical_not(traj.terminated[-1])
-        )
-        traj = traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
-    return traj, final_carry
+    return step_fn
+
+
+def force_truncate_traj(traj):
+    """Mark the window's final row truncated unless terminated
+    (src/ppo.cu:70-74) — GAE must never bootstrap across the window end."""
+    last_trunc = jnp.logical_or(
+        traj.truncated[-1], jnp.logical_not(traj.terminated[-1])
+    )
+    return traj._replace(truncated=traj.truncated.at[-1].set(last_trunc))
 
 
 # --------------------------------------------------------------------------

@@ -299,14 +299,17 @@ class Trainer:
                     ppo.train_fits, cfg, self.env, backend=self.backend))
                 self._reset_carry = jax.jit(functools.partial(
                     ppo.reset_env_carry, cfg, self.env))
-            if cfg.fit_dispatch == "phased":
-                self._build_phased()
             self._evaluate = jax.jit(
                 functools.partial(ppo.evaluate, cfg, self.env, backend=self.backend)
             )
             self._evaluate_det = jax.jit(functools.partial(
                 ppo.evaluate, cfg, self.env, backend=self.backend,
                 deterministic=True))
+            if cfg.fit_dispatch == "phased":
+                # AFTER the default eval wiring: with rollout_chunk the
+                # phased build replaces _evaluate/_evaluate_det with the
+                # segmented-decode evaluator
+                self._build_phased()
 
         self.state = full_state
         self._solve_fn = None
@@ -710,6 +713,70 @@ class Trainer:
         self._ph_vphase = jax.jit(_vphase)
         self._ph_pphase = jax.jit(_pphase)
 
+        if cfg.rollout_chunk > 0:
+            # segmented decode (cfg.rollout_chunk): ONE compiled
+            # chunk-step scan reused across the window's segments, carry
+            # threaded between dispatches; same per-step key stream as
+            # the monolithic scan (rollout_rnn splits k_scan into
+            # `length` keys — we do the identical split host-side and
+            # feed slices).  The bare monolithic decode scan crashes the
+            # transport worker past ~10k steps (docs/RESULTS.md r5).
+            from ppoc_tpu.envs.core import vector_reset
+
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def _rollinit(policy_params, k, n):
+                env_state, obs = vector_reset(env, k, n)
+                s0 = recurrent.initial_seq_state(cfg, policy_params, n)
+                return env_state, obs, s0
+
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def _rollseg(policy_params, carry, det, keys_seg):
+                step = recurrent.rollout_step_fn(cfg, env, policy_params,
+                                                 det)
+                return jax.lax.scan(step, carry, keys_seg)
+
+            self._ph_rollinit = _rollinit
+            self._ph_rollseg = _rollseg
+            self._ph_force_trunc = jax.jit(recurrent.force_truncate_traj)
+            reference_est = cfg.eval_estimator == "reference"
+
+            def _eval_metrics(traj):
+                if reference_est:
+                    return ppo.eval_metrics_reference(traj,
+                                                      env.spec.gamma)
+                return ppo.eval_metrics_from_traj(traj, env.spec.gamma)
+
+            self._ph_eval_metrics = jax.jit(_eval_metrics)
+
+            def _eval_chunked(policy_params, k, det):
+                traj = self._chunked_rollout(
+                    policy_params, k, cfg.eval_envs, cfg.eval_len,
+                    deterministic=det, force_truncate=False)
+                return self._ph_eval_metrics(traj)
+
+            self._evaluate = functools.partial(_eval_chunked, det=False)
+            self._evaluate_det = functools.partial(_eval_chunked, det=True)
+
+    def _chunked_rollout(self, policy_params, key, n_envs: int,
+                         length: int, deterministic: bool,
+                         force_truncate: bool):
+        """ceil(length / cfg.rollout_chunk) dispatches of the compiled
+        segment program; identical per-step keys to rollout_rnn."""
+        S = self.cfg.rollout_chunk
+        k_reset, k_scan = jax.random.split(key)
+        carry = self._ph_rollinit(policy_params, k_reset, n_envs)
+        keys = jax.random.split(k_scan, length)
+        segs = []
+        for i in range(0, length, S):
+            carry, traj_seg = self._ph_rollseg(policy_params, carry,
+                                               deterministic,
+                                               keys[i:i + S])
+            segs.append(traj_seg)
+        traj = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *segs)
+        if force_truncate:
+            traj = self._ph_force_trunc(traj)
+        return traj
+
     def _train_epoch_phased(self, key: jax.Array) -> ppo.FitMetrics:
         cfg = self.cfg
         keys = jax.random.split(key, cfg.fits_per_epoch)
@@ -719,8 +786,14 @@ class Trainer:
             # no k_upd_common), then update_step's
             k_roll, k_upd = jax.random.split(key_f)
             k_val, k_pol = jax.random.split(k_upd)
-            traj = self._ph_rollout(self.state.policy_params,
-                                    self.state.v_params, k_roll)
+            if cfg.rollout_chunk > 0:
+                traj = self._chunked_rollout(
+                    self.state.policy_params, k_roll, cfg.n_envs,
+                    cfg.rollout_len, deterministic=False,
+                    force_truncate=True)
+            else:
+                traj = self._ph_rollout(self.state.policy_params,
+                                        self.state.v_params, k_roll)
             vpair, adv, target, mean_rew = self._ph_values_adv(
                 self.state.v_params, traj)
             self.state, v_loss = self._ph_vphase(

@@ -241,6 +241,22 @@ class PPOConfig:
                                   # RPC crashes the transport worker;
                                   # the phase programs stay under the
                                   # ceiling (docs/RESULTS.md round 5)
+    rollout_chunk: int = 0        # >0 (with fit_dispatch="phased"): the
+                                  # decode rollout runs as ceil(T/chunk)
+                                  # dispatches of ONE compiled chunk-step
+                                  # scan program, threading (env state,
+                                  # obs, trunk cache) between dispatches —
+                                  # same per-step key stream as the
+                                  # monolithic scan.  The deepest relief
+                                  # valve: the bare 16384-step decode scan
+                                  # crashes the transport worker on cold
+                                  # compile (threshold measured between
+                                  # 9216 ok and 12288 crash —
+                                  # docs/RESULTS.md round 5); chunked,
+                                  # the one compiled segment is reused
+                                  # across the window.  Applies to the
+                                  # training rollout AND evaluation.
+                                  # Must divide rollout_len and eval_len
     fits_per_program: int = 0     # >0: compile the training epoch as
                                   # ceil(fits_per_epoch / N)-dispatch chunks
                                   # of N fits each instead of ONE fused
@@ -375,6 +391,23 @@ def validate(cfg: PPOConfig) -> PPOConfig:
                 or cfg.sp_size > 1 or cfg.zero1):
             raise ValueError(
                 "fit_dispatch='phased' supports single-device runs only"
+            )
+    if cfg.rollout_chunk:
+        if cfg.rollout_chunk < 0:
+            raise ValueError(f"rollout_chunk must be >= 0, got "
+                             f"{cfg.rollout_chunk}")
+        if cfg.fit_dispatch != "phased":
+            raise ValueError(
+                "rollout_chunk (segmented decode dispatch) requires "
+                "fit_dispatch='phased'"
+            )
+        if cfg.rollout_len % cfg.rollout_chunk or \
+                cfg.eval_len % cfg.rollout_chunk:
+            raise ValueError(
+                f"rollout_chunk ({cfg.rollout_chunk}) must divide both "
+                f"rollout_len ({cfg.rollout_len}) and eval_len "
+                f"({cfg.eval_len}): segments are equal-size compiled "
+                f"programs"
             )
     if cfg.fits_per_program:
         if cfg.fits_per_program < 0:

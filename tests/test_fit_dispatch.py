@@ -85,6 +85,29 @@ def test_phased_with_gru():
     assert np.isfinite(tr.evaluate().R)
 
 
+def test_rollout_chunk_tracks_monolithic():
+    """Segmented decode (rollout_chunk): same per-step key stream as the
+    monolithic scan — training metrics and evals agree; deterministic
+    eval runs through the chunked evaluator too."""
+    t_m = Trainer(_cfg(fit_dispatch="phased"))
+    t_c = Trainer(_cfg(fit_dispatch="phased", rollout_chunk=2))
+    m_m = t_m.train_epoch()
+    m_c = t_c.train_epoch()
+    np.testing.assert_allclose(np.asarray(jax.tree.leaves(m_c)),
+                               np.asarray(jax.tree.leaves(m_m)), rtol=1e-5)
+    assert t_c.evaluate().R == pytest.approx(t_m.evaluate().R, abs=1e-6)
+    assert np.isfinite(t_c.evaluate(deterministic=True).R)
+
+
+def test_rollout_chunk_validation():
+    from ppoc_tpu import config as config_mod
+
+    with pytest.raises(ValueError, match="phased"):
+        config_mod.validate(_cfg(rollout_chunk=2))
+    with pytest.raises(ValueError, match="divide"):
+        config_mod.validate(_cfg(fit_dispatch="phased", rollout_chunk=4))
+
+
 def test_validation():
     with pytest.raises(ValueError, match="SEQUENCE-trunk"):
         config_mod.validate(PPOConfig(env="pendulum", fit_dispatch="phased"))
