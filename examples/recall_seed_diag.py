@@ -39,11 +39,11 @@ from ppoc_tpu.utils.cache import enable_compilation_cache
 T = 512
 
 
-def recipe(seed):
+def recipe(seed, aux=0.0):
     return PPOConfig(env="recall_long", rollout_len=T, eval_len=T,
                      n_envs=32, minibatch_size=4096, fits_per_epoch=2,
                      eval_envs=64, hidden=(32,), seed=seed,
-                     lr_policy=1e-3, lr_v=1e-3,
+                     lr_policy=1e-3, lr_v=1e-3, aux_value_coeff=aux,
                      attn_dim=32, attn_layers=2, attn_heads=4)
 
 
@@ -116,9 +116,11 @@ def main(argv):
     seed = int(argv[1]) if len(argv) > 1 else 1
     n_epochs = int(argv[2]) if len(argv) > 2 else 40
     every = int(argv[3]) if len(argv) > 3 else 2
+    aux = float(argv[4]) if len(argv) > 4 else 0.0
 
-    tr = Trainer(recipe(seed))
-    path = f"recall_diag_s{seed}.jsonl"
+    tr = Trainer(recipe(seed, aux))
+    path = f"recall_diag_s{seed}.jsonl" if aux == 0.0 \
+        else f"recall_diag_s{seed}_aux{aux:g}.jsonl"
     rows = []
     with open(path, "w") as f:
         for ep in range(n_epochs):
