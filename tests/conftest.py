@@ -17,3 +17,21 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_state():
+    """Clear jit/compilation caches between test MODULES.
+
+    The full suite compiles thousands of distinct executables in one
+    process; past ~400 tests the accumulated XLA:CPU backend state
+    segfaults inside backend_compile (observed deterministically at the
+    same test in clean runs with 120 GB free, while every half-suite
+    subset passes — round-5 finding).  Bounding the live-executable set
+    per module keeps the process inside the backend's tested envelope;
+    within a module, shared compiles still amortize.
+    """
+    yield
+    jax.clear_caches()
