@@ -218,6 +218,17 @@ class Trainer:
                     f"n_envs ({cfg.n_envs}), minibatch_size ({cfg.minibatch_size}) and "
                     f"eval_envs ({cfg.eval_envs}) must divide the mesh size {n_dev}"
                 )
+            if cfg.shuffle_block and (
+                    (cfg.minibatch_size // n_dev) % cfg.shuffle_block
+                    or (cfg.steps_per_fit // n_dev) % cfg.shuffle_block):
+                raise ValueError(
+                    f"shuffle_block ({cfg.shuffle_block}) must divide the "
+                    f"PER-SHARD minibatch ({cfg.minibatch_size // n_dev}) "
+                    f"and per-shard steps_per_fit "
+                    f"({cfg.steps_per_fit // n_dev}) on a {n_dev}-device "
+                    f"mesh; lower shuffle_block (or 0 for the exact row "
+                    f"shuffle)"
+                )
             if cfg.zero1:
                 # ZeRO-1: flat-packed trunk Adam moments placed P(dp); the
                 # logical (checkpoint) layout stays the parameter tree, so
@@ -956,6 +967,16 @@ class Trainer:
         """Train until eval R >= target_R as ONE device program (see
         ppo.train_until); returns {"epochs": n, "R": R}.  Compiles on first
         use; subsequent calls with the same config reuse the executable."""
+        if (self.cfg.fit_dispatch != "fused" or self.cfg.fits_per_program
+                or self.cfg.rollout_chunk):
+            raise ValueError(
+                "solve() compiles the whole train-until loop as ONE device "
+                "program — strictly larger than the fused epoch the "
+                "fit_dispatch/fits_per_program/rollout_chunk relief valves "
+                "exist to avoid (their target regime crashes on oversized "
+                "cold compiles, docs/RESULTS.md r5); use "
+                "train(stop_at_R=...) with these settings"
+            )
         if self._solve_fn is not None and self._solve_args != (target_R, max_epochs):
             self._solve_fn = None
         self._solve_args = (target_R, max_epochs)

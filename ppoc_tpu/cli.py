@@ -393,6 +393,11 @@ def main(argv=None) -> int:
         parser.error("--obs-norm/--reward-norm apply to gym:* host-bridge "
                      "envs; on-device envs use --calibrate (config-carried "
                      "static normalization)")
+    elif args.overlap:
+        parser.error("--overlap (host actor/learner pipelining) applies to "
+                     "gym:* host-bridge envs; on-device envs run rollout + "
+                     "update as one fused program — there is no host actor "
+                     "to overlap")
     elif args.import_ref:
         if args.load or args.resume:
             parser.error("--import-ref replaces --load/--resume")

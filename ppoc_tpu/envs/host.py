@@ -526,6 +526,12 @@ class HostTrainer:
         self.state = ck.state
         if ck.key is not None:
             self.key = ck.key
+        # overlap mode: a pending window was collected by the PRE-load
+        # policy with its log-probs — consuming it would make the first
+        # post-load update an uncontrolled off-policy step (far beyond the
+        # documented one-fit-stale contract); drop it so the next fit
+        # primes a fresh window under the loaded weights
+        self._pending = None
         stats = getattr(self.venv, "stats", None)
         sidecar = path + ".obsnorm.npz"
         if os.path.exists(sidecar):

@@ -59,9 +59,13 @@ Params = List[Tuple[jax.Array, jax.Array]]
 _MAX_TILE = 2048  # sub-tile rows: bounds VMEM for activations
 
 # Large-minibatch (throughput) regime: bf16 MXU matmuls with f32 master
-# weights/moments/accumulation.  Activations halve, so sub-tiles double;
-# engaged by algo/ppo at backend "bf16" when mb > _MAX_TILE (the regime
-# where the f32 fused kernels lose to the XLA scan — docs/RESULTS.md).
+# weights/moments/accumulation.  Activations halve, so sub-tiles double.
+# NOT wired into algo/ppo's gating: the round-5 resolution of the
+# large-minibatch regime was shuffle_block (block-shuffled minibatches make
+# the XLA scan faster than these kernels too — docs/RESULTS.md r5), so the
+# bf16 big-tile kernels stay in-tree as the measured, tested alternative
+# (tests/test_bigmb.py pins their exactness); bigmb_ok has no production
+# caller.
 _MAX_TILE_BF16 = 4096
 # conservative scoped-VMEM cap for the bf16 big-tile cells (~17 MB live at
 # tile 4096 with 2x256 trunks; Mosaic's stack estimate needs headroom —
@@ -980,7 +984,9 @@ def value_phase_fused(cfg, v_params: Params, opt_v: AdamState,
     bf16=True is the THROUGHPUT regime (mb > _MAX_TILE, where the f32
     kernels lose to the XLA scan — VERDICT r4 #1): bf16 MXU GEMMs, f32
     master weights/moments/gradient accumulation, double-size row tiles.
-    Engaged by algo/ppo.value_phase under kernel_backend="bf16"."""
+    NOT engaged by algo/ppo's shipped gating — the large-minibatch regime
+    was won by shuffle_block on the XLA scan instead (docs/RESULTS.md r5);
+    kept as the tested alternative (tests/test_bigmb.py)."""
     n_rows = buf.obs.shape[0]
     n_mb, mb = cfg.num_minibatches, cfg.minibatch_size
     flat, blk = _stream_ids(cfg, key, n_rows, n_mb, mb, cfg.n_epochs_value)

@@ -93,6 +93,21 @@ def _validate(cfg: PPOConfig, seeds: Sequence[int]) -> None:
             "zero1 shards optimizer state over a mesh; sweeps are "
             "single-device vmapped programs"
         )
+    if cfg.transplant_patience:
+        raise ValueError(
+            "transplant_patience is a Trainer.train host-loop intervention "
+            "(critic->policy encoder transplant on plateau); the sweep's "
+            "whole-run vmapped programs cannot perform it — it would be "
+            "silently inert here, misreporting trap rates"
+        )
+    if cfg.fit_dispatch != "fused" or cfg.fits_per_program \
+            or cfg.rollout_chunk:
+        raise ValueError(
+            "sweeps compile whole training runs as single fused programs; "
+            "the fit_dispatch/fits_per_program/rollout_chunk chunked "
+            "dispatch modes do not apply (and their extreme-window target "
+            "regime is beyond a vmapped multi-seed program anyway)"
+        )
 
 
 def _init_states(cfg: PPOConfig, env, seeds: Sequence[int],
