@@ -1,4 +1,4 @@
-"""Long-context recall via the window-DOUBLING curriculum (512 -> 4096).
+"""Long-context recall via the window-DOUBLING curriculum (512 -> 16384).
 
 Direct training at T >= 1024 stalls at R ~ 0.72: the cue's attention
 weight starts at 1/T of the softmax mass and the retrieval gradient's SNR
@@ -15,11 +15,17 @@ curriculum through the product surface, no new machinery:
 
 The retrieval circuit ("attend the position-0 cue when the observation is
 blank") transfers across every doubling: chip-measured, each fine-tune
-phase reaches R ~ 0.97 in 2-4 EPOCHS — T=1024 in 20 s, T=2048 in 29 s,
-T=4096 (a 4095-step retrieval distance) in 74 s; whole chain ~4 min.
-Right-sizing matters: pre-sizing the table to 4097 makes every phase-1
-rollout pay the full KV length (125 s -> 1271 s measured).  Gate phase 1
-with stop_at_R and reseed the rare trapped draw (seed 1).
+phase reaches R ~ 0.95-0.97 in 2-4 EPOCHS — T=1024 in 20 s, T=2048 in
+29 s, T=4096 in 74 s, T=8192 in 279 s, T=16384 (a 16,383-step retrieval
+distance) in 2156 s.  The top rungs need the program-size relief valves
+(the stage config below sets them): fits_per_program=1 at T=8192,
+fit_dispatch="phased" + rollout_chunk=4096 at T=16384 — each fused
+program past its measured ceiling crashes the transport worker on cold
+compile (docs/RESULTS.md round 5).  Right-sizing matters: pre-sizing the
+table to 4097 makes every phase-1 rollout pay the full KV length
+(125 s -> 1271 s measured).  Gate phase 1 with stop_at_R; a trapped draw
+(seed 1's hard sign-commitment lock) is rescued by
+PPOConfig(transplant_patience=10) — 8/8 seeds solve with it.
 
 Usage: python examples/recall_xl_curriculum.py [seed] [max_T]
 """
