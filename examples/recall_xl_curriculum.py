@@ -23,9 +23,10 @@ fit_dispatch="phased" + rollout_chunk=4096 at T=16384 — each fused
 program past its measured ceiling crashes the transport worker on cold
 compile (docs/RESULTS.md round 5).  Right-sizing matters: pre-sizing the
 table to 4097 makes every phase-1 rollout pay the full KV length
-(125 s -> 1271 s measured).  Gate phase 1 with stop_at_R; a trapped draw
-(seed 1's hard sign-commitment lock) is rescued by
-PPOConfig(transplant_patience=10) — 8/8 seeds solve with it.
+(125 s -> 1271 s measured).  Phase 1 ships with
+PPOConfig(transplant_patience=10): a trapped draw (seed 1's hard
+sign-commitment lock) is rescued by the critic->policy encoder
+transplant — 8/8 seeds solve with it.
 
 Usage: python examples/recall_xl_curriculum.py [seed] [max_T]
 """
@@ -50,6 +51,9 @@ def main(argv):
     base = dict(n_envs=32, minibatch_size=4096, fits_per_epoch=2,
                 eval_envs=64, hidden=(32,), seed=seed,
                 lr_policy=1e-3, lr_v=1e-3,
+                # the plateau stabilizer: rescues the trapped draws
+                # (8/8 seeds solve phase 1 with it — docs/RESULTS.md r5)
+                transplant_patience=10,
                 attn_dim=32, attn_layers=2, attn_heads=4)
 
     ckpt = f"recall_curriculum_512_s{seed}.bin"
